@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-style terminal action (collect on the
+aggregated result) so the full plan runs but driver transfer stays small.
+A warmup pass on sf0.001 JIT-warms the JVM before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "rev_pairs",
+    "rev_diff",
+    "rev_interval",
+    "anchor_count",
+    "term_stats",
+    "inverted_index",
+    "pv_daily",
+    "ts_vector",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_topk",
+    "lang_id",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from hedera_spark.registry import QUERIES
+    from hedera_spark.session import get_spark
+
+    spark = get_spark("hedera_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # warmup at the smallest sf: spins executors + JIT, not timed
+    for n in names[:4]:
+        QUERIES[n](spark, "/root/testdata/sf0.001").limit(1).collect()
+
+    times: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        rows = QUERIES[n](spark, sf_dir).collect()
+        times[n] = round(time.perf_counter() - t0, 3)
+        print(f"# {n}: {times[n]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

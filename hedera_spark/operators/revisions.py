@@ -1,0 +1,188 @@
+"""Group A — revision / versioned-document operators (SURVEY.md §2.A).
+
+Hedera's revision machinery (pairing consecutive revisions, diffing them,
+sampling one per time interval, time-span filtering) is imperative reader
+code in the reference. Spark-first, every one of these is a *window over
+the page key ordered by time*: one shuffle on the page key, no self-join,
+and AQE splits skewed pages at runtime. At 100 TB the shuffle is keyed on
+page_id (high cardinality, near-uniform for real corpora), so the plan
+scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.revisions import load_revisions, load_snapshots
+
+def _page_time() -> Window:
+    return Window.partitionBy("page_id").orderBy("ts", "rev_id")
+
+
+def rev_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(page, rev, parent) lineage. Parent = previous revision of the same
+    page by time, 0 for the first (Hedera convention: parent_id=0 on first
+    revision). Reference: mapreduce/ExtractRevisionIds.java,
+    io/etl/RevisionIdsFormat.java.
+    """
+    revs = load_revisions(spark, sf_dir)
+    return revs.select(
+        "page_id",
+        "rev_id",
+        F.coalesce(F.lag("rev_id").over(_page_time()), F.lit(0)).alias("parent_id"),
+    )
+
+
+def rev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive revision pairs per page with value delta and gap.
+    Reference: io/input/WikiRevisionPairInputFormat.java (emits every pair
+    of consecutive snapshots instead of each individually).
+    """
+    revs = load_revisions(spark, sf_dir)
+    w = _page_time()
+    return (
+        revs.select(
+            "page_id",
+            F.lag("rev_id").over(w).alias("prev_rev_id"),
+            F.col("rev_id").alias("cur_rev_id"),
+            F.lag("value").over(w).alias("prev_value"),
+            F.col("value").alias("cur_value"),
+            (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            ).alias("gap_seconds"),
+        )
+        .where(F.col("prev_rev_id").isNotNull())
+    )
+
+
+def rev_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last revision per (page, day) — interval-sampled ETL. Reference:
+    io/etl/IntervalRevisionETLReader.java, io/input/WikiRevisionTimeInputFormat.java
+    (emit one revision per page per configured time unit).
+    """
+    revs = load_revisions(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    w = Window.partitionBy("page_id", "day").orderBy(F.desc("ts"), F.desc("rev_id"))
+    return (
+        revs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("page_id", "day", "rev_id", "ts", "kind", "value")
+    )
+
+
+def rev_filter_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Begin/end time-span + 'article-only' filtering. Reference:
+    WIKIREVISION.md (org.hedera.input.begintime/endtime,
+    SKIP_NON_ARTICLES), io/input/WikiRevisionInputFormat.java. The
+    predicate is pushed to the parquet scan by Catalyst.
+    """
+    revs = load_revisions(spark, sf_dir)
+    return revs.where(
+        (F.col("ts") >= F.lit("2024-01-10"))
+        & (F.col("ts") < F.lit("2024-01-20"))
+        & (F.col("kind") != F.lit("error"))
+    ).select("page_id", "rev_id", "ts", "kind", "value")
+
+
+def rev_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max timestamp + revision count per page AND global (rollup row with
+    NULL page_id). Reference: pig/preprocess/checkRevisions.pig (GROUP ALL
+    → MAX(timestamp)), experiments/.../MaxTimestamp.java.
+    """
+    revs = load_revisions(spark, sf_dir)
+    return revs.rollup("page_id").agg(
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n_revs"),
+    )
+
+
+def rev_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-snapshot text length stats. Reference:
+    experiments/.../WikiRevLength.java (emit length of every revision).
+    """
+    snaps = load_snapshots(spark, sf_dir)
+    return snaps.select(
+        F.col("rev_seq").alias("doc_id"),
+        "page_id",
+        F.length("text").alias("len_chars"),
+        F.size(F.split(F.col("text"), " ")).alias("len_tokens"),
+    )
+
+
+def rev_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-ordered concatenation of snapshot texts per page.
+    Reference: experiments/org/hedera/io/RevisionConcatText.java,
+    io/etl/RevisionConcatInputFormat.java. Order is forced by sorting the
+    collected (rev_seq, text) structs — collect_list alone has no ordering
+    guarantee after a shuffle.
+    """
+    snaps = load_snapshots(spark, sf_dir)
+    return (
+        snaps.groupBy("page_id")
+        .agg(F.array_sort(F.collect_list(F.struct("rev_seq", "text"))).alias("parts"))
+        .select(
+            "page_id",
+            F.concat_ws(" ", F.transform("parts", lambda s: s["text"])).alias("full_text"),
+            F.size("parts").alias("n_revs"),
+        )
+    )
+
+
+def sample_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First revision per (page, day) — time-bucketed sampling.
+    Reference: python/sample-by-year.py, experiments/.../SampleRevisionPair.java.
+    """
+    revs = load_revisions(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    w = Window.partitionBy("page_id", "day").orderBy("ts", "rev_id")
+    return (
+        revs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("page_id", "day", "rev_id", "ts", "value")
+    )
+
+
+def rev_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range filter + global sort by timestamp. Reference:
+    pig/preprocess/sortRevisions.pig (FILTER BY timestamp, ORDER BY
+    timestamp PARALLEL 200). Spark's sort is a range-partitioned total
+    order — the PARALLEL hint is Catalyst's job now.
+    """
+    revs = load_revisions(spark, sf_dir)
+    return (
+        revs.where((F.col("ts") >= F.lit("2024-01-05")) & (F.col("ts") < F.lit("2024-01-15")))
+        .orderBy("ts", "rev_id")
+        .select("rev_id", "page_id", "ts", "kind", "value")
+    )
+
+
+def rev_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set diff between consecutive snapshots of a page: how many
+    distinct tokens were inserted / deleted / kept. Reference:
+    io/input/WikiRevisionDiffInputFormat.java + io/RevisionDiff.java (emit
+    INSERT/DELETE/CHANGE chunks between two revisions). Spark-first this is
+    lag(tokens) over the page window + array_except/array_intersect — all
+    JVM-side, no Python in the loop.
+    """
+    snaps = load_snapshots(spark, sf_dir)
+    toks = snaps.select(
+        "page_id",
+        F.col("rev_seq").alias("doc_id"),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    w = Window.partitionBy("page_id").orderBy("doc_id")
+    paired = toks.select(
+        "page_id",
+        "doc_id",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        "toks",
+        F.lag("toks").over(w).alias("prev_toks"),
+    ).where(F.col("prev_id").isNotNull())
+    return paired.select(
+        "page_id",
+        "doc_id",
+        "prev_id",
+        F.size(F.array_except("toks", "prev_toks")).alias("n_inserted"),
+        F.size(F.array_except("prev_toks", "toks")).alias("n_deleted"),
+        F.size(F.array_intersect("toks", "prev_toks")).alias("n_common"),
+    )

@@ -1,0 +1,149 @@
+"""Group F — generic analytics engine queries (SURVEY.md §2.F).
+
+Hedera is ultimately a general MapReduce toolset (reference:
+java/main/org/hedera/mapreduce/* all extend a generic JobConfig
+map/shuffle/reduce pattern). The Spark-first statement of "we cover general
+scan/agg/join analytics" is a handful of TPC-H-shaped queries over the star
+schema, written declaratively so Catalyst does pushdown, pruning, join
+reordering and AQE does runtime re-planning.
+
+Scale notes (100 TB): q1/q6 are scan-heavy — filters and column pruning
+reach the parquet scan (verified in tests/test_plans.py). q3/q5 join
+dimension tables that stay far below the broadcast threshold at any scale
+factor (region/nation are fixed-size; customer/supplier/orders get
+shuffle-hash or sort-merge via AQE when they outgrow broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.tables import load_table
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (flagship scan-agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: 3-way join + agg + top-10."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1998-01-15"))
+        .join(
+            orders.where(F.col("o_orderdate") < F.lit("1998-01-15")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: snowflake join across 6 tables."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: selective scan-agg (pushdown showcase)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation by account balance (window top-k parity;
+    reference: pig/preprocess/sortRevisions.pig ORDER ... PARALLEL — the
+    general sort/limit capability)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_name", "c_acctbal", "rk")
+    )

@@ -1,0 +1,40 @@
+"""SparkSession builder tuned for this engine.
+
+Defaults target local[N] testing but every knob is what we would set on a
+1000-executor cluster: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), Arrow for the few Pandas-UDF paths, sensible
+broadcast threshold. Shuffle partitions default to the local core count;
+on a real cluster this is overridden (or left to AQE's coalescing with a
+high initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "hedera_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        # the test corpus stores nanosecond parquet timestamps, which Spark
+        # only reads via the legacy long path (SPARK-40819); tables.py
+        # converts the long back to a proper TimestampType column
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,33 @@
+"""Local replica of the driver's correctness gate: every queries() entry
+with an oracle must match DuckDB on sf0.001 (row count + schema +
+order-insensitive canonical rows)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tests.oracle_compare import assert_frames_match
+
+
+def _pairs():
+    from hedera_spark.registry import ORACLE, QUERIES
+
+    return sorted(QUERIES.keys()), ORACLE
+
+
+NAMES, _ = _pairs()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(name, spark, duck):
+    from hedera_spark.registry import ORACLE, QUERIES
+
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_pdf = sdf.toPandas()
+    assert len(spark_pdf) >= 0  # query must at least run
+    if name not in ORACLE:
+        assert len(spark_pdf) > 0, f"{name}: rows-only query returned 0 rows"
+        return
+    oracle_pdf = duck.execute(ORACLE[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
