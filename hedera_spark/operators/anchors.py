@@ -1,0 +1,120 @@
+"""Group B — anchor / link analytics (SURVEY.md §2.B).
+
+In Hedera, anchors are wiki-link texts mined from revision markup
+(reference: mapreduce/CountAnchor.java, Json2Anchor.java,
+ExtractTemporalAnchorText.java, FastExtractTemporalAnchorText.java and
+pig/experimental/entityrelation.pig). Here the anchor universe is the token
+stream of `documents.text`; extraction is a JVM-side split + explode
+(flatMap), so the hot path never leaves whole-stage codegen.
+
+Scale notes (100 TB): token explode multiplies rows ~|doc| but the
+follow-up aggregations are partial (map-side combine) by construction.
+`anchor_cooccur` is the one quadratic operator — it is blocked per
+document and, at scale, must be preceded by a frequency cut (drop
+stop-tokens / keep top-K per doc); we apply a distinct-per-doc reduction
+first so the self-join fans out on (doc, token) not raw occurrences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.tables import load_table
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str, distinct: bool) -> DataFrame:
+    """(doc_id, source, anchor) token stream; optionally distinct per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("anchor"),
+    ).where(F.col("anchor") != "")
+    return toks.dropDuplicates(["doc_id", "anchor"]) if distinct else toks
+
+
+def anchor_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global anchor frequency. Reference: mapreduce/CountAnchor.java
+    (map: emit anchor, reduce: sum)."""
+    return (
+        _doc_tokens(spark, sf_dir, distinct=False)
+        .groupBy("anchor")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def anchor_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc, anchor) pairs — the link graph's edge list.
+    Reference: mapreduce/Json2Anchor.java (emit (rev, anchor) pairs)."""
+    return _doc_tokens(spark, sf_dir, distinct=True).select("doc_id", "anchor")
+
+
+def temporal_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor validity span: first/last snapshot where the anchor appears +
+    number of snapshots containing it. Reference:
+    mapreduce/ExtractTemporalAnchorText.java, FastExtractTemporalAnchorText.java
+    (anchor text with temporal extent)."""
+    return (
+        _doc_tokens(spark, sf_dir, distinct=True)
+        .groupBy("anchor")
+        .agg(
+            F.min("doc_id").alias("first_seen"),
+            F.max("doc_id").alias("last_seen"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def temporal_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct title token (leading token of each snapshot) with first-seen
+    snapshot and frequency. Reference: mapreduce/ExtractTemporalTitle.java
+    (distinct titles with temporal metadata)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.split(F.col("text"), " ").getItem(0).alias("title_tok"),
+            "doc_id",
+        )
+        .groupBy("title_tok")
+        .agg(F.min("doc_id").alias("first_seen"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def anchor_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence edges: unordered anchor pairs appearing in the same
+    snapshot, with document frequency ≥ 5. Reference:
+    pig/experimental/entityrelation.pig, temporalgraph.pig (entity-entity
+    edges from co-mentions). Self-join is on doc_id over per-doc *distinct*
+    tokens (the cheapest correct blocking)."""
+    toks = _doc_tokens(spark, sf_dir, distinct=True)
+    a = toks.select("doc_id", F.col("anchor").alias("a1"))
+    b = toks.select("doc_id", F.col("anchor").alias("a2"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("a1") < F.col("a2"))
+        .groupBy("a1", "a2")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 5)
+    )
+
+
+def id2title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """id → display-name resolution across the dim chain
+    (customer→nation→region), Hedera's id↔title / redirect-resolution task.
+    Reference: python/id2title.py, python/local_redirect.py,
+    mapreduce/Anchor2Freebase.java (mapping ids to canonical entities).
+    Dims are broadcast — no shuffle at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )

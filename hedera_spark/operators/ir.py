@@ -1,0 +1,109 @@
+"""Group C — IR structures: dictionary, term stats, doc vectors, inverted
+index, bag-of-words (SURVEY.md §2.C).
+
+Reference: mapreduce/BuildDictionary.java (term → dense id + df),
+experiments/.../BasicComputeTermStats.java (df/cf with min-df cut),
+experiments/.../InvertedIndexByBOW.java (postings), mapreduce/
+BuildPForDocVectors.java + BuildVByteDocVectors.java (doc → compressed
+term-id vector), experiments/org/hedera/io/RevisionBOW.java.
+
+Spark-first notes: the reference assigns dictionary ids with a
+single-reducer pass; here it is a global sort + row_number over the
+*distinct vocabulary* (tiny vs corpus — the sort input is |V|, not |corpus|,
+so one skinny shuffle). Posting lists / vectors are emitted as sorted
+comma-joined strings — a portable, deterministic surface for the oracle
+hash; the array form is one `split()` away. The reference's PForDelta /
+VByte compression is a storage codec, which on Spark is parquet encoding's
+job — we deliberately do not re-implement it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hedera_spark.operators.anchors import _doc_tokens
+
+
+def bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, term, tf) bag-of-words rows. Reference:
+    experiments/org/hedera/io/RevisionBOW.java,
+    experiments/org/hedera/io/etl/RevisionBOWInputFormat.java."""
+    return (
+        _doc_tokens(spark, sf_dir, distinct=False)
+        .groupBy("doc_id", F.col("anchor").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term → document frequency, collection frequency, max tf; min-df cut
+    of 2. Reference: experiments/.../BasicComputeTermStats.java (df/cf
+    stats with a df floor)."""
+    return (
+        bow(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+        )
+        .where(F.col("df") >= 2)
+    )
+
+
+def dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term → dense id (1-based, lexicographic) + df. Reference:
+    mapreduce/BuildDictionary.java (sorted terms → sequential ids)."""
+    df_ = (
+        _doc_tokens(spark, sf_dir, distinct=True)
+        .groupBy(F.col("anchor").alias("term"))
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.orderBy("term")
+    return df_.select("term", F.row_number().over(w).alias("term_id"), "df")
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term → sorted posting list (comma-joined doc ids) + df. Reference:
+    experiments/.../InvertedIndexByBOW.java. collect_list order is not
+    guaranteed after shuffle, so postings are array_sort'ed before joining."""
+    pairs = _doc_tokens(spark, sf_dir, distinct=True)
+    return (
+        pairs.groupBy(F.col("anchor").alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+def doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc → sorted term-id vector (comma-joined) + length. Reference:
+    mapreduce/BuildPForDocVectors.java, BuildVByteDocVectors.java (doc →
+    int-coded term vector; compression left to the storage layer here).
+    The dictionary side is tiny (|V|) and broadcast into the join."""
+    pairs = _doc_tokens(spark, sf_dir, distinct=True).select(
+        "doc_id", F.col("anchor").alias("term")
+    )
+    dic = dictionary(spark, sf_dir).select("term", "term_id")
+    return (
+        pairs.join(F.broadcast(dic), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("term_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("vector"),
+        )
+    )

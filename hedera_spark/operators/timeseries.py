@@ -1,0 +1,136 @@
+"""Group D — time-series / pageview analytics (SURVEY.md §2.D).
+
+Reference: mapreduce/PreprocessEZPageviews.java (hourly normalization with
+a combiner), LocalEZPageviewHour.java / LocalEZPageviewDay.java +
+python/AggregateEZPageview.py (hour→day rollup), mapreduce/
+BuildShortTermTS.java (entity → dense count series via secondary sort),
+python/JoinEZPageview.py (join series to an entity list).
+
+The `events` table plays the pageview log (user_id ≈ entity). Spark-first:
+the reference's combiner+secondary-sort is groupBy (partial agg is
+automatic) + an ordered collect; the dense series is a calendar `sequence`
+join, not a reducer-side zero-fill loop. Everything stays in whole-stage
+codegen — no Python.
+
+Scale notes: hourly/daily aggs shuffle once on (entity, bucket) — partial
+aggregation bounds the shuffle to |entities|×|buckets| regardless of input
+rows. `ts_vector` joins a tiny broadcast calendar and shuffles |entity|
+rows once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.tables import load_table
+
+
+def pv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts + value sums per (entity, hour). Reference:
+    mapreduce/PreprocessEZPageviews.java (MyMapper normalizes to hour
+    buckets, MyCombiner/MyReducer sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def pv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour→day rollup, built *from the hourly aggregate* exactly like the
+    reference pipeline (hourly files feed the daily job). Reference:
+    LocalEZPageviewDay.java, python/AggregateEZPageview.py."""
+    hourly = pv_hourly(spark, sf_dir)
+    return (
+        hourly.groupBy("user_id", F.to_date("hour").alias("day"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("active_hours"),
+        )
+    )
+
+
+def ts_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entity → dense, zero-filled daily count series over the global
+    [min_day, max_day] span, comma-joined in day order. Reference:
+    mapreduce/BuildShortTermTS.java (secondary sort assembles per-entity
+    series; python/AggregateEZPageview.py zero-fills month buckets).
+    The calendar is a broadcast `sequence` of days — zero-fill is a join,
+    not reducer logic."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    calendar = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    users = ev.select("user_id").distinct()
+    dense = (
+        users.crossJoin(F.broadcast(calendar))
+        .join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    return (
+        dense.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("day", "n"))),
+                    lambda s: s["n"].cast("string"),
+                ),
+                ",",
+            ).alias("series"),
+            F.sum("n").alias("total"),
+        )
+    )
+
+
+def pv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join per-entity activity aggregate to the entity dim table
+    (user_id → customer). Reference: python/JoinEZPageview.py (join
+    aggregated pageview series to an entity list)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return agg.join(
+        cust, F.col("user_id") == F.col("c_custkey")
+    ).select("user_id", "c_name", "c_mktsegment", "n_events", "sum_value")
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (new session after >30 min idle) → one row
+    per session with bounds and totals. The temporal-analytics companion of
+    BuildShortTermTS (same shuffle key, stacked windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(sec - F.lag(sec).over(w) > 1800, 1).otherwise(0),
+    )
+    sessions = gapped.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -13,7 +13,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hedera_spark.operators import anchors as anc
+from hedera_spark.operators import ir
 from hedera_spark.operators import revisions as rev
+from hedera_spark.operators import timeseries as ts
 from hedera_spark.operators import tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -168,6 +171,240 @@ register(
     JOIN cnt cb ON cb.doc_id = p.prev_id
     LEFT JOIN common c ON c.doc_id = p.doc_id
     WHERE p.prev_id IS NOT NULL
+    """,
+)
+
+# --- Group B: anchor / link analytics --------------------------------------
+
+_DTOKS = """
+    dtoks AS (
+      SELECT DISTINCT doc_id, source, tok AS anchor
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+    )
+"""
+
+register(
+    "anchor_count",
+    anc.anchor_count,
+    """
+    SELECT tok AS anchor, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    """,
+)
+
+register(
+    "anchor_targets",
+    anc.anchor_targets,
+    f"""
+    WITH {_DTOKS}
+    SELECT doc_id, anchor FROM dtoks
+    """,
+)
+
+register(
+    "temporal_anchor",
+    anc.temporal_anchor,
+    f"""
+    WITH {_DTOKS}
+    SELECT anchor, min(doc_id) AS first_seen, max(doc_id) AS last_seen,
+           count(*) AS n_docs
+    FROM dtoks GROUP BY anchor
+    """,
+)
+
+register(
+    "temporal_title",
+    anc.temporal_title,
+    """
+    SELECT string_split(text, ' ')[1] AS title_tok,
+           min(doc_id) AS first_seen, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+
+register(
+    "anchor_cooccur",
+    anc.anchor_cooccur,
+    f"""
+    WITH {_DTOKS}
+    SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
+    FROM dtoks a JOIN dtoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+
+register(
+    "id2title",
+    anc.id2title,
+    """
+    SELECT c_custkey, c_name, n_name AS nation_name, r_name AS region_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+
+# --- Group C: IR structures -------------------------------------------------
+
+_TF = """
+    tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    )
+"""
+
+register(
+    "bow",
+    ir.bow,
+    f"""
+    WITH {_TF}
+    SELECT doc_id, term, tf FROM tf
+    """,
+)
+
+register(
+    "term_stats",
+    ir.term_stats,
+    f"""
+    WITH {_TF}
+    SELECT term, count(*) AS df, sum(tf) AS cf, max(tf) AS max_tf
+    FROM tf GROUP BY term HAVING count(*) >= 2
+    """,
+)
+
+register(
+    "dictionary",
+    ir.dictionary,
+    f"""
+    WITH {_TF}
+    SELECT term, row_number() OVER (ORDER BY term) AS term_id, count(*) AS df
+    FROM tf GROUP BY term
+    """,
+)
+
+register(
+    "inverted_index",
+    ir.inverted_index,
+    f"""
+    WITH {_TF}
+    SELECT term, count(*) AS df,
+           string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY term
+    """,
+)
+
+register(
+    "doc_vectors",
+    ir.doc_vectors,
+    f"""
+    WITH {_TF},
+    dict AS (
+      SELECT term, row_number() OVER (ORDER BY term) AS term_id
+      FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id, count(*) AS n_terms,
+           string_agg(dict.term_id, ',' ORDER BY dict.term_id) AS vector
+    FROM tf JOIN dict ON tf.term = dict.term
+    GROUP BY tf.doc_id
+    """,
+)
+
+# --- Group D: time-series / pageview analytics ------------------------------
+
+register(
+    "pv_hourly",
+    ts.pv_hourly,
+    """
+    SELECT user_id, date_trunc('hour', ts) AS hour,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+register(
+    "pv_daily",
+    ts.pv_daily,
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(hour AS DATE) AS day,
+           sum(n_events) AS n_events, round(sum(sum_value), 2) AS sum_value,
+           count(*) AS active_hours
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+
+register(
+    "ts_vector",
+    ts.ts_vector,
+    """
+    WITH span AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+    ),
+    calendar AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT u.user_id, c.day, coalesce(d.n, 0) AS n
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN calendar c
+      LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = c.day
+    )
+    SELECT user_id, string_agg(n, ',' ORDER BY day) AS series, sum(n) AS total
+    FROM dense GROUP BY user_id
+    """,
+)
+
+register(
+    "pv_join",
+    ts.pv_join,
+    """
+    WITH agg AS (
+      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, c_name, c_mktsegment, n_events, sum_value
+    FROM agg JOIN customer ON user_id = c_custkey
+    """,
+)
+
+register(
+    "session_stats",
+    ts.session_stats,
+    """
+    WITH gapped AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN (epoch_us(ts) // 1000000)
+                       - lag(epoch_us(ts) // 1000000)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_seq
+      FROM gapped
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_seq
     """,
 )
 
