@@ -1,0 +1,243 @@
+"""Group G.1 — deduplication operators (SURVEY.md §2.G).
+
+These go beyond the reference surface: they are the dedup stage of a
+large-scale training-data pipeline (BASELINE.json north star). All four
+are pure DataFrame compositions — hashing (md5), shingling (slice over a
+split array), MinHash (min over md5 keyed by seed), SimHash (bit votes) —
+so the hot path is whole-stage codegen, never Python.
+
+Scale design (100 TB):
+- exact: one shuffle on the 128-bit content hash; partial agg bounds it.
+- ngram-jaccard: candidate generation is an inverted-index join on
+  shingles (pairs that share >= 1 shingle), never n^2; hot shingles are a
+  skew risk at scale -> cut shingles with document frequency above a cap
+  (stop-shingles carry no signal), AQE skew-join handles the rest.
+- minhash-LSH: signatures are fixed-width (16 hashes); candidates come
+  from equality joins on band hashes -- the classic O(candidates) not
+  O(n^2) path. Band width tunes precision/recall, not cost shape.
+- simhash: 60-bit fingerprint, candidates via 4x15-bit chunk blocking
+  (pigeonhole guarantees recall for hamming<=3; near-misses above that
+  trade recall for the equality-join cost shape).
+
+Every operator is deterministic and oracle-checked: md5 is identical in
+Spark and DuckDB, and min/fraction arithmetic is on strings/ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.tables import load_table
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+JACCARD_THRESHOLD = 0.2
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+HAMMING_MAX = 8
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: every doc mapped to the surviving
+    (minimum) doc_id of its hash group. One shuffle on md5(text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("survivor_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_dup", (F.col("doc_id") != F.col("survivor_id")).cast("int")
+        )
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) word-trigram shingles, JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            # guard: Spark sequence(1, 0) is DESCENDING, so short docs need
+            # an explicit empty array, not a greatest() clamp
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                    " transform(sequence(1, size(split(text, ' ')) - 2),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                    " ELSE array() END"
+                )
+            ).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (>= 0.2), candidates from
+    an inverted-index join on shared shingles (never n^2)."""
+    sh = _shingles(spark, sf_dir)
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> ordered array of 16 md5-based minhashes. The permutation
+    family is h_s(x) = md5(s || '|' || x) compared lexicographically --
+    deterministic and portable to any engine with md5."""
+    sh = _shingles(spark, sf_dir)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {N_MINHASH - 1})")).alias("seed"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
+    )
+    return (
+        seeded.groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minh"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                lambda s: s["minh"],
+            ).alias("sig")
+        )
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: 16 hashes, 4 bands x 4 rows. Candidate pairs
+    share at least one band; est_jaccard = matching-minhash fraction."""
+    sigs = _minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("band"),
+    ).select(
+        "doc_id",
+        "sig",
+        "band",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.expr(f"slice(sig, band * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})"),
+            )
+        ).alias("band_hash"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
+    cands = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cands.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(N_MINHASH)),
+            6,
+        ).alias("est_jaccard"),
+    )
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> 60-bit SimHash over distinct tokens. Bit j of the
+    fingerprint is the majority vote of bit j across token hashes
+    (token hash = first 15 hex chars of md5, parsed base-16)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .dropDuplicates(["doc_id", "tok"])
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    votes = (
+        toks.select(
+            "doc_id",
+            "h",
+            F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("j"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(F.expr("(h >> j) & 1")).alias("ones"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("ones") * 2 > F.col("n"), F.expr("shiftleft(1L, j)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= 8, candidates via
+    4 x 15-bit chunk blocking (equality join on any shared chunk)."""
+    fp = simhash_docs(spark, sf_dir)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_CHUNKS - 1})")).alias("c"),
+    ).select(
+        "doc_id", "simhash", "c", F.expr("(simhash >> (c * 15)) & 32767").alias("chunk")
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "c", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "c", "chunk"
+    )
+    return (
+        a.join(b, ["c", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= HAMMING_MAX)
+    )

@@ -1,0 +1,146 @@
+"""Group G.2 — similarity search over embeddings (SURVEY.md §2.G).
+
+Brute-force cosine top-k is the correctness baseline; sign-LSH bucketing is
+the scale path (each probe touches ~1/2^planes of the corpus). Everything
+is built-in-function arithmetic: dot products are explicit *sequential*
+folds (`aggregate(zip_with(...))`) over doubles so the oracle (DuckDB
+`list_reduce`) reproduces bit-identical sums — that determinism is what
+lets an approximate structure be hash-checked exactly.
+
+Scale design (100 TB): queries are broadcast against the corpus scan
+(no shuffle of the big side); ann_lsh turns the cross join into an
+equality join on bucket ids, which AQE can plan as a shuffle-hash join;
+bucket skew is bounded because sign-bits of random projections are
+near-balanced. The embedding column stays a packed float array — no
+explode in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.tables import load_table
+
+N_PLANES = 8
+TOPK = 5
+LSH_TOPK = 3
+COS_THRESHOLD = 0.4
+QUERY_MOD = 25  # vec_id % 25 == 0 -> the query set (scales with sf)
+
+
+def _plane_sign(p: int, d: int) -> float:
+    """Deterministic ±1 hyperplane component from md5 — reproducible in any
+    engine; here precomputed driver-side and inlined as literals."""
+    return 1.0 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) < 8 else -1.0
+
+
+PLANES: list[list[float]] = [
+    [_plane_sign(p, d) for d in range(64)] for p in range(N_PLANES)
+]
+
+
+def _dot(a, b) -> Column:
+    """Sequential left-to-right fold of the element products (doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    """Append the sign-LSH bucket id: bit p = (v · plane_p) > 0."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(PLANES):
+        lit_plane = F.array([F.lit(s) for s in plane])
+        bucket = bucket + F.when(
+            _dot(F.col("embedding"), lit_plane) > 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 neighbors for the query subset
+    (vec_id % 25 == 0). Queries are broadcast; the corpus is scanned once."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    ).where(F.col("q_id") % QUERY_MOD == 0)
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK)
+    )
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-3: candidates share the full 8-bit bucket,
+    so each probe touches ~1/256 of the corpus — the 100 TB path. Same
+    scoring math as ann_topk; recall is the tunable (more tables / fewer
+    planes => higher recall)."""
+    emb = _with_bucket(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "embedding", "bucket", _norm(F.col("embedding")).alias("nrm"))
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+    ).where(F.col("q_id") % QUERY_MOD == 0)
+    pairs = emb.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= LSH_TOPK)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.4), exact over all pairs.
+    At scale the candidate set comes from the ann_lsh buckets instead of
+    the full cross join — this operator is the correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        emb.join(b, F.col("vec_id") < F.col("vec_b"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            F.round(
+                _dot(F.col("embedding"), F.col("emb_b")) / (F.col("nrm") * F.col("nrm_b")),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= COS_THRESHOLD)
+    )

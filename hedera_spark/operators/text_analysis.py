@@ -1,0 +1,156 @@
+"""Group G.3 — text analysis operators (SURVEY.md §2.G): language ID,
+quality scoring, token counting, winnowing fingerprints.
+
+The reference's text machinery (BOW extraction, Stanford-NLP experiments —
+java/test/other/TestStanfordNLP.java, experiments/.../RevisionBOW.java)
+motivates these; the pipeline-shaped versions here are what an LLM-data
+pipeline runs per document. All pure `pyspark.sql.functions` compositions:
+splits, regexes, window mins — zero Python in the row path.
+
+Scale: all per-document map-side work except the final small aggregations;
+fingerprinting's rolling window partitions by doc (bounded partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.tables import load_table
+
+# Marker-token sets per language: the lang-id signal. The test corpus is a
+# synthetic shared vocabulary, so markers are drawn from it — the operator
+# semantics (overlap scoring + deterministic argmax) are what transfer to a
+# real corpus with real stopword lists.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "das", "merge", "group", "batch"],
+    "en": ["the", "a", "data", "fast", "query"],
+    "es": ["el", "la", "los", "row", "scan", "value"],
+    "fr": ["le", "les", "des", "sort", "filter", "key"],
+    "zh": ["spark", "stream", "table", "vector", "window"],
+}
+
+STOPWORDS = ["the", "a", "data", "value", "row"]
+
+
+def _distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .dropDuplicates(["doc_id", "tok"])
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-overlap language ID: score(lang) = |distinct tokens ∩
+    markers(lang)|, prediction = argmax with deterministic lexicographic
+    tie-break. Output keeps the labeled lang for accuracy joins."""
+    toks = _distinct_tokens(spark, sf_dir)
+    scores = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("tok").isin(markers).cast("int")).alias(f"score_{lang}")
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    # first lang (lexicographic) achieving the max wins — build the CASE
+    # chain in reverse so the earliest condition dominates
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        scores.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            pred.alias("pred_lang"),
+            best.alias("best_score"),
+            *[F.col(f"score_{lang}") for lang in langs],
+        )
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + a composite score: length, token stats,
+    stopword ratio, type-token ratio. The score formula is arbitrary but
+    fixed — the operator shape (vectorized feature extraction + weighted
+    combine) is the point."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - F.size(toks) + 1) / F.size(toks).cast("double"), 6
+        ).alias("avg_token_len"),
+    )
+    return feats.withColumn(
+        "quality",
+        F.round(
+            F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.5
+            + (F.col("n_distinct") / F.col("n_tokens").cast("double")) * 0.3
+            + (1 - F.col("stopword_ratio")) * 0.2,
+            6,
+        ),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs regex (\\w+, the BPE-ish pre-tokenizer floor) token
+    counts per doc + distinct counts — the budget accounting every
+    training pipeline needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+', 0)")).alias("re_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("distinct_tokens"),
+    )
+
+
+def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budget per language — the rollup view of token_count."""
+    per_doc = token_count(spark, sf_dir)
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        F.round(F.avg("ws_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: md5 each word-trigram shingle, take
+    the min hash in every sliding window of 4 consecutive shingles, emit
+    the distinct fingerprint set per doc. Standard winnowing (Schleimer et
+    al.) — guarantees shared fingerprints for sufficiently long shared
+    substrings, the contained-plagiarism complement to whole-doc dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        # same short-doc guard as dedup._shingles: sequence(1, 0) descends
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                " transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> md5(concat_ws(' ', slice(split(text, ' '), i, 3))))"
+                " ELSE array() END"
+            )
+        ).alias("pos", "h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return (
+        sh.select("doc_id", F.min("h").over(w).alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+    )

@@ -14,8 +14,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from hedera_spark.operators import anchors as anc
+from hedera_spark.operators import dedup
+from hedera_spark.operators import functions_queries as fq
 from hedera_spark.operators import ir
+from hedera_spark.operators import multimodal as mm
 from hedera_spark.operators import revisions as rev
+from hedera_spark.operators import similarity as sim
+from hedera_spark.operators import text_analysis as ta
 from hedera_spark.operators import timeseries as ts
 from hedera_spark.operators import tpch
 
@@ -492,5 +497,366 @@ register(
     SELECT n_name, c_custkey, c_name, c_acctbal, rk
     FROM ranked JOIN nation ON c_nationkey = n_nationkey
     WHERE rk <= 3
+    """,
+)
+
+# --- Group G: LLM-data-pipeline operators -----------------------------------
+
+_SHINGLES = """
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    )
+"""
+
+register(
+    "dedup_exact",
+    dedup.dedup_exact,
+    """
+    SELECT doc_id, md5(text) AS text_hash,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS survivor_id,
+           count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+           CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+                THEN 1 ELSE 0 END AS is_dup
+    FROM documents
+    """,
+)
+
+register(
+    "dedup_ngram_jaccard",
+    dedup.dedup_ngram_jaccard,
+    f"""
+    WITH {_SHINGLES},
+    n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c / (na.n + nb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE round(c / (na.n + nb.n - c), 6) >= 0.2
+    """,
+)
+
+register(
+    "dedup_minhash",
+    dedup.dedup_minhash,
+    f"""
+    WITH {_SHINGLES},
+    mh AS (
+      SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS minh
+      FROM sh, unnest(generate_series(0, 15)) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, list(minh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, sig, band,
+             md5(array_to_string(sig[band * 4 + 1 : band * 4 + 4], '|')) AS band_hash
+      FROM sig, unnest(generate_series(0, 3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+                 x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS BIGINT) / 16.0, 6)
+             AS est_jaccard
+    FROM cand
+    """,
+)
+
+register(
+    "dedup_simhash",
+    dedup.dedup_simhash,
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, j, CAST(sum((h >> j) & 1) AS BIGINT) AS ones, count(*) AS n
+      FROM h, unnest(generate_series(0, 59)) AS t(j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS chunk
+      FROM fp, unnest(generate_series(0, 3)) AS t(c)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a
+    JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+
+_EMB_NORM = """
+    e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    )
+"""
+
+_COS = (
+    "round(list_reduce(list_transform(list_zip({A}, {B}),"
+    " x -> x[1]::DOUBLE * x[2]::DOUBLE), (a, b) -> a + b) / ({NA} * {NB}), 6)"
+)
+
+register(
+    "dedup_embedding",
+    sim.dedup_embedding,
+    f"""
+    WITH {_EMB_NORM}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_COS.format(A='a.embedding', B='b.embedding', NA='a.nrm', NB='b.nrm')} AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS.format(A='a.embedding', B='b.embedding', NA='a.nrm', NB='b.nrm')} >= 0.4
+    """,
+)
+
+register(
+    "ann_topk",
+    sim.ann_topk,
+    f"""
+    WITH {_EMB_NORM},
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+      FROM e WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             {_COS.format(A='q.q_emb', B='e.embedding', NA='q.q_nrm', NB='e.nrm')} AS cos
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+
+
+def _lsh_bucket_sql(col: str) -> str:
+    """Rebuild the sign-LSH bucket expression with literal plane vectors —
+    mirrors similarity.PLANES exactly (same md5-derived signs)."""
+    terms = []
+    for p, plane in enumerate(sim.PLANES):
+        lits = ", ".join(str(s) for s in plane)
+        dot = (
+            f"list_reduce(list_transform(list_zip({col}, [{lits}]),"
+            " x -> x[1]::DOUBLE * x[2]::DOUBLE), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+register(
+    "ann_lsh",
+    sim.ann_lsh,
+    f"""
+    WITH raw AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, embedding, bucket,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS nrm
+      FROM raw
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket
+      FROM e WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             {_COS.format(A='q.q_emb', B='e.embedding', NA='q.q_nrm', NB='e.nrm')} AS cos
+      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+
+_LANGS = sorted(ta.LANG_MARKERS)
+
+
+def _lang_score_sql() -> str:
+    cols = []
+    for lang in _LANGS:
+        markers = ", ".join(f"'{m}'" for m in ta.LANG_MARKERS[lang])
+        cols.append(
+            f"CAST(sum(CASE WHEN tok IN ({markers}) THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS score_{lang}"
+        )
+    return ",\n             ".join(cols)
+
+
+register(
+    "lang_id",
+    ta.lang_id,
+    f"""
+    WITH dtoks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    scores AS (
+      SELECT doc_id,
+             {_lang_score_sql()}
+      FROM dtoks GROUP BY doc_id
+    ),
+    best AS (
+      SELECT *, greatest({', '.join('score_' + lang for lang in _LANGS)}) AS best_score
+      FROM scores
+    )
+    SELECT b.doc_id, d.lang,
+           CASE {' '.join(f"WHEN score_{lang} = best_score THEN '{lang}'" for lang in _LANGS)} END AS pred_lang,
+           best_score,
+           {', '.join('score_' + lang for lang in _LANGS)}
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    """,
+)
+
+register(
+    "text_quality",
+    ta.text_quality,
+    """
+    WITH feats AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             round(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the', 'a', 'data', 'value', 'row'], t)))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+             round((length(text) - len(string_split(text, ' ')) + 1)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+      FROM documents
+    )
+    SELECT *,
+           round(least(n_tokens / 50.0, 1.0) * 0.5
+                 + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.3
+                 + (1 - stopword_ratio) * 0.2, 6) AS quality
+    FROM feats
+    """,
+)
+
+register(
+    "token_count",
+    ta.token_count,
+    r"""
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '\w+')) AS re_tokens,
+           len(list_distinct(string_split(text, ' '))) AS distinct_tokens
+    FROM documents
+    """,
+)
+
+register(
+    "token_count_by_lang",
+    ta.token_count_by_lang,
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+
+register(
+    "fingerprint",
+    ta.fingerprint,
+    """
+    WITH sh AS (
+      SELECT doc_id, i AS pos,
+             md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    win AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM sh
+    )
+    SELECT DISTINCT doc_id, fp FROM win
+    """,
+)
+
+register(
+    "multimodal_meta",
+    mm.multimodal_meta,
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           CAST(64 + strlen(text) % 512 AS INT) AS width,
+           CAST(64 + (strlen(text) * 7) % 512 AS INT) AS height,
+           CAST(1 + strlen(text) % 16 AS INT) AS n_frames,
+           CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+    FROM documents
+    """,
+)
+
+# --- Group E: scalar function parity ---------------------------------------
+
+register(
+    "time_convert",
+    fq.time_convert,
+    """
+    SELECT event_id,
+           epoch_us(ts) // 1000000 AS unix_sec,
+           strftime(ts, '%Y%m%d') AS ymd,
+           strftime(CAST(ts AS DATE) + INTERVAL 1 DAY, '%Y%m%d') AS ymd_next,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_time
+    FROM events
+    """,
+)
+
+register(
+    "extract_props",
+    fq.extract_props,
+    """
+    WITH e AS (
+      SELECT event_id, json_extract_string(props, '$.k')::INT AS k, value FROM events
+    )
+    SELECT k % 10 AS k_bucket, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM e GROUP BY 1
+    """,
+)
+
+register(
+    "extract_domain",
+    fq.extract_domain,
+    """
+    SELECT regexp_extract(source, '^([a-zA-Z]+)', 1) AS domain,
+           substring(source, 1, length(source) - 1) AS cut_last,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
     """,
 )
