@@ -30,9 +30,14 @@ HEADLINE = [
     "ts_vector",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "ann_topk",
+    "ann_lsh",
     "lang_id",
     "text_quality",
+    "fingerprint",
+    "session_stats",
 ]
 
 

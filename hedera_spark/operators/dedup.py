@@ -78,7 +78,8 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (>= 0.2), candidates from
     an inverted-index join on shared shingles (never n^2)."""
-    sh = _shingles(spark, sf_dir)
+    # persisted: feeds both sides of the candidate join and the size table
+    sh = _shingles(spark, sf_dir).persist()
     n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -131,15 +132,21 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: 16 hashes, 4 bands x 4 rows. Candidate pairs
-    share at least one band; est_jaccard = matching-minhash fraction."""
-    sigs = _minhash_signatures(spark, sf_dir)
+    share at least one band; est_jaccard = matching-minhash fraction.
+
+    The signature table is persisted: it feeds three consumers (both sides
+    of the band self-join and the final signature lookup), and without
+    materialization Spark re-derives the full shingle->md5->min pipeline
+    per consumer (measured 3x cost at sf0.1). At cluster scale this is a
+    small fixed-width table (|docs| x 16 hashes) — cheap to cache or
+    checkpoint, exactly what the classic LSH implementations do."""
+    sigs = _minhash_signatures(spark, sf_dir).persist()
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("band"),
+        "sig",
     ).select(
         "doc_id",
-        "sig",
         "band",
         F.md5(
             F.concat_ws(
@@ -148,73 +155,63 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_hash"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
-    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     cands = (
         a.join(b, ["band", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return cands.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
-                ),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            )
-            / F.lit(float(N_MINHASH)),
-            6,
-        ).alias("est_jaccard"),
+    sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cands.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(float(N_MINHASH)),
+                6,
+            ).alias("est_jaccard"),
+        )
     )
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> 60-bit SimHash over distinct tokens. Bit j of the
-    fingerprint is the majority vote of bit j across token hashes
-    (token hash = first 15 hex chars of md5, parsed base-16)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.col("text"), " ")).alias("tok"),
-        )
-        .where(F.col("tok") != "")
-        .dropDuplicates(["doc_id", "tok"])
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
-            .cast("bigint")
-            .alias("h"),
-        )
+    """doc_id -> 60-bit SimHash over distinct word-trigram shingles. Bit j
+    of the fingerprint is the majority vote of bit j across shingle hashes
+    (hash = first 15 hex chars of md5, parsed base-16). Shingles, not
+    unigrams: on a small shared vocabulary every document contains nearly
+    every token, which collapses unigram simhashes onto one point —
+    trigrams keep the fingerprint discriminative (and match the feature
+    set used by the jaccard/minhash dedup family)."""
+    toks = _shingles(spark, sf_dir).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
     )
-    votes = (
-        toks.select(
-            "doc_id",
-            "h",
-            F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("j"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(F.expr("(h >> j) & 1")).alias("ones"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    # one wide aggregation (60 bit-vote sums + count) instead of a 60x row
+    # explode: same single shuffle keyed on doc_id, 1/60th the shuffle rows
+    votes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ],
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("ones") * 2 > F.col("n"), F.expr("shiftleft(1L, j)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
-    )
+    fingerprint_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint_expr = term if fingerprint_expr is None else fingerprint_expr + term
+    return votes.select("doc_id", fingerprint_expr.cast("bigint").alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

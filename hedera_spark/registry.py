@@ -579,14 +579,10 @@ register(
 register(
     "dedup_simhash",
     dedup.dedup_simhash,
-    """
-    WITH toks AS (
-      SELECT DISTINCT doc_id, tok
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-      WHERE tok <> ''
-    ),
+    f"""
+    WITH {_SHINGLES},
     h AS (
-      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
     ),
     votes AS (
       SELECT doc_id, j, CAST(sum((h >> j) & 1) AS BIGINT) AS ones, count(*) AS n

@@ -1,0 +1,117 @@
+"""Hand-built-frame unit tests (SURVEY.md §5.2): pin the exact semantics
+of the trickier operators on tiny inputs where the answer is checkable by
+eye — the reference's local-reader test style (java/test/org/hedera/
+Local*Reader.java) translated to DataFrames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_rev_diff_token_sets(spark, tmp_path):
+    """Two snapshots: 'a b c' -> 'b c d' = 1 inserted, 1 deleted, 2 common."""
+    docs = spark.createDataFrame(
+        [(1, "a b c", "p", "en", 5), (2, "b c d", "p", "en", 5)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.revisions import rev_diff
+
+    rows = {r["doc_id"]: r for r in rev_diff(spark, str(out)).collect()}
+    assert rows[2]["n_inserted"] == 1
+    assert rows[2]["n_deleted"] == 1
+    assert rows[2]["n_common"] == 2
+
+
+def test_winnowing_window_min(spark, tmp_path):
+    """Fingerprints are window minima: every fp must be the md5 of one of
+    the doc's shingles, and an identical doc yields the identical set."""
+    text = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, text, "p", "en", 1), (2, text, "q", "en", 1)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import fingerprint
+
+    fps = fingerprint(spark, str(out)).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] == by_doc[2]  # identical text -> identical fingerprints
+    # 6 shingles, window 4 -> at most 3 full-window minima + tail, dedup'd
+    assert 1 <= len(by_doc[1]) <= 6
+
+
+def test_minhash_identical_docs_collide(spark, tmp_path):
+    """Exact duplicates must share every band -> est_jaccard = 1.0."""
+    text = "x y z w v u t s r q"
+    docs = spark.createDataFrame(
+        [(1, text, "p", "en", 1), (2, text, "q", "en", 1), (3, "completely different words here now ok yes no maybe", "r", "en", 1)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.dedup import dedup_minhash
+
+    rows = dedup_minhash(spark, str(out)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in rows}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_docs_distance_zero(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "m n o p q r", "p", "en", 1), (2, "m n o p q r", "q", "en", 1)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.dedup import dedup_simhash
+
+    rows = dedup_simhash(spark, str(out)).collect()
+    assert len(rows) == 1
+    assert rows[0]["hamming"] == 0
+
+
+def test_sessionization_gap_splits(spark, tmp_path):
+    """Events 10 min apart share a session; a 2h gap starts a new one."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 7, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 7, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(hours=3), 7, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.timeseries import session_stats
+
+    got = sorted(
+        session_stats(spark, str(out)).collect(), key=lambda r: r["session_seq"]
+    )
+    assert [r["n_events"] for r in got] == [2, 1]
+
+
+def test_multimodal_stub_plumbing(spark, tmp_path):
+    """The mapInPandas decode path: schema, arrow batching, determinism."""
+    docs = spark.createDataFrame(
+        [(1, "abcd", "p", "en", 4), (2, "abcde", "q", "en", 5)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.multimodal import multimodal_meta
+
+    rows = {r["doc_id"]: r for r in multimodal_meta(spark, str(out)).collect()}
+    assert rows[1]["n_bytes"] == 4 and rows[1]["format"] == "png"
+    assert rows[2]["n_bytes"] == 5 and rows[2]["format"] == "jpeg"
+    assert rows[2]["width"] == 64 + 5 % 512
