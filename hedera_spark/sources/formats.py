@@ -1,0 +1,141 @@
+"""Raw-source adapters — Spark-first equivalents of Hedera's file-format
+machinery (reference: java/main/org/hedera/io/input/
+WikiRevisionTextInputFormat.java + util/ByteMatcher.java +
+util/SeekableInputStream.java for split-aware XML dump reading;
+pig/load/ClueWeb09WarcLoader.java for WARC; pig/load/FileNameLoader.java;
+pig/utils/XML2JSON.pig for dump flattening).
+
+Hedera spends thousands of lines on byte-level split alignment so Hadoop
+mappers can start mid-dump. Spark-first, record splitting is the `lineSep`
+option on the text source (each `</page>`/WARC-header delimited blob is a
+row, splittable at scale) and parsing is the declarative `from_xml` /
+regexp expression layer — Catalyst keeps it JVM-side and prunes unused
+fields. The output schema matches the reference's flattened JSON revision
+schema (WIKIREVISION.md §3.1): page_id, page_title, page_namespace,
+rev_id, parent_id, timestamp, user, user_id, comment, text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REVISION_XML_SCHEMA = (
+    "title STRING, ns INT, id LONG, "
+    "revision ARRAY<STRUCT<id: LONG, parentid: LONG, timestamp: STRING, "
+    "contributor: STRUCT<username: STRING, id: LONG, ip: STRING>, "
+    "comment: STRING, text: STRING>>"
+)
+
+
+def read_revision_xml(spark: SparkSession, path: str) -> DataFrame:
+    """MediaWiki revision-history dump → one row per revision.
+
+    Split on '</page>' so every task parses whole pages (the same record
+    boundary Hedera's WikiRevisionTextInputFormat seeks to, minus the
+    byte-matcher machinery); then declarative from_xml + explode of the
+    page's revision array. Reference: io/input/WikiRevisionPageInputFormat.java
+    (same emitted fields), WIKIREVISION.md.
+    """
+    pages = (
+        spark.read.option("lineSep", "</page>")
+        .text(path)
+        .select(F.concat(F.col("value"), F.lit("</page>")).alias("raw"))
+        .where(F.col("raw").contains("<page"))
+        # keep only the <page>...</page> span so stray prolog/suffix text
+        # (e.g. the <mediawiki> wrapper) never reaches the XML parser
+        .select(
+            F.regexp_extract("raw", r"(?s)(<page>.*</page>)", 1).alias("page_xml")
+        )
+        .where(F.col("page_xml") != "")
+    )
+    parsed = pages.select(
+        F.from_xml("page_xml", REVISION_XML_SCHEMA).alias("p")
+    )
+    return parsed.select(
+        F.col("p.id").alias("page_id"),
+        F.col("p.title").alias("page_title"),
+        F.col("p.ns").alias("page_namespace"),
+        F.explode("p.revision").alias("r"),
+    ).select(
+        "page_id",
+        "page_title",
+        "page_namespace",
+        F.col("r.id").alias("rev_id"),
+        F.coalesce(F.col("r.parentid"), F.lit(0)).alias("parent_id"),
+        F.to_timestamp(F.col("r.timestamp")).alias("timestamp"),
+        F.coalesce(F.col("r.contributor.username"), F.col("r.contributor.ip")).alias(
+            "user"
+        ),
+        F.coalesce(F.col("r.contributor.id"), F.lit(-1)).alias("user_id"),
+        F.col("r.comment").alias("comment"),
+        F.col("r.text").alias("text"),
+    )
+
+
+def xml_dump_to_json(spark: SparkSession, xml_path: str, out_path: str) -> None:
+    """Flatten a revision XML dump to JSON-lines files — the XML2JSON.pig
+    utility (one revision per line, reference schema)."""
+    read_revision_xml(spark, xml_path).write.mode("overwrite").json(out_path)
+
+
+def skip_non_articles(revisions: DataFrame) -> DataFrame:
+    """The SKIP_NON_ARTICLES / org.hedera.input.onlyarticle switch:
+    namespace 0 is the article namespace. Reference:
+    io/input/WikiRevisionInputFormat.java, WIKIREVISION.md §1."""
+    return revisions.where(F.col("page_namespace") == 0)
+
+
+def filter_time_span(revisions: DataFrame, begin: str, end: str) -> DataFrame:
+    """org.hedera.input.begintime/endtime filtering (ISO strings).
+    Reference: WIKIREVISION.md §2, io/etl/IntervalRevisionETLReader.java."""
+    return revisions.where(
+        (F.col("timestamp") >= F.lit(begin)) & (F.col("timestamp") < F.lit(end))
+    )
+
+
+WARC_HEADER_SCHEMA_FIELDS = {
+    "warc_type": r"WARC-Type:\s*(\S+)",
+    "warc_target_uri": r"WARC-Target-URI:\s*(\S+)",
+    "warc_date": r"WARC-Date:\s*(\S+)",
+    "warc_record_id": r"WARC-Record-ID:\s*(\S+)",
+    "content_length": r"Content-Length:\s*(\d+)",
+}
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archive → one row per record with parsed headers + payload.
+    Record boundary = the 'WARC/' version line (lineSep split, so the
+    format stays splittable); headers are regexp pulls. Reference:
+    pig/load/ClueWeb09WarcLoader.java (same record model)."""
+    recs = (
+        spark.read.option("lineSep", "\nWARC/")
+        .text(path)
+        .where(F.col("value").contains("WARC-Type"))
+    )
+    cols = [
+        F.regexp_extract("value", pat, 1).alias(name)
+        for name, pat in WARC_HEADER_SCHEMA_FIELDS.items()
+    ]
+    # payload = everything after the blank line ending the header block
+    payload = F.regexp_extract("value", r"(?s)\r?\n\r?\n(.*)$", 1).alias("payload")
+    df = recs.select(*cols, payload)
+    return df.withColumn("content_length", F.col("content_length").cast("long"))
+
+
+def read_filenames(spark: SparkSession, path: str) -> DataFrame:
+    """Directory listing as a DataFrame — FileNameLoader parity. Uses the
+    binaryFile source's metadata columns (content dropped: column pruning
+    means the bytes are never read). Reference: pig/load/FileNameLoader.java."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*")
+        .load(path)
+        .select("path", "length", "modificationTime")
+    )
+
+
+def read_json_revisions(spark: SparkSession, path: str) -> DataFrame:
+    """Processed JSON revision files (the reference's post-XML2JSON world;
+    pig scripts load these with elephant-bird JsonLoader)."""
+    return spark.read.json(path)
