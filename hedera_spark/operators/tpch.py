@@ -130,6 +130,43 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority checking — LEFT SEMI join (EXISTS) shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey").where(
+        F.col("l_shipdate") >= F.lit("1997-06-01")
+    )
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01"))
+        )
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) shape — q22-style: customers that never
+    ordered, counted per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers per nation by account balance (window top-k parity;
     reference: pig/preprocess/sortRevisions.pig ORDER ... PARALLEL — the

@@ -856,3 +856,31 @@ register(
     FROM documents GROUP BY 1, 2
     """,
 )
+
+register(
+    "tpch_q4",
+    tpch.tpch_q4,
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '1997-06-01'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+
+register(
+    "customers_without_orders",
+    tpch.customers_without_orders,
+    """
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
