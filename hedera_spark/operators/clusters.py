@@ -1,0 +1,86 @@
+"""Dedup cluster assignment — connected components over the near-dup pair
+graph (the step after any pairwise dedup: pick one survivor per *cluster*,
+not per pair, or transitive chains split wrongly).
+
+Also the redirect-chain-resolution shape from the reference
+(python/local_redirect.py follows redirect->target chains to a fixpoint):
+same iterated min-label propagation, same convergence argument.
+
+Algorithm: large-star/small-star-style min-label propagation — every node
+repeatedly adopts the smallest label among itself and its neighbors until
+fixpoint. Each iteration is one join + one aggregation (all DataFrame
+ops); iterations = graph diameter, which for dedup graphs is tiny (near-
+dup clusters are cliques-ish). The driver-side loop only checks a
+convergence *count* — no data is collected.
+
+Scale: edges shuffle on node id per iteration; persist the frontier label
+table between iterations and unpersist the previous one (lineage would
+otherwise grow exponentially — the classic iterative-Spark trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_spark.operators.dedup import dedup_ngram_jaccard
+
+MAX_ITERATIONS = 20
+
+
+def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(node, component) for every node in the edge list; component id =
+    min node id reachable. Pure DataFrame iteration, deterministic."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(MAX_ITERATIONS):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["node2"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("nmin") < F.col("comp")).cast("int").alias("changed"),
+            )
+            .persist()
+        )
+        n_changed = updated.agg(F.sum("changed")).first()[0] or 0
+        new_labels = updated.select("node", "comp").persist()
+        new_labels.count()  # materialize before dropping the parent
+        labels.unpersist()
+        updated.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the trigram-Jaccard pair graph: every
+    clustered doc with its cluster id (min doc_id in the component) and a
+    survivor flag. Docs with no near-dup partner are not emitted (they are
+    their own cluster trivially)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).cast("int").alias("is_survivor"),
+    )

@@ -884,3 +884,46 @@ register(
     GROUP BY c_mktsegment
     """,
 )
+
+# --- Iterative / non-relational operators -----------------------------------
+
+from hedera_spark.operators import clusters as cl  # noqa: E402
+from hedera_spark.operators import diff_chunks as dc  # noqa: E402
+
+# rows-only: sequence alignment (difflib/diffutils) is not expressible in
+# SQL — the driver records the weaker rows-only check for this one.
+register("rev_diff_chunks", dc.rev_diff_chunks, None)
+
+register(
+    "dedup_clusters",
+    cl.dedup_clusters,
+    f"""
+    WITH RECURSIVE {_SHINGLES},
+    n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN n na ON na.doc_id = doc_a
+      JOIN n nb ON nb.doc_id = doc_b
+      WHERE round(c / (na.n + nb.n - c), 6) >= 0.2
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT reach.node, s.b FROM reach JOIN sym s ON s.a = reach.r
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id,
+           CASE WHEN node = min(r) THEN 1 ELSE 0 END AS is_survivor
+    FROM reach GROUP BY node
+    """,
+)

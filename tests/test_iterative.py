@@ -1,0 +1,40 @@
+"""Unit tests for the non-relational operators: chunk diffs (difflib) and
+connected-component clustering."""
+
+from __future__ import annotations
+
+
+def test_rev_diff_chunks_opcodes(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "p", "en", 7),
+            (2, "a x c", "p", "en", 5),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.diff_chunks import rev_diff_chunks
+
+    chunks = sorted(
+        rev_diff_chunks(spark, str(out)).collect(), key=lambda r: r["a_text"]
+    )
+    # 'b'->'x' is a CHANGE, trailing 'd' removed is a DELETE
+    ops = {(r["op"], r["a_text"], r["b_text"]) for r in chunks}
+    assert ("CHANGE", "b", "x") in ops
+    assert ("DELETE", "d", "") in ops
+    assert all(r["prev_id"] == 1 and r["doc_id"] == 2 for r in chunks)
+
+
+def test_connected_components_chain(spark):
+    from hedera_spark.operators.clusters import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    comps = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    # chain 1-2-3 collapses to min label 1 (requires >1 iteration); 5-6 -> 5
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
