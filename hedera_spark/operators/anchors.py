@@ -24,14 +24,18 @@ from hedera_spark.sources.tables import load_table
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str, distinct: bool) -> DataFrame:
-    """(doc_id, source, anchor) token stream; optionally distinct per doc."""
+    """(doc_id, source, anchor) token stream; optionally distinct per doc.
+    Per-doc distinctness is row-local: array_distinct before the explode,
+    never a dropDuplicates shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = F.split(F.col("text"), " ")
+    if distinct:
+        toks = F.array_distinct(toks)
+    return docs.select(
         "doc_id",
         "source",
-        F.explode(F.split(F.col("text"), " ")).alias("anchor"),
+        F.explode(toks).alias("anchor"),
     ).where(F.col("anchor") != "")
-    return toks.dropDuplicates(["doc_id", "anchor"]) if distinct else toks
 
 
 def anchor_count(spark: SparkSession, sf_dir: str) -> DataFrame:

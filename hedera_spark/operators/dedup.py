@@ -55,23 +55,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) word-trigram shingles, JVM-side."""
+    """Distinct (doc_id, shingle) word-trigram shingles, JVM-side.
+    Distinctness is per-document, so it is computed row-locally with
+    array_distinct BEFORE the explode — no dropDuplicates shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "doc_id",
-            # guard: Spark sequence(1, 0) is DESCENDING, so short docs need
-            # an explicit empty array, not a greatest() clamp
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-                    " transform(sequence(1, size(split(text, ' ')) - 2),"
-                    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-                    " ELSE array() END"
-                )
-            ).alias("shingle"),
-        )
-        .dropDuplicates(["doc_id", "shingle"])
+    return docs.select(
+        "doc_id",
+        # guard: Spark sequence(1, 0) is DESCENDING, so short docs need
+        # an explicit empty array, not a greatest() clamp
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                " array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+                " ELSE array() END"
+            )
+        ).alias("shingle"),
     )
 
 

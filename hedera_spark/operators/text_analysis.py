@@ -35,11 +35,9 @@ STOPWORDS = ["the", "a", "data", "value", "row"]
 
 def _distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .where(F.col("tok") != "")
-        .dropDuplicates(["doc_id", "tok"])
-    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).where(F.col("tok") != "")
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
