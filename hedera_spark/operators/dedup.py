@@ -233,7 +233,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["c", "chunk"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .select("doc_a", "doc_b", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").alias("hamming"))
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= HAMMING_MAX)
     )

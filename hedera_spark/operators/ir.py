@@ -61,7 +61,7 @@ def dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
     )
     w = Window.orderBy("term")
-    return df_.select("term", F.row_number().over(w).alias("term_id"), "df")
+    return df_.select("term", F.row_number().over(w).cast("long").alias("term_id"), "df")
 
 
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:

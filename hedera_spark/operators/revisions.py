@@ -105,8 +105,8 @@ def rev_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snaps.select(
         F.col("rev_seq").alias("doc_id"),
         "page_id",
-        F.length("text").alias("len_chars"),
-        F.size(F.split(F.col("text"), " ")).alias("len_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("len_tokens"),
     )
 
 
@@ -182,7 +182,7 @@ def rev_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "page_id",
         "doc_id",
         "prev_id",
-        F.size(F.array_except("toks", "prev_toks")).alias("n_inserted"),
-        F.size(F.array_except("prev_toks", "toks")).alias("n_deleted"),
-        F.size(F.array_intersect("toks", "prev_toks")).alias("n_common"),
+        F.size(F.array_except("toks", "prev_toks")).cast("long").alias("n_inserted"),
+        F.size(F.array_except("prev_toks", "toks")).cast("long").alias("n_deleted"),
+        F.size(F.array_intersect("toks", "prev_toks")).cast("long").alias("n_common"),
     )

@@ -88,7 +88,7 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= TOPK)
     )
 
@@ -117,7 +117,9 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= LSH_TOPK)
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= LSH_TOPK
+    )
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

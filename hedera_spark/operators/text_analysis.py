@@ -81,9 +81,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = docs.select(
         "doc_id",
         "lang",
-        F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.round(
             F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
             / F.size(toks).cast("double"),
@@ -112,9 +112,9 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
-        F.size(F.expr(r"regexp_extract_all(text, '\\w+', 0)")).alias("re_tokens"),
-        F.size(F.array_distinct(F.split("text", " "))).alias("distinct_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+', 0)")).cast("long").alias("re_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("distinct_tokens"),
     )
 
 

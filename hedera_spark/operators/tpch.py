@@ -179,7 +179,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("c_acctbal"), F.col("c_custkey")
     )
     return (
-        cust.withColumn("rk", F.row_number().over(w))
+        cust.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 3)
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "c_custkey", "c_name", "c_acctbal", "rk")

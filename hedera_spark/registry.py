@@ -400,10 +400,10 @@ register(
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (
+             CAST(sum(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_seq
+             ) AS BIGINT) AS session_seq
       FROM gapped
     )
     SELECT user_id, session_seq, count(*) AS n_events,
@@ -599,7 +599,7 @@ register(
       FROM fp, unnest(generate_series(0, 3)) AS t(c)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM chunks a
     JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
