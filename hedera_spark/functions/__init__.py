@@ -52,3 +52,37 @@ def extract_domain(col) -> Column:
 def cut_last(col) -> Column:
     """Drop the final character. Ref: pig/eval/wikipedia/CutLast.java."""
     return F.expr(f"substring({col}, 1, length({col}) - 1)") if isinstance(col, str) else F.substring(col, 1, 0)
+
+
+def extract_links(col) -> Column:
+    """All [[wiki link]] targets (text before any | alias) as an array.
+    Ref: io/LinkProfile.java, io/etl/RevisionLinkInputFormat.java,
+    mapreduce/Json2Anchor.java (link mining from markup)."""
+    return F.expr(
+        f"transform(regexp_extract_all({col}, '\\\\[\\\\[([^\\\\]|]+)(?:\\\\|[^\\\\]]*)?\\\\]\\\\]', 1),"
+        " x -> trim(x))"
+    )
+
+
+def extract_references(col) -> Column:
+    """All <ref>...</ref> payloads as an array.
+    Ref: mapreduce/ExtractReferences.java."""
+    return F.expr(
+        f"regexp_extract_all({col}, '<ref[^>/]*>(.*?)</ref>', 1)"
+    )
+
+
+def strip_markup(col) -> Column:
+    """Plain text from MediaWiki markup: drop templates, keep link aliases,
+    drop refs/tags/emphasis. A declarative regexp-chain statement of
+    util/MediaWikiProcessor.java (which wraps bliki + jsoup); heavy corner
+    cases (nested templates) are out of scope exactly as they are flaky in
+    the reference."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"\{\{[^{}]*\}\}", " ")  # templates (one level)
+    c = F.regexp_replace(c, r"<ref[^>/]*>.*?</ref>", " ")  # references
+    c = F.regexp_replace(c, r"<[^>]+>", " ")  # html tags
+    c = F.regexp_replace(c, r"\[\[(?:[^\]|]*\|)?([^\]|]*)\]\]", "$1")  # links -> alias
+    c = F.regexp_replace(c, r"'{2,}", "")  # bold/italic quotes
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
