@@ -52,16 +52,42 @@ def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DICTIONARY_RANGE_PARTITIONS = 8
+
+
 def dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """term → dense id (1-based, lexicographic) + df. Reference:
-    mapreduce/BuildDictionary.java (sorted terms → sequential ids)."""
+    mapreduce/BuildDictionary.java (sorted terms → sequential ids; the
+    reference runs one reducer for this).
+
+    A bare `row_number() OVER (ORDER BY term)` would funnel the whole
+    vocabulary through ONE task — the same single-reducer bottleneck the
+    reference has. Instead: range-partition by term, rank locally, then
+    add per-partition offsets (a broadcast of |partitions| rows). Ids are
+    identical to the global row_number because range partitions are
+    ordered; the sort now scales with executors. At 100 TB vocabularies
+    reach 10^8+ terms, where this is the difference between minutes and a
+    stuck stage."""
     df_ = (
         _doc_tokens(spark, sf_dir, distinct=True)
         .groupBy(F.col("anchor").alias("term"))
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    w = Window.orderBy("term")
-    return df_.select("term", F.row_number().over(w).cast("long").alias("term_id"), "df")
+    parted = df_.repartitionByRange(DICTIONARY_RANGE_PARTITIONS, "term").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("term")
+    local = parted.withColumn("local_rank", F.row_number().over(w_local).cast("long"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("pid", "offset")
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        "term", (F.col("offset") + F.col("local_rank")).alias("term_id"), "df"
+    )
 
 
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
