@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_topk",
+    "ann_topk_fast",
     "ann_lsh",
     "lang_id",
     "text_quality",

@@ -927,3 +927,10 @@ register(
     FROM reach GROUP BY node
     """,
 )
+
+from hedera_spark.operators import similarity_fast as simf  # noqa: E402
+
+# rows-only: BLAS summation order differs from the sequential fold in the
+# last float bits, so the SQL-oracle hash would be fragile by construction;
+# tests/test_iterative.py checks agreement with ann_topk instead.
+register("ann_topk_fast", simf.ann_topk_fast, None)

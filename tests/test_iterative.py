@@ -38,3 +38,22 @@ def test_connected_components_chain(spark):
     }
     # chain 1-2-3 collapses to min label 1 (requires >1 iteration); 5-6 -> 5
     assert comps == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_ann_topk_fast_agrees_with_fold_version(spark):
+    from tests.conftest import SF_DIR
+
+    from hedera_spark.operators.similarity import ann_topk
+    from hedera_spark.operators.similarity_fast import ann_topk_fast
+
+    slow = ann_topk(spark, SF_DIR).collect()
+    fast = ann_topk_fast(spark, SF_DIR).collect()
+    by_q_slow, by_q_fast = {}, {}
+    for r in slow:
+        by_q_slow.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    for r in fast:
+        by_q_fast.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    assert set(by_q_slow) == set(by_q_fast)
+    for q, neigh in by_q_slow.items():
+        # identical neighbor sets modulo float-tie reorderings at the cut
+        assert len(neigh & by_q_fast[q]) >= len(neigh) - 1
