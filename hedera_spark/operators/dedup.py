@@ -107,24 +107,22 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     family is h_s(x) = md5(s || '|' || x) compared lexicographically --
     deterministic and portable to any engine with md5."""
     sh = _shingles(spark, sf_dir)
+    # 16 min-aggregate columns instead of a 16x seed explode: the row count
+    # never multiplies and partial aggregation shrinks the shuffle to
+    # |docs| x 16 hashes regardless of shingle volume
     seeded = sh.select(
         "doc_id",
-        F.explode(F.expr(f"sequence(0, {N_MINHASH - 1})")).alias("seed"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
+        *[
+            F.md5(F.concat_ws("|", F.lit(s), F.col("shingle"))).alias(f"h{s}")
+            for s in range(N_MINHASH)
+        ],
     )
     return (
-        seeded.groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                lambda s: s["minh"],
-            ).alias("sig")
+        seeded.groupBy("doc_id")
+        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(N_MINHASH)])
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"m{s}") for s in range(N_MINHASH)]).alias("sig"),
         )
     )
 

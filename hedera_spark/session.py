@@ -30,6 +30,13 @@ def get_spark(app_name: str = "hedera_spark", shuffle_partitions: int | None = N
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # dozens of codegen-heavy queries in one JVM exhaust the default
+        # 240m code cache; once full, JIT disables and generated code runs
+        # interpreted (measured 10-20x slowdowns late in bench runs)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # the test corpus stores nanosecond parquet timestamps, which Spark
         # only reads via the legacy long path (SPARK-40819); tables.py

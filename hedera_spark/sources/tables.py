@@ -36,8 +36,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     # Set at runtime (not only in our builder) so a driver-provided session
-    # can read the nanosecond-timestamp parquet too.
+    # can read the nanosecond-timestamp parquet too; UTC keeps to_date /
+    # date_format aligned with the tz-naive DuckDB oracle regardless of the
+    # host session's zone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # Nanos columns arrive as LongType under the legacy conf; restore them
     # to TimestampType at microsecond precision (matching DuckDB's
