@@ -1,0 +1,98 @@
+"""Cross-operator invariants at sf0.001 — relationships that must hold
+between operators regardless of data, catching consistency bugs the
+per-query oracle can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_inverted_index_df_sums_to_postings(spark):
+    from hedera_spark.operators.anchors import anchor_targets
+    from hedera_spark.operators.ir import inverted_index
+
+    idx = inverted_index(spark, SF_DIR)
+    total_df = idx.agg(F.sum("df")).first()[0]
+    n_pairs = anchor_targets(spark, SF_DIR).count()
+    assert total_df == n_pairs
+    # postings list length equals df for every term
+    bad = idx.where(
+        F.size(F.split("postings", ",")) != F.col("df")
+    ).count()
+    assert bad == 0
+
+
+def test_dictionary_ids_are_contiguous(spark):
+    from hedera_spark.operators.ir import dictionary
+
+    d = dictionary(spark, SF_DIR)
+    n = d.count()
+    stats = d.agg(
+        F.min("term_id"), F.max("term_id"), F.countDistinct("term_id")
+    ).first()
+    assert stats == (1, n, n)
+
+
+def test_rev_diff_counts_partition_current_tokens(spark):
+    from hedera_spark.operators.revisions import rev_diff
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_distinct = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).alias("nd"),
+    )
+    joined = rev_diff(spark, SF_DIR).join(n_distinct, "doc_id")
+    bad = joined.where(
+        F.col("n_inserted") + F.col("n_common") != F.col("nd")
+    ).count()
+    assert bad == 0
+
+
+def test_ts_vector_length_equals_span(spark):
+    from hedera_spark.operators.timeseries import ts_vector
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    tv = ts_vector(spark, SF_DIR)
+    n_days = (
+        ev.select(
+            F.datediff(
+                F.max(F.to_date(F.timestamp_micros(F.expr("ts div 1000")))),
+                F.min(F.to_date(F.timestamp_micros(F.expr("ts div 1000")))),
+            )
+        ).first()[0]
+        + 1
+    )
+    bad = tv.where(F.size(F.split("series", ",")) != n_days).count()
+    assert bad == 0
+    # series totals must equal event counts
+    counts = ev.groupBy("user_id").count()
+    joined = tv.join(counts, "user_id")
+    assert joined.where(F.col("total") != F.col("count")).count() == 0
+
+
+def test_dedup_clusters_one_survivor_per_cluster(spark):
+    from hedera_spark.operators.clusters import dedup_clusters
+
+    c = dedup_clusters(spark, SF_DIR)
+    assert c.where(F.col("cluster_id") > F.col("doc_id")).count() == 0
+    per_cluster = c.groupBy("cluster_id").agg(
+        F.sum("is_survivor").alias("surv"), F.count(F.lit(1)).alias("n")
+    )
+    assert per_cluster.where(F.col("surv") != 1).count() == 0
+    assert per_cluster.where(F.col("n") < 2).count() == 0  # no singleton clusters
+
+
+def test_minhash_candidates_subset_of_jaccard_universe(spark):
+    """Every minhash candidate with high estimate must be a genuinely
+    similar pair (est >= 0.75 -> true trigram jaccard >= 0.2)."""
+    from hedera_spark.operators.dedup import dedup_minhash, dedup_ngram_jaccard
+
+    strong = dedup_minhash(spark, SF_DIR).where(F.col("est_jaccard") >= 0.75)
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    for r in strong.collect():
+        assert (r["doc_a"], r["doc_b"]) in true_pairs
