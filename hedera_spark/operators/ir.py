@@ -133,3 +133,55 @@ def doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vector"),
         )
     )
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs by tf-idf score for a fixed query token set — the
+    retrieval consumer of the dictionary/index structures (reference:
+    experiments/.../WikiRevIndex4NonTemporalSearch.java builds exactly
+    this index-then-rank pipeline). idf = ln(N/df); score sums over query
+    terms; deterministic tie-break on doc_id."""
+    query_terms = ["spark", "query", "stream"]
+    tf_ = bow(spark, sf_dir).where(F.col("term").isin(query_terms))
+    df_ = tf_.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    docs = _doc_tokens(spark, sf_dir, distinct=False).select("doc_id").distinct()
+    n_docs = docs.count()
+    scored = (
+        tf_.join(F.broadcast(df_), "term")
+        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("tfidf"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(10)
+
+
+def shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram frequency table with a min-count cut — the n-gram
+    statistics view of the corpus (BasicComputeTermStats over n-grams)."""
+    from hedera_spark.operators.dedup import _shingles
+
+    return (
+        _shingles(spark, sf_dir)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by collection frequency (windowed top-k
+    over grouped term stats)."""
+    from hedera_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf_ = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cf"), F.col("term"))
+    return (
+        tf_.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+    )

@@ -934,3 +934,47 @@ from hedera_spark.operators import similarity_fast as simf  # noqa: E402
 # last float bits, so the SQL-oracle hash would be fragile by construction;
 # tests/test_iterative.py checks agreement with ann_topk instead.
 register("ann_topk_fast", simf.ann_topk_fast, None)
+
+register(
+    "tfidf_topk",
+    ir.tfidf_topk,
+    f"""
+    WITH {_TF},
+    qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'query', 'stream')),
+    qdf AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+    SELECT qtf.doc_id,
+           round(sum(qtf.tf * ln(CAST(n.n_docs AS DOUBLE) / qdf.df)), 6) AS score
+    FROM qtf JOIN qdf ON qtf.term = qdf.term CROSS JOIN n
+    GROUP BY qtf.doc_id
+    ORDER BY score DESC, qtf.doc_id
+    LIMIT 10
+    """,
+)
+
+register(
+    "shingle_count",
+    ir.shingle_count,
+    f"""
+    WITH {_SHINGLES}
+    SELECT shingle, count(*) AS n_docs
+    FROM sh GROUP BY shingle HAVING count(*) >= 2
+    """,
+)
+
+register(
+    "top_terms_per_lang",
+    ir.top_terms_per_lang,
+    """
+    WITH tf AS (
+      SELECT lang, tok AS term, count(*) AS cf
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY lang, tok
+    )
+    SELECT lang, term, cf, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cf DESC, term) AS rk
+      FROM tf
+    ) WHERE rk <= 5
+    """,
+)
