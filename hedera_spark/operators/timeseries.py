@@ -134,3 +134,33 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per event type — the
+    distribution-profiling stage of a data pipeline (exact twin of the
+    sketch variant below; both engines use linear interpolation, so this
+    one is oracle-checkable)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profile: HLL distinct counts + approximate quantiles.
+    At 100 TB these replace their exact twins — fixed-size state, one pass,
+    mergeable across partitions. Rows-only check: sketch outputs are
+    engine-specific by construction (the exact twin value_percentiles is
+    the oracle-checked counterpart)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.expr("approx_percentile(value, 0.5)"), 2).alias("ap50"),
+        F.round(F.expr("approx_percentile(value, 0.99)"), 2).alias("ap99"),
+    )

@@ -978,3 +978,21 @@ register(
     ) WHERE rk <= 5
     """,
 )
+
+register(
+    "value_percentiles",
+    ts.value_percentiles,
+    """
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+
+# rows-only: sketches (HLL, approx quantiles) are engine-specific by
+# construction; value_percentiles is the oracle-checked exact twin.
+register("approx_stats", ts.approx_stats, None)
