@@ -22,7 +22,6 @@ so skewed mega-pages are the AQE/salting concern, not the operator.
 from __future__ import annotations
 
 import difflib
-from collections.abc import Iterator
 
 import pandas as pd
 

@@ -5,10 +5,6 @@ Local*Reader.java) translated to DataFrames."""
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
-
-
 def test_rev_diff_token_sets(spark, tmp_path):
     """Two snapshots: 'a b c' -> 'b c d' = 1 inserted, 1 deleted, 2 common."""
     docs = spark.createDataFrame(

@@ -3,8 +3,6 @@ Streaming hourly rollup must equal the batch pv_hourly operator."""
 
 from __future__ import annotations
 
-import pandas as pd
-
 from tests.conftest import SF_DIR
 from tests.oracle_compare import assert_frames_match
 
