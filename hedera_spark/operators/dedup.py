@@ -107,9 +107,11 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     family is h_s(x) = md5(s || '|' || x) compared lexicographically --
     deterministic and portable to any engine with md5."""
     sh = _shingles(spark, sf_dir)
-    # 16 min-aggregate columns instead of a 16x seed explode: the row count
-    # never multiplies and partial aggregation shrinks the shuffle to
-    # |docs| x 16 hashes regardless of shingle volume
+    # 16 INDEPENDENT md5 hashes as min-aggregate columns (no row explode):
+    # partial aggregation shrinks the shuffle to |docs| x 16 regardless of
+    # shingle volume. Cheaper families (Kirsch-Mitzenmacher a + i*b) were
+    # tried and rejected: they are not min-wise independent, and the
+    # cross-seed correlation inflated band collisions ~50x on this corpus.
     seeded = sh.select(
         "doc_id",
         *[
