@@ -52,6 +52,10 @@ def read_revision_xml(spark: SparkSession, path: str) -> DataFrame:
     parsed = pages.select(
         F.from_xml("page_xml", REVISION_XML_SCHEMA).alias("p")
     )
+    # malformed page blobs parse to a null struct / null id (PERMISSIVE
+    # mode) — drop them instead of emitting ghost revisions; a real dump
+    # pipeline counts these via the inverse filter
+    parsed = parsed.where(F.col("p").isNotNull() & F.col("p.id").isNotNull())
     return parsed.select(
         F.col("p.id").alias("page_id"),
         F.col("p.title").alias("page_title"),

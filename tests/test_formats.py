@@ -126,3 +126,19 @@ def test_read_filenames(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 2
     assert {r["path"].rsplit("/", 1)[1] for r in rows} == {"a.txt", "b.txt"}
+
+
+def test_read_revision_xml_tolerates_malformed_pages(spark, tmp_path):
+    """A corrupt page blob must be dropped, not crash the read or emit
+    ghost rows."""
+    from hedera_spark.sources.formats import read_revision_xml
+
+    corrupt = MINI_DUMP.replace(
+        "<title>Talk:Alpha</title>", "<title>Talk:Alpha</badtag>"
+    )
+    p = tmp_path / "bad.xml"
+    p.write_text(corrupt)
+    revs = read_revision_xml(spark, str(p)).collect()
+    ids = {r["rev_id"] for r in revs}
+    assert {100, 101} <= ids  # intact page fully parsed
+    assert all(r["page_id"] is not None for r in revs)

@@ -67,3 +67,58 @@ def test_stream_user_totals_equals_batch(spark):
         assert g["n_events"] == w["n_events"]
         assert abs(g["sum_value"] - w["sum_value"]) < 0.05
         assert g["last_unix"] == w["last_unix"]
+
+
+def test_stream_append_mode_closes_windows_by_watermark(spark, tmp_path):
+    """Append-mode semantics: stream the events log as one file per day
+    (chronological batches); the watermark must close and emit exactly the
+    hourly windows whose end precedes (max event time - watermark), and
+    every emitted row must equal the batch aggregate."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.timeseries import pv_hourly
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.pageviews import _hourly_agg, EVENTS_SCHEMA
+
+    # lay the log out as one parquet file per day, lexicographic = time order
+    ev = load_table(spark, SF_DIR, "events")
+    days = [r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")  # ts still long nanos
+    for d in sorted(days):
+        part = raw.where(F.to_date(F.timestamp_micros(F.expr("ts div 1000"))) == F.lit(d))
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"day={d}"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        _hourly_agg(stream)
+        .writeStream.format("memory")
+        .queryName("pv_append_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = spark.sql("select * from pv_append_stream").toPandas()
+    want = pv_hourly(spark, SF_DIR).toPandas()
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = (pd.Timestamp(max_ts) - pd.Timedelta(hours=2)).floor("h")
+
+    # 1. emitted rows are exactly the closed windows of the batch result
+    closed = want[want["hour"] < horizon]
+    key = ["user_id", "hour"]
+    merged = closed.merge(got, on=key, how="left", suffixes=("_b", "_s"))
+    assert merged["n_events_s"].notna().all(), "closed window missing from append output"
+    assert (merged["n_events_b"] == merged["n_events_s"]).all()
+    assert (abs(merged["sum_value_b"] - merged["sum_value_s"]) < 1e-6).all()
+    # 2. nothing beyond the watermark horizon was emitted
+    assert (pd.to_datetime(got["hour"]) < horizon + pd.Timedelta(hours=3)).all()
