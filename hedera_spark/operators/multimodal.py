@@ -60,3 +60,58 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+
+
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes int, resized_w int, resized_h int, "
+    "frame_indices array<int>, byte_hist array<double>"
+)
+
+TARGET_LONG_EDGE = 256
+N_SAMPLED_FRAMES = 4
+HIST_BINS = 16
+
+
+def _features_batches(batches):
+    """Feature-extract / resize / frame-sample over binary payloads.
+    The byte histogram is REAL vectorized work on the payload (numpy over
+    the Arrow batch); resize and frame sampling compute the plan a decoder
+    would execute — the decode itself stays stubbed (no codecs in the
+    container, see module docstring)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            w, h = 64 + n % 512, 64 + (n * 7) % 512  # stub decode dims
+            scale = TARGET_LONG_EDGE / max(w, h)
+            rw, rh = max(1, round(w * scale)), max(1, round(h * scale))
+            n_frames = 1 + n % 16
+            step = max(1, n_frames // N_SAMPLED_FRAMES)
+            frames = list(range(0, n_frames, step))[:N_SAMPLED_FRAMES]
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=HIST_BINS).astype(np.float64)
+            hist /= max(1.0, float(n))
+            rows.append((doc_id, n, rw, rh, frames, np.round(hist, 6).tolist()))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_bytes",
+                "resized_w",
+                "resized_h",
+                "frame_indices",
+                "byte_hist",
+            ],
+        )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal verb set over binary columns: feature-extract
+    (16-bin byte histogram — real numpy work per Arrow batch), resize
+    (aspect-preserving target-edge plan), frame-sample (uniform indices).
+    Swap the stub dims for a real decoder and the plan shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(_features_batches, schema=FEATURES_SCHEMA)

@@ -996,3 +996,8 @@ register(
 # rows-only: sketches (HLL, approx quantiles) are engine-specific by
 # construction; value_percentiles is the oracle-checked exact twin.
 register("approx_stats", ts.approx_stats, None)
+
+# rows-only: byte-histogram feature extraction runs in the Arrow/Pandas
+# path (no SQL statement of bincount over blobs); multimodal_meta is the
+# oracle-checked twin for the shared stub-decode fields.
+register("multimodal_features", mm.multimodal_features, None)

@@ -111,3 +111,22 @@ def test_multimodal_stub_plumbing(spark, tmp_path):
     assert rows[1]["n_bytes"] == 4 and rows[1]["format"] == "png"
     assert rows[2]["n_bytes"] == 5 and rows[2]["format"] == "jpeg"
     assert rows[2]["width"] == 64 + 5 % 512
+
+
+def test_multimodal_features_histogram(spark, tmp_path):
+    """Byte histogram must be a real distribution over the payload bytes."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa", "p", "en", 4)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.multimodal import multimodal_features
+
+    row = multimodal_features(spark, str(out)).first()
+    assert row["n_bytes"] == 4
+    hist = row["byte_hist"]
+    assert abs(sum(hist) - 1.0) < 1e-9
+    assert hist[ord("a") >> 4] == 1.0  # all bytes are 'a' (0x61 -> bin 6)
+    assert max(row["resized_w"], row["resized_h"]) == 256
+    assert row["frame_indices"][0] == 0
