@@ -184,3 +184,34 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "c_custkey", "c_name", "c_acctbal", "rk")
     )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution — LEFT OUTER join + two-level
+    aggregation (customers with zero orders included)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders — HAVING-filtered aggregate joined back to the
+    enclosing join (the classic group-filter-then-enrich shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )

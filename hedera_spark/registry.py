@@ -1001,3 +1001,30 @@ register("approx_stats", ts.approx_stats, None)
 # path (no SQL statement of bincount over blobs); multimodal_meta is the
 # oracle-checked twin for the shared stub-decode fields.
 register("multimodal_features", mm.multimodal_features, None)
+
+register(
+    "tpch_q13",
+    tpch.tpch_q13,
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+
+register(
+    "tpch_q18",
+    tpch.tpch_q18,
+    """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
