@@ -36,6 +36,8 @@ OUT_SCHEMA = "q_id long, neighbor_id long, cos double"
 
 
 def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized brute-force cosine top-k: broadcast queries, per-batch
+    BLAS matmul + local top-k, exact global window reduction."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qpdf = emb.where(F.col("vec_id") % QUERY_MOD == 0).toPandas()
     q_ids = qpdf["vec_id"].to_numpy()
