@@ -51,7 +51,8 @@ def extract_domain(col) -> Column:
 
 def cut_last(col) -> Column:
     """Drop the final character. Ref: pig/eval/wikipedia/CutLast.java."""
-    return F.expr(f"substring({col}, 1, length({col}) - 1)") if isinstance(col, str) else F.substring(col, 1, 0)
+    c = F.col(col) if isinstance(col, str) else col
+    return c.substr(F.lit(1), F.length(c) - 1)
 
 
 def extract_links(col) -> Column:

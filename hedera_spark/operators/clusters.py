@@ -68,6 +68,13 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ITERATIONS} "
+            "iterations (graph diameter exceeds the cap); raise "
+            "MAX_ITERATIONS rather than returning partial components"
+        )
     sym.unpersist()
     return labels
 

@@ -73,8 +73,13 @@ def dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("anchor").alias("term"))
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    parted = df_.repartitionByRange(DICTIONARY_RANGE_PARTITIONS, "term").withColumn(
-        "pid", F.spark_partition_id()
+    # persisted: pid comes from spark_partition_id(), and the lineage
+    # branches (offsets aggregate + final join) — without materialization a
+    # recompute could re-sample different range boundaries and corrupt ids
+    parted = (
+        df_.repartitionByRange(DICTIONARY_RANGE_PARTITIONS, "term")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
     w_local = Window.partitionBy("pid").orderBy("term")
     local = parted.withColumn("local_rank", F.row_number().over(w_local).cast("long"))
@@ -144,11 +149,16 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_terms = ["spark", "query", "stream"]
     tf_ = bow(spark, sf_dir).where(F.col("term").isin(query_terms))
     df_ = tf_.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    docs = _doc_tokens(spark, sf_dir, distinct=False).select("doc_id").distinct()
-    n_docs = docs.count()
+    # N as a lazy 1-row broadcast aggregate (no eager .count() job at
+    # plan-construction time — the operator stays side-effect-free)
+    n_docs = (
+        _doc_tokens(spark, sf_dir, distinct=False)
+        .agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    )
     scored = (
         tf_.join(F.broadcast(df_), "term")
-        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
         .groupBy("doc_id")
         .agg(F.round(F.sum("tfidf"), 6).alias("score"))
     )

@@ -26,7 +26,15 @@ def salted_join(
     [0, salt), the small side is replicated `salt` times, and the join key
     becomes (key, salt). One hot key now lands on `salt` tasks instead of
     one. Use when a single key's row count dwarfs the rest and AQE's
-    skew-split isn't enough (e.g. the join is not sort-merge)."""
+    skew-split isn't enough (e.g. the join is not sort-merge).
+
+    Only inner/left joins are supported: under right/full semantics an
+    unmatched replicated small-side row would surface `salt` times."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: replicating "
+            "the small side breaks right/full outer semantics"
+        )
     salted_big = big.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     replicated_small = small.withColumn(
         "_salt", F.explode(F.array([F.lit(i) for i in range(salt)]))

@@ -83,11 +83,11 @@ def _features_batches(batches):
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n = len(payload)
-            w, h = 64 + n % 512, 64 + (n * 7) % 512  # stub decode dims
+            # share the decoder with multimodal_meta so swapping the stub
+            # for a real codec changes both operators together
+            n, w, h, n_frames, _fmt = _decode_stub(payload)
             scale = TARGET_LONG_EDGE / max(w, h)
             rw, rh = max(1, round(w * scale)), max(1, round(h * scale))
-            n_frames = 1 + n % 16
             step = max(1, n_frames // N_SAMPLED_FRAMES)
             frames = list(range(0, n_frames, step))[:N_SAMPLED_FRAMES]
             arr = np.frombuffer(payload, dtype=np.uint8)

@@ -6,7 +6,10 @@ is a BLAS matmul over Arrow batches: queries are tiny (broadcast), each
 corpus batch computes a (batch x n_queries) similarity block, emits its
 local top-k per query, and a final window reduces the per-batch candidates
 — global top-k is a subset of the union of batch top-ks, so the two-stage
-reduction is exact.
+reduction is exact on distinct scores. Under exact score TIES at a batch's
+local cut, argpartition keeps an arbitrary tied subset, so the final
+tie-break can differ from ann_topk's (rounded cos, neighbor_id) order —
+the agreement test allows one neighbor of slack for this.
 
 This is the designed use of the Pandas-UDF escape hatch (numeric kernels
 where expression evaluation is the bottleneck): ~10x the fold version at

@@ -110,8 +110,13 @@ WARC_HEADER_SCHEMA_FIELDS = {
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC archive → one row per record with parsed headers + payload.
     Record boundary = the 'WARC/' version line (lineSep split, so the
-    format stays splittable); headers are regexp pulls. Reference:
-    pig/load/ClueWeb09WarcLoader.java (same record model)."""
+    format stays splittable); headers are regexp pulls; the payload is
+    trimmed to Content-Length, the same boundary mechanism the reference
+    ClueWeb09WarcLoader uses. Known limitation of the splittable fast
+    path: a payload line that itself begins with 'WARC/' splits early —
+    the Content-Length trim bounds the damage to that one record (exact
+    handling requires a length-aware sequential scan, which is the
+    reference's non-splittable mode)."""
     recs = (
         spark.read.option("lineSep", "\nWARC/")
         .text(path)
@@ -122,9 +127,19 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for name, pat in WARC_HEADER_SCHEMA_FIELDS.items()
     ]
     # payload = everything after the blank line ending the header block
-    payload = F.regexp_extract("value", r"(?s)\r?\n\r?\n(.*)$", 1).alias("payload")
-    df = recs.select(*cols, payload)
-    return df.withColumn("content_length", F.col("content_length").cast("long"))
+    payload = F.regexp_extract("value", r"(?s)\r?\n\r?\n(.*)$", 1).alias("raw_payload")
+    df = recs.select(*cols, payload).withColumn(
+        "content_length", F.col("content_length").cast("long")
+    )
+    return df.select(
+        *WARC_HEADER_SCHEMA_FIELDS.keys(),
+        F.when(
+            F.col("content_length").isNotNull(),
+            F.col("raw_payload").substr(F.lit(1), F.col("content_length")),
+        )
+        .otherwise(F.col("raw_payload"))
+        .alias("payload"),
+    )
 
 
 def read_filenames(spark: SparkSession, path: str) -> DataFrame:

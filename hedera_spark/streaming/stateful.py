@@ -40,7 +40,9 @@ def _update_user_totals(
         s += float(pdf["value"].sum())
         if len(pdf):
             last = max(last, int(pdf["unix_sec"].max()))
-    state.update((n, round(s, 6), last))
+    # keep the raw accumulator in state — rounding per batch would
+    # re-quantize and drift from the batch aggregate across many batches
+    state.update((n, s, last))
     yield pd.DataFrame(
         [(key[0], n, round(s, 2), last)],
         columns=["user_id", "n_events", "sum_value", "last_unix"],
