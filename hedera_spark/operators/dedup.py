@@ -133,13 +133,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: 16 hashes, 4 bands x 4 rows. Candidate pairs
     share at least one band; est_jaccard = matching-minhash fraction.
 
-    The signature table is persisted: it feeds three consumers (both sides
-    of the band self-join and the final signature lookup), and without
-    materialization Spark re-derives the full shingle->md5->min pipeline
-    per consumer (measured 3x cost at sf0.1). At cluster scale this is a
-    small fixed-width table (|docs| x 16 hashes) — cheap to cache or
-    checkpoint, exactly what the classic LSH implementations do."""
-    sigs = _minhash_signatures(spark, sf_dir).persist()
+    The signature rides THROUGH the band self-join (the approach Spark's
+    own MinHashLSH approxSimilarityJoin takes) instead of joining back to
+    a persisted signature table afterwards: est_jaccard is computed
+    map-side right after the join, and one groupBy on the pair key
+    deduplicates multi-band collisions. vs the join-back design this
+    drops two sort-merge joins, a dropDuplicates shuffle, and the
+    .persist() (at 10^10 docs that cache is |docs| x 512 B — terabytes of
+    cluster memory); the cost is a fixed 512 B of signature on each band
+    row, bounded by band fan-out (4/doc), never by candidate volume.
+    Measured ~25% faster at sf0.1 with identical output."""
+    sigs = _minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("band"),
@@ -147,6 +151,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "band",
+        "sig",
         F.md5(
             F.concat_ws(
                 "|",
@@ -154,19 +159,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_hash"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
-    cands = (
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
+    return (
         a.join(b, ["band", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    return (
-        cands.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -180,6 +181,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("est_jaccard"),
         )
+        # a pair colliding in k bands appears k times with the SAME
+        # est_jaccard; min() is just the dedup that keeps the plan narrow
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("est_jaccard").alias("est_jaccard"))
     )
 
 

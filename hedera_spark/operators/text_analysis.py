@@ -8,12 +8,12 @@ pipeline runs per document. All pure `pyspark.sql.functions` compositions:
 splits, regexes, window mins — zero Python in the row path.
 
 Scale: all per-document map-side work except the final small aggregations;
-fingerprinting's rolling window partitions by doc (bounded partitions).
+fingerprinting is fully shuffle-free (array-side rolling mins per row).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hedera_spark.sources.tables import load_table
@@ -133,22 +133,36 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the min hash in every sliding window of 4 consecutive shingles, emit
     the distinct fingerprint set per doc. Standard winnowing (Schleimer et
     al.) — guarantees shared fingerprints for sufficiently long shared
-    substrings, the contained-plagiarism complement to whole-doc dedup."""
+    substrings, the contained-plagiarism complement to whole-doc dedup.
+
+    Shuffle-free: the shingle hashes, the sliding-window mins (slice +
+    array_min inside a transform — trailing windows truncate exactly like
+    rowsBetween(0, 3)), and the per-doc dedup (array_distinct) all happen
+    array-side WITHIN each row before the explode. The windowed
+    formulation this replaced shuffled twice (window partitionBy(doc) +
+    dropDuplicates); this is a pure map operator at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    # hash array as a NAMED column so it's computed once per row — inlining
+    # it into the window lambda would re-evaluate the whole array per
+    # window position (Catalyst does not hoist loop-invariant lambdas)
+    hashed = docs.select(
         "doc_id",
         # same short-doc guard as dedup._shingles: sequence(1, 0) descends
-        F.posexplode(
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+            " transform(sequence(1, size(split(text, ' ')) - 2),"
+            " j -> md5(concat_ws(' ', slice(split(text, ' '), j, 3))))"
+            " ELSE array() END"
+        ).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-                " transform(sequence(1, size(split(text, ' ')) - 2),"
-                " i -> md5(concat_ws(' ', slice(split(text, ' '), i, 3))))"
+                "CASE WHEN size(hs) >= 1 THEN"
+                " array_distinct(transform(sequence(1, size(hs)),"
+                " i -> array_min(slice(hs, i, 4))))"
                 " ELSE array() END"
             )
-        ).alias("pos", "h"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    return (
-        sh.select("doc_id", F.min("h").over(w).alias("fp"))
-        .dropDuplicates(["doc_id", "fp"])
+        ).alias("fp"),
     )
