@@ -54,43 +54,68 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles(spark: SparkSession, sf_dir: str, with_n: bool = False) -> DataFrame:
     """Distinct (doc_id, shingle) word-trigram shingles, JVM-side.
     Distinctness is per-document, so it is computed row-locally with
-    array_distinct BEFORE the explode — no dropDuplicates shuffle."""
+    array_distinct BEFORE the explode — no dropDuplicates shuffle.
+    with_n=True adds the per-doc distinct-shingle count `n` to every row
+    (known at explode time from the array size — consumers that need set
+    sizes read them off the row instead of joining a groupBy table)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
+    arr = F.expr(
         # guard: Spark sequence(1, 0) is DESCENDING, so short docs need
         # an explicit empty array, not a greatest() clamp
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-                " array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
-                " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
-                " ELSE array() END"
-            )
-        ).alias("shingle"),
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+        " array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+        " ELSE array() END"
+    )
+    if not with_n:
+        return docs.select("doc_id", F.explode(arr).alias("shingle"))
+    # two steps: (1) name the array so it's computed once, (2) zip the size
+    # into per-element structs BEFORE the explode. Exploding (shingle, n)
+    # structs keeps generated rows narrow — explode-ing next to a carried
+    # `size(_arr)` column would copy the WHOLE array into every generated
+    # row's buffer (O(shingles^2) bytes per doc, measured 2.7x slower)
+    return (
+        docs.select("doc_id", arr.alias("_arr"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "_arr",
+                    lambda s: F.struct(
+                        s.alias("shingle"),
+                        F.size("_arr").cast("long").alias("n"),
+                    ),
+                )
+            ).alias("_sn"),
+        )
+        .select("doc_id", F.col("_sn.n").alias("n"), F.col("_sn.shingle").alias("shingle"))
     )
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (>= 0.2), candidates from
-    an inverted-index join on shared shingles (never n^2)."""
-    # persisted: feeds both sides of the candidate join and the size table
-    sh = _shingles(spark, sf_dir).persist()
-    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
+    an inverted-index join on shared shingles (never n^2).
+
+    Set sizes ride on the shingle rows (known at explode time from the
+    distinct array's size), so |A∪B| comes straight out of the candidate
+    groupBy — no separate per-doc size aggregation and no two joins back
+    to it. One self-join + one groupBy is the whole plan."""
+    # persisted: feeds both sides of the candidate self-join
+    sh = _shingles(spark, sf_dir, with_n=True).persist()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle")
+    return (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        inter.join(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -239,6 +264,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["c", "chunk"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        # filter BEFORE the pair-dedup shuffle: hamming is already on the
+        # row, so far-apart collisions never enter the exchange
         .where(F.col("hamming") <= HAMMING_MAX)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
