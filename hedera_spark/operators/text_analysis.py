@@ -140,8 +140,14 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rowsBetween(0, 3)), and the per-doc dedup (array_distinct) all happen
     array-side WITHIN each row before the explode. The windowed
     formulation this replaced shuffled twice (window partitionBy(doc) +
-    dropDuplicates); this is a pure map operator at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    dropDuplicates); this is a pure map operator at any scale. The one
+    exchange below is a parallelism REBALANCE of the raw doc scan, not an
+    algorithmic shuffle: md5-winnowing is CPU-dense per doc and a compact
+    input would otherwise run it on as many cores as there are row
+    groups (see dedup._shingles)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     # hash array as a NAMED column so it's computed once per row — inlining
     # it into the window lambda would re-evaluate the whole array per
     # window position (Catalyst does not hoist loop-invariant lambdas)
