@@ -68,8 +68,13 @@ def _with_bucket(df: DataFrame) -> DataFrame:
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 neighbors for the query subset
-    (vec_id % 25 == 0). Queries are broadcast; the corpus is scanned once."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    (vec_id % 25 == 0). Queries are broadcast; the corpus is scanned once.
+    The corpus scan is rebalanced to full parallelism first: the fold-based
+    dot products are CPU-dense per row and a compact input would pin them
+    to one core per input split (see dedup._shingles)."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
     q = emb.select(
@@ -97,9 +102,11 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate top-3: candidates share the full 8-bit bucket,
     so each probe touches ~1/256 of the corpus — the 100 TB path. Same
     scoring math as ann_topk; recall is the tunable (more tables / fewer
-    planes => higher recall)."""
+    planes => higher recall). Corpus scan rebalanced as in ann_topk."""
     emb = _with_bucket(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding")
     ).select("vec_id", "embedding", "bucket", _norm(F.col("embedding")).alias("nrm"))
     q = emb.select(
         F.col("vec_id").alias("q_id"),
@@ -125,8 +132,11 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= 0.4), exact over all pairs.
     At scale the candidate set comes from the ann_lsh buckets instead of
-    the full cross join — this operator is the correctness baseline."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    the full cross join — this operator is the correctness baseline.
+    Left side rebalanced to full parallelism (n^2/2 fold dot products)."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
     b = emb.select(
