@@ -128,6 +128,43 @@ def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_MIN_QUALITY = 0.70
+CORPUS_MIN_TOKENS = 20
+CORPUS_MAX_TOKENS = 90
+
+
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set selection: compose exact-dedup survivorship with
+    quality and token-budget gates — the end-to-end filter an LLM data
+    pipeline runs before tokenization. A doc is kept iff it is the
+    surviving copy of its exact-hash group AND quality >= 0.70 AND its
+    whitespace token count lies in [20, 90].
+
+    Composition, not re-derivation: reuses text_quality's features and
+    dedup_exact's survivor marking. Both sides are per-doc projections of
+    the same scan (the survivor window shuffles once on the content
+    hash), and the join is on doc_id — Catalyst collapses the shared
+    `documents` read via exchange reuse. At 100 TB the selection is the
+    same two map-side gates plus the one dedup shuffle; its output
+    typically feeds `write_parquet` partitioned by lang."""
+    from hedera_spark.operators import dedup as dd
+
+    quality = text_quality(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens", "quality"
+    )
+    survivors = dd.dedup_exact(spark, sf_dir).where(F.col("is_dup") == 0).select(
+        "doc_id"
+    )
+    return (
+        quality.join(survivors, "doc_id")
+        .where(
+            (F.col("quality") >= CORPUS_MIN_QUALITY)
+            & F.col("n_tokens").between(CORPUS_MIN_TOKENS, CORPUS_MAX_TOKENS)
+        )
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints: md5 each word-trigram shingle, take
     the min hash in every sliding window of 4 consecutive shingles, emit

@@ -786,6 +786,33 @@ register(
 )
 
 register(
+    "corpus_select",
+    ta.corpus_select,
+    """
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             round(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the', 'a', 'data', 'value', 'row'], t)))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS survivor_id
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(least(n_tokens / 50.0, 1.0) * 0.5
+                 + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.3
+                 + (1 - stopword_ratio) * 0.2, 6) AS quality
+    FROM feats
+    WHERE doc_id = survivor_id
+      AND round(least(n_tokens / 50.0, 1.0) * 0.5
+                + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.3
+                + (1 - stopword_ratio) * 0.2, 6) >= 0.70
+      AND n_tokens BETWEEN 20 AND 90
+    """,
+)
+
+register(
     "fingerprint",
     ta.fingerprint,
     """
