@@ -165,6 +165,65 @@ def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CAPACITY = 256  # tokens per packed sequence bin
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contiguous sequence packing: in doc_id order within
+    each language, assign every doc to a token-budget bin via a prefix sum
+    — bin = floor((cumsum - n_tokens) / capacity), offset = position of
+    the doc inside its bin. This is the distributed-friendly packing
+    discipline (no global greedy first-fit): a boundary doc may overflow
+    its bin by < one doc, which the trainer's truncation absorbs.
+
+    Scale: the window partitions by lang, so parallelism = #languages
+    here; at 100 TB the same prefix sum is computed with range-partitioned
+    local sums + an offsets broadcast, exactly the scheme ir.dictionary
+    uses for global ranking (partition by (lang, date-bucket), then add
+    per-bucket offsets)."""
+    from pyspark.sql import Window
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "cum_tokens",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_CAPACITY).alias(
+                "bin_id"
+            ),
+            (
+                (F.col("cum_tokens") - F.col("n_tokens"))
+                - F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_CAPACITY)
+                * PACK_CAPACITY
+            ).alias("bin_offset"),
+        )
+    )
+
+
+SAMPLE_PCT = 20  # keep ~20% of each language stratum
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff the last byte of
+    md5(doc_id) falls under the per-stratum rate. Hash sampling (vs rand())
+    is reproducible across runs/engines and composes with incremental
+    reprocessing — the same doc is always in or out. Map-side only: no
+    shuffle, fully pushed into the scan projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2), 16, 10)
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.cast("long").alias("hash_bucket"),
+    ).where(F.col("hash_bucket") % 100 < SAMPLE_PCT)
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints: md5 each word-trigram shingle, take
     the min hash in every sliding window of 4 consecutive shingles, emit

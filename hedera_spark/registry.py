@@ -813,6 +813,38 @@ register(
 )
 
 register(
+    "pack_sequences",
+    ta.pack_sequences,
+    """
+    SELECT doc_id, lang, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 256) AS BIGINT) AS bin_id,
+           CAST((cum_tokens - n_tokens)
+                - floor((cum_tokens - n_tokens) / 256) * 256 AS BIGINT) AS bin_offset
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(sum(len(string_split(text, ' ')))
+                  OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens
+      FROM documents
+    )
+    """,
+)
+
+register(
+    "sample_stratified",
+    ta.sample_stratified,
+    """
+    SELECT doc_id, lang, hash_bucket
+    FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 31, 2))::BIGINT AS hash_bucket
+      FROM documents
+    )
+    WHERE hash_bucket % 100 < 20
+    """,
+)
+
+register(
     "fingerprint",
     ta.fingerprint,
     """
