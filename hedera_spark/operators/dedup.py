@@ -280,3 +280,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= HAMMING_MAX)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+EVAL_MOD = 25  # doc_id % EVAL_MOD == 0 marks the held-out eval/benchmark set
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training doc, count the
+    distinct word-trigram shingles it shares with the held-out eval set
+    (docs with doc_id % 25 == 0) — the n-gram-overlap contamination check
+    training pipelines run against benchmark suites. Consumers anti-join
+    or threshold on n_contaminated.
+
+    Scale: the eval side is a benchmark suite — tiny relative to the
+    corpus — so its distinct shingle set is broadcast and the check is a
+    map-side broadcast join over the training shingles; the only shuffle
+    is the per-doc count aggregation (pre-partitioned by doc_id from
+    _shingles' rebalance)."""
+    sh = _shingles(spark, sf_dir)
+    eval_sh = (
+        sh.where(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )

@@ -813,6 +813,23 @@ register(
 )
 
 register(
+    "decontaminate",
+    dedup.decontaminate,
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM sh JOIN ev USING (shingle)
+    WHERE doc_id % 25 <> 0
+    GROUP BY doc_id
+    """,
+)
+
+register(
     "pack_sequences",
     ta.pack_sequences,
     """
