@@ -96,3 +96,68 @@ def test_minhash_candidates_subset_of_jaccard_universe(spark):
     }
     for r in strong.collect():
         assert (r["doc_a"], r["doc_b"]) in true_pairs
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(spark):
+    from hedera_spark.operators.text_analysis import PACK_CAPACITY, pack_sequences
+
+    p = pack_sequences(spark, SF_DIR)
+    # offset stays inside the bin, and a doc starts exactly where the
+    # previous doc in its language ended (contiguous packing)
+    assert p.where(
+        (F.col("bin_offset") < 0) | (F.col("bin_offset") >= PACK_CAPACITY)
+    ).count() == 0
+    assert p.where(
+        F.col("bin_id") * PACK_CAPACITY + F.col("bin_offset")
+        != F.col("cum_tokens") - F.col("n_tokens")
+    ).count() == 0
+    # bin ids per language are dense from 0
+    per_lang = p.groupBy("lang").agg(
+        F.min("bin_id").alias("lo"),
+        F.max("bin_id").alias("hi"),
+        F.countDistinct("bin_id").alias("n"),
+    )
+    assert per_lang.where(
+        (F.col("lo") != 0) | (F.col("n") != F.col("hi") + 1)
+    ).count() == 0
+
+
+def test_sample_stratified_is_deterministic_subset(spark):
+    from hedera_spark.operators.text_analysis import SAMPLE_PCT, sample_stratified
+    from hedera_spark.sources.tables import load_table
+
+    s1 = sample_stratified(spark, SF_DIR)
+    assert s1.where(F.col("hash_bucket") % 100 >= SAMPLE_PCT).count() == 0
+    # rerun yields the identical id set (hash sampling, not rand())
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in sample_stratified(spark, SF_DIR).select("doc_id").collect()}
+    assert ids1 == ids2
+    assert 0 < len(ids1) < load_table(spark, SF_DIR, "documents").count()
+
+
+def test_decontaminate_excludes_eval_docs_and_respects_shingles(spark):
+    from hedera_spark.operators.dedup import EVAL_MOD, _shingles, decontaminate
+
+    d = decontaminate(spark, SF_DIR)
+    assert d.where(F.col("doc_id") % EVAL_MOD == 0).count() == 0
+    # a doc's contaminated-shingle count can never exceed its shingle count
+    sizes = _shingles(spark, SF_DIR).groupBy("doc_id").count()
+    assert d.join(sizes, "doc_id").where(
+        F.col("n_contaminated") > F.col("count")
+    ).count() == 0
+
+
+def test_corpus_select_is_subset_of_quality_gates(spark):
+    from hedera_spark.operators.text_analysis import (
+        CORPUS_MAX_TOKENS,
+        CORPUS_MIN_QUALITY,
+        CORPUS_MIN_TOKENS,
+        corpus_select,
+    )
+
+    c = corpus_select(spark, SF_DIR)
+    assert c.where(
+        (F.col("quality") < CORPUS_MIN_QUALITY)
+        | (F.col("n_tokens") < CORPUS_MIN_TOKENS)
+        | (F.col("n_tokens") > CORPUS_MAX_TOKENS)
+    ).count() == 0
