@@ -268,3 +268,34 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
+
+
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-language token share and the
+    sampling weight that would flatten the mixture to uniform
+    (weight = target_share / actual_share). The last knob a training
+    pipeline sets after selection/dedup — upsample rare domains,
+    downsample dominant ones. Two tiny aggregations over the per-doc
+    token counts; the weights table is broadcast-joined onto the corpus
+    downstream."""
+    per_lang = token_count_by_lang(spark, sf_dir).select("lang", "total_tokens")
+    total = per_lang.agg(F.sum("total_tokens").alias("corpus_tokens"))
+    n_langs = per_lang.agg(
+        F.count(F.lit(1)).cast("double").alias("n_langs")
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n_langs))
+        .select(
+            "lang",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("corpus_tokens"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                (F.lit(1.0) / F.col("n_langs"))
+                / (F.col("total_tokens") / F.col("corpus_tokens")),
+                6,
+            ).alias("uniform_weight"),
+        )
+    )

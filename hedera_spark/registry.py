@@ -813,6 +813,26 @@ register(
 )
 
 register(
+    "mix_weights",
+    ta.mix_weights,
+    """
+    WITH per_lang AS (
+      SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, total_tokens,
+           round(total_tokens
+                 / CAST((SELECT sum(total_tokens) FROM per_lang) AS DOUBLE), 6)
+             AS token_share,
+           round((1.0 / (SELECT count(*) FROM per_lang))
+                 / (total_tokens
+                    / CAST((SELECT sum(total_tokens) FROM per_lang) AS DOUBLE)), 6)
+             AS uniform_weight
+    FROM per_lang
+    """,
+)
+
+register(
     "decontaminate",
     dedup.decontaminate,
     """
