@@ -156,3 +156,70 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos") >= COS_THRESHOLD)
     )
+
+
+CENTROID_MOD = 50  # vec_id % 50 == 1 -> coarse-quantizer centroid set
+IVF_TOPK = 3
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (max cosine,
+    ties to the smallest centroid id). Centroids are a deterministic
+    corpus sample — the stand-in for a k-means coarse quantizer, keeping
+    the structure (broadcast centroids, map-side assignment, partial-agg
+    argmax) identical to a trained IVF while staying oracle-checkable.
+
+    The argmax is `max_by` over a (score, -cid) struct: a partial-agg
+    groupBy, not a window — no per-vector sort at scale."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    cents = emb.where(F.col("vec_id") % CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "cscore",
+        F.round(
+            _dot(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("cscore").alias("s"), (-F.col("cid")).alias("t"))
+        ).alias("cid"),
+        F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-3: each query probes only its own
+    centroid cell (nprobe=1), so a probe touches ~1/K of the corpus —
+    the inverted-file complement to ann_lsh's hash buckets. Same scoring
+    math and output shape as ann_lsh; recall tunes via K and nprobe."""
+    cells = _ivf_cells(spark, sf_dir)
+    q = cells.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cid",
+    )
+    pairs = q.join(cells, "cid").where(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= IVF_TOPK
+    )

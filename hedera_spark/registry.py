@@ -698,6 +698,41 @@ register(
     """,
 )
 
+register(
+    "ann_ivf",
+    sim.ann_ivf,
+    f"""
+    WITH {_EMB_NORM},
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+      FROM e WHERE vec_id % {sim.CENTROID_MOD} = 1
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, e.nrm, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COS.format(A='e.embedding', B='cent.cemb', NA='e.nrm', NB='cent.cnrm')} DESC,
+                        cent.cid
+             ) AS crk
+      FROM e CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, nrm, cid FROM assign WHERE crk = 1),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cid
+      FROM cells WHERE vec_id % 25 = 0
+    ),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             {_COS.format(A='q.q_emb', B='c.embedding', NA='q.q_nrm', NB='c.nrm')} AS cos
+      FROM q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {sim.IVF_TOPK}
+    """,
+)
+
 _LANGS = sorted(ta.LANG_MARKERS)
 
 
