@@ -57,3 +57,29 @@ def test_ann_topk_fast_agrees_with_fold_version(spark):
     for q, neigh in by_q_slow.items():
         # identical neighbor sets modulo float-tie reorderings at the cut
         assert len(neigh & by_q_fast[q]) >= len(neigh) - 1
+
+
+def test_ann_ivf_structure_and_positive_recall(spark):
+    from tests.conftest import SF_DIR
+
+    from hedera_spark.operators.similarity import IVF_TOPK, ann_ivf, ann_topk
+
+    ivf = ann_ivf(spark, SF_DIR).collect()
+    assert ivf, "every query shares its cell with >= 1 vector"
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["q_id"], []).append(r)
+    exact = ann_topk(spark, SF_DIR).collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for q, rows in by_q.items():
+        assert len(rows) <= IVF_TOPK
+        ranks = sorted(r["rk"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert all(r["q_id"] != r["neighbor_id"] for r in rows)
+        total += len(rows)
+        hits += len({r["neighbor_id"] for r in rows} & exact_by_q.get(q, set()))
+    # approximate structure must still find some true neighbors overall
+    assert hits > 0, f"IVF recall is zero across {total} results"
