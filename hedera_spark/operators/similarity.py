@@ -220,6 +220,6 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).where(
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
         F.col("rk") <= IVF_TOPK
     )

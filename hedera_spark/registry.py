@@ -278,7 +278,7 @@ register(
     ir.term_stats,
     f"""
     WITH {_TF}
-    SELECT term, count(*) AS df, sum(tf) AS cf, max(tf) AS max_tf
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf, max(tf) AS max_tf
     FROM tf GROUP BY term HAVING count(*) >= 2
     """,
 )
@@ -342,7 +342,8 @@ register(
       FROM events GROUP BY 1, 2
     )
     SELECT user_id, CAST(hour AS DATE) AS day,
-           sum(n_events) AS n_events, round(sum(sum_value), 2) AS sum_value,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(sum(sum_value), 2) AS sum_value,
            count(*) AS active_hours
     FROM hourly GROUP BY 1, 2
     """,
@@ -368,7 +369,8 @@ register(
       CROSS JOIN calendar c
       LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = c.day
     )
-    SELECT user_id, string_agg(n, ',' ORDER BY day) AS series, sum(n) AS total
+    SELECT user_id, string_agg(n, ',' ORDER BY day) AS series,
+           CAST(sum(n) AS BIGINT) AS total
     FROM dense GROUP BY user_id
     """,
 )

@@ -13,6 +13,9 @@ import pandas as pd
 
 
 def canon(v):
+    # Ints and floats are tagged distinctly: the driver's value hash is
+    # dtype-sensitive (DuckDB HUGEINT sums materialize as float64), so a
+    # lenient 42 == 42.0 here would hide a real driver hash mismatch.
     if v is None:
         return None
     if isinstance(v, (list, tuple, np.ndarray)):
@@ -22,14 +25,13 @@ def canon(v):
     if v is pd.NaT:
         return None
     if isinstance(v, (bool, np.bool_)):
-        return bool(v)
+        return ("b", bool(v))
     if isinstance(v, (int, np.integer)):
-        return int(v)
+        return ("i", int(v))
     if isinstance(v, (float, np.floating)):
-        f = float(v)
-        return round(f, 6)
+        return ("f", round(float(v), 6))
     if isinstance(v, decimal.Decimal):
-        return round(float(v), 6)
+        return ("f", round(float(v), 6))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, datetime.datetime):
