@@ -103,6 +103,60 @@ def anchor_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anchor_cooccur_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence edges with validity spans: each unordered anchor pair
+    carries the first/last snapshot where the co-mention appears — the
+    temporal edge list of pig/experimental/temporalgraph.pig (entity-entity
+    edges with time extents) on top of anchor_cooccur's blocking. Same
+    single self-join + one aggregation; the spans are two extra min/max
+    partial aggregates riding the existing shuffle."""
+    toks = _doc_tokens(spark, sf_dir, distinct=True)
+    a = toks.select("doc_id", F.col("anchor").alias("a1"))
+    b = toks.select("doc_id", F.col("anchor").alias("a2"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("a1") < F.col("a2"))
+        .groupBy("a1", "a2")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_seen"),
+            F.max("doc_id").alias("last_seen"),
+        )
+        .where(F.col("n_docs") >= 5)
+    )
+
+
+def anchor_from_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end markup→anchor pipeline: synthesize [[target]] /
+    [[target|alias]] wiki links over the corpus (the synthetic test corpus
+    carries no markup, so a deterministic md5-keyed subset of tokens is
+    wrapped), mine the targets back out with functions.extract_links, and
+    count global anchor frequency — mapreduce/Json2Anchor.java +
+    mapreduce/CountAnchor.java composed end-to-end. The wrap/extract round
+    trip exercises the alias-stripping regexp exactly as wiki markup
+    would; everything stays in whole-stage codegen (regexp + explode)."""
+    from hedera_spark import functions as HF
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', transform(split(text, ' '), t -> CASE"
+            " WHEN t = '' THEN t"
+            " WHEN substring(md5(t), 32, 1) IN ('0','1','2','3')"
+            " THEN concat('[[', t, '|alias]]')"
+            " WHEN substring(md5(t), 32, 1) IN ('4','5','6','7')"
+            " THEN concat('[[', t, ']]')"
+            " ELSE t END))"
+        ).alias("markup"),
+    )
+    return (
+        marked.select(F.explode(HF.extract_links("markup")).alias("anchor"))
+        .groupBy("anchor")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def id2title(spark: SparkSession, sf_dir: str) -> DataFrame:
     """id → display-name resolution across the dim chain
     (customer→nation→region), Hedera's id↔title / redirect-resolution task.

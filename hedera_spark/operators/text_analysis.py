@@ -166,6 +166,7 @@ def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_CAPACITY = 256  # tokens per packed sequence bin
+PACK_RANGE_PARTITIONS = 8
 
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,19 +177,44 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline (no global greedy first-fit): a boundary doc may overflow
     its bin by < one doc, which the trainer's truncation absorbs.
 
-    Scale: the window partitions by lang, so parallelism = #languages
-    here; at 100 TB the same prefix sum is computed with range-partitioned
-    local sums + an offsets broadcast, exactly the scheme ir.dictionary
-    uses for global ranking (partition by (lang, date-bucket), then add
-    per-bucket offsets)."""
+    Scale: a bare `sum() OVER (PARTITION BY lang ORDER BY doc_id)` would
+    funnel each language through ONE task — at 100 TB a handful of tasks
+    carry the whole corpus. Instead the prefix sum is computed the way
+    ir.dictionary ranks its vocabulary: range-partition by (lang, doc_id),
+    cumsum locally per partition, then add per-(partition, lang) offsets
+    via a broadcast of |partitions|×|langs| rows. Range partitioning
+    makes partition order == doc_id order within a language, so the
+    result is identical to the global window while the heavy cumsum runs
+    on every executor."""
     from pyspark.sql import Window
 
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    w = Window.partitionBy("lang").orderBy("doc_id")
+    # persisted: pid comes from spark_partition_id() and the lineage
+    # branches (offsets aggregate + final join) — a recompute could
+    # re-sample different range boundaries and corrupt the prefix sums
+    parted = (
+        toks.repartitionByRange(PACK_RANGE_PARTITIONS, "lang", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = Window.partitionBy("pid", "lang").orderBy("doc_id")
+    local = parted.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("pid", "lang")
+        .agg(F.sum("n_tokens").alias("part_tokens"))
+        .withColumn("offset", F.coalesce(F.sum("part_tokens").over(w_off), F.lit(0)))
+        .select("pid", "lang", "offset")
+    )
     return (
-        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        local.join(F.broadcast(offsets), ["pid", "lang"])
+        .withColumn("cum_tokens", F.col("offset") + F.col("local_cum"))
         .select(
             "doc_id",
             "lang",

@@ -148,11 +148,18 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHURN_CUTOFF = "1999-01-01"
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS) shape — q22-style: customers that never
-    ordered, counted per market segment."""
+    """LEFT ANTI join (NOT EXISTS) shape — q22-style: churned customers
+    (no order since CHURN_CUTOFF), counted per market segment. The date
+    filter keeps the anti-join non-vacuous on the synthetic corpus, where
+    every customer has at least one all-time order."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(CHURN_CUTOFF).cast("date")
+    )
     return (
         cust.join(
             orders.select("o_custkey"),

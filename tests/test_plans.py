@@ -69,3 +69,23 @@ def test_whole_stage_codegen_covers_q1(spark):
     plan = executed_plan(df)
     # '*(n)' operator prefixes mark whole-stage-codegen spans in plan strings
     assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_pack_sequences_prefix_sum_is_range_partitioned(spark):
+    """The corpus-wide cumsum must NOT run in a window partitioned by lang
+    alone (one task per language). The scalable shape: range-partition by
+    (lang, doc_id), cumsum per (pid, lang), broadcast the per-partition
+    offsets. Only the tiny offsets aggregate may window on lang alone."""
+    import re
+
+    from hedera_spark.operators.text_analysis import pack_sequences
+
+    df = pack_sequences(spark, SF_DIR)
+    df.collect()
+    plan = executed_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    for line in plan.splitlines():
+        m = re.search(r"Window \[sum\(n_tokens\S*\) windowspecdefinition\((.*?)\)", line)
+        if m:
+            # the heavy (per-doc) window must include the partition id
+            assert "pid" in m.group(1), line

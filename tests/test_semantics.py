@@ -130,3 +130,84 @@ def test_multimodal_features_histogram(spark, tmp_path):
     assert hist[ord("a") >> 4] == 1.0  # all bytes are 'a' (0x61 -> bin 6)
     assert max(row["resized_w"], row["resized_h"]) == 256
     assert row["frame_indices"][0] == 0
+
+
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """A planted stop-shingle shared by EVERY doc must not blow up the
+    candidate join: with the df cap active the quadratic contribution of
+    the hot shingle disappears, and Jaccard is computed over the capped
+    shingle universe only."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.dedup import _jaccard_pairs
+
+    # 40 docs all sharing shingle "HOT"; docs 0/1 also share A B C (near-dups)
+    rows = []
+    for d in range(40):
+        rows.append((d, "HOT"))
+        if d in (0, 1):
+            rows += [(d, "A"), (d, "B"), (d, "C")]
+        else:
+            rows.append((d, f"uniq-{d}"))
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    capped = _jaccard_pairs(sh, df_cap=10)
+    pairs = capped.collect()
+    # only the planted near-dup pair survives: jaccard over capped universe
+    # = |{A,B,C}| / |{A,B,C}| = 1.0 for (0,1); every other pair shared only HOT
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in pairs] == [(0, 1, 1.0)]
+
+    # without the cap the hot shingle alone creates all 40*39/2 candidates
+    uncapped = _jaccard_pairs(sh.alias("u"), df_cap=10**9)
+    n_cand = (
+        sh.selectExpr("doc_id AS doc_a", "shingle")
+        .join(sh.selectExpr("doc_id AS doc_b", "shingle"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .count()
+    )
+    assert n_cand >= 40 * 39 / 2
+    # capped candidate volume is bounded by the non-hot shingles only
+    kept_cand = (
+        sh.where(F.col("shingle") != "HOT")
+        .selectExpr("doc_id AS doc_a", "shingle")
+        .join(
+            sh.where(F.col("shingle") != "HOT").selectExpr(
+                "doc_id AS doc_b", "shingle"
+            ),
+            "shingle",
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .count()
+    )
+    assert kept_cand == 3  # A, B, C each pair (0,1) once
+    assert uncapped.where(F.col("jaccard") >= 0.2).count() >= 1
+
+
+def test_dedup_embedding_lsh_subset_and_recall(spark, tmp_path):
+    """The bucketed path must return a subset of the exact all-pairs result,
+    and must recover planted near-identical vectors (cos ~ 1 agrees on every
+    projection sign, so the pair always shares its bucket)."""
+    import math
+    import random
+
+    from hedera_spark.operators.similarity import (
+        dedup_embedding,
+        dedup_embedding_lsh,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(30):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(64)], 0))
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    jit = [x + 1e-4 for x in base]
+    rows.append((100, base, 1))
+    rows.append((101, jit, 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path / "mini"
+    emb.write.parquet(str(out / "embeddings.parquet"))
+
+    exact = {(r.vec_a, r.vec_b) for r in dedup_embedding(spark, str(out)).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in dedup_embedding_lsh(spark, str(out)).collect()}
+    assert lsh <= exact
+    assert (100, 101) in lsh
