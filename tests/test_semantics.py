@@ -142,23 +142,23 @@ def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
     from hedera_spark.operators.dedup import _jaccard_pairs
 
     # 40 docs all sharing shingle "HOT"; docs 0/1 also share A B C (near-dups)
+    arr_rows = []
     rows = []
     for d in range(40):
-        rows.append((d, "HOT"))
-        if d in (0, 1):
-            rows += [(d, "A"), (d, "B"), (d, "C")]
-        else:
-            rows.append((d, f"uniq-{d}"))
+        shs = ["HOT"] + (["A", "B", "C"] if d in (0, 1) else [f"uniq-{d}"])
+        arr_rows.append((d, shs))
+        rows += [(d, s) for s in shs]
+    arrs = spark.createDataFrame(arr_rows, "doc_id long, shingles array<string>")
     sh = spark.createDataFrame(rows, "doc_id long, shingle string")
 
-    capped = _jaccard_pairs(sh, df_cap=10)
+    capped = _jaccard_pairs(arrs, df_cap=10)
     pairs = capped.collect()
     # only the planted near-dup pair survives: jaccard over capped universe
     # = |{A,B,C}| / |{A,B,C}| = 1.0 for (0,1); every other pair shared only HOT
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in pairs] == [(0, 1, 1.0)]
 
     # without the cap the hot shingle alone creates all 40*39/2 candidates
-    uncapped = _jaccard_pairs(sh.alias("u"), df_cap=10**9)
+    uncapped = _jaccard_pairs(arrs.alias("u"), df_cap=10**9)
     n_cand = (
         sh.selectExpr("doc_id AS doc_a", "shingle")
         .join(sh.selectExpr("doc_id AS doc_b", "shingle"), "shingle")
