@@ -68,7 +68,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.col("l_orderkey"))
@@ -104,7 +104,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
     )
@@ -221,4 +221,381 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+def _unit_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_partkey, l_suppkey, cost) — the part-supplier bridge this star
+    schema lacks (no partsupp table), derived from observed lineitem unit
+    prices. cost = min observed l_extendedprice/l_quantity, rounded for
+    cross-engine float stability. One partial-agg shuffle on the composite
+    key; at 100 TB this is the natural partsupp materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (q2 shape: correlated MIN subquery). For each
+    large part (p_size > 40), the EUROPE supplier(s) matching the minimum
+    unit cost over the lineitem-derived part-supplier bridge. The inner
+    min re-aggregates the bridge and joins back on (partkey, cost) — the
+    decorrelated form Catalyst would produce for the scalar subquery."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") > 40)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    costs = _unit_costs(spark, sf_dir)
+    # suppliers restricted to the region (broadcast dim chain)
+    eu_supp = supp.join(
+        F.broadcast(
+            nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    eu_costs = costs.join(
+        eu_supp.select("s_suppkey", "s_name", "s_acctbal", "n_name"),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    min_cost = eu_costs.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        eu_costs.join(
+            min_cost,
+            (eu_costs["l_partkey"] == min_cost["l_partkey"])
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .drop(min_cost["l_partkey"])
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost"
+        )
+    )
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two trading nations: supplier in one
+    nation, customer in the other, revenue by (supp_nation, cust_nation,
+    ship year). Both nation dims broadcast; the orders-lineitem join is
+    the only large shuffle."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(n1, n2)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31"))
+    )
+    sn = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cn = cust.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"),
+                                  F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share: NATION_3's fraction of PROMO-part revenue
+    sold into ASIA, per order year — conditional aggregation over a
+    snowflake join (all dims broadcast)."""
+    target = "NATION_3"
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    asia_cust = cust.join(
+        F.broadcast(
+            nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    sn = supp.join(
+        F.broadcast(
+            load_table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target, vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (q9 adapted: no partsupp, so profit is revenue
+    net of discount only): per supplier nation per year, over parts whose
+    name contains 'widget'."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains("widget")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_profit")
+        )
+    )
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: top 20 customers by revenue lost to
+    returns in one quarter."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: percentage of one month's revenue from PROMO
+    parts — conditional aggregation, part dim broadcast."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s): suppliers achieving the global-maximum quarterly
+    revenue (q15's view + MAX subquery, decorrelated to a broadcast of
+    the 1-row max)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-supplier relationship count (q16 adapted: the bridge comes
+    from observed lineitem pairs): distinct suppliers per (brand, type,
+    size) for mid-range sizes, excluding one brand."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(10, 20, 30, 40)
+    )
+    bridge = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        bridge.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (correlated AVG subquery, decorrelated
+    to a per-part aggregate joined back): average yearly revenue lost if
+    small orders of Brand#2 parts were not taken."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2")
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = branded.groupBy(F.col("p_partkey").alias("ap_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under disjunctive brand/size/quantity predicates
+    (q19's OR-of-ANDs, pushed into one join filter)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (q20 adapted): suppliers in NATION_5 whose
+    1997 shipped volume of 'small'-named parts exceeds a threshold — a
+    semi-join chain (supplier ⋉ qualifying-volume aggregate ⋉ part
+    filter)."""
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("small")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    qualifying = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+        )
+        .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (q22 adapted: no phone column, so the
+    cohort is per nation): customers with above-average positive account
+    balance and no order since the churn cutoff — AVG scalar subquery
+    (broadcast 1-row) + anti-join, grouped by nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(CHURN_CUTOFF).cast("date")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
     )

@@ -89,3 +89,22 @@ def test_pack_sequences_prefix_sum_is_range_partitioned(spark):
         if m:
             # the heavy (per-doc) window must include the partition id
             assert "pid" in m.group(1), line
+
+
+def test_new_tpch_dims_broadcast_and_pushdown(spark):
+    """Round-2 TPC-H additions keep the scale shapes: part/nation dims
+    broadcast, selective filters reach the parquet scan."""
+    from hedera_spark.operators.tpch import tpch_q10, tpch_q14, tpch_q19
+
+    assert has_broadcast_join(tpch_q14(spark, SF_DIR))
+    assert has_broadcast_join(tpch_q19(spark, SF_DIR))
+    filters = " ".join(pushed_filters(tpch_q10(spark, SF_DIR)))
+    assert "l_returnflag" in filters
+
+
+def test_tpch_q2_min_cost_join_no_python(spark):
+    from hedera_spark.operators.tpch import tpch_q2
+
+    df = tpch_q2(spark, SF_DIR)
+    assert not has_python_eval(df)
+    assert has_broadcast_join(df)
