@@ -62,6 +62,10 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for n in names:
+        # drop caches left by prior queries (several operators persist
+        # intermediates): timings must be independent, not serialized
+        # through one session's accumulating storage pool
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         rows = QUERIES[n](spark, sf_dir).collect()
         times[n] = round(time.perf_counter() - t0, 3)

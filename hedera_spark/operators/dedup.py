@@ -54,37 +54,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles) with shingles = the per-doc-DISTINCT word-trigram
-    array, JVM-side. Distinctness is per-document, so it is computed
-    row-locally with array_distinct — no dropDuplicates shuffle.
+# per-doc-DISTINCT word-trigram shingle array expression. Guard: Spark
+# sequence(1, 0) is DESCENDING, so short docs need an explicit empty
+# array, not a greatest() clamp.
+_SHINGLE_ARR = (
+    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+    " array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+    " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+    " ELSE array() END"
+)
 
-    The doc scan is rebalanced to full parallelism before the kernel:
-    shingling+hashing is CPU-dense per doc, and a compact/compressed
-    input (one parquet row group at bench scale; few fat splits at
-    cluster scale) would otherwise pin it to a handful of cores. The
-    rebalance is a narrow shuffle of raw docs, hashed on doc_id so the
-    signature groupBy downstream reuses the partitioning instead of
-    adding its own exchange (verified: one Exchange in the sigs plan;
-    3.7x faster at sf0.1)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
+
+def _docs_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc scan rebalanced to full parallelism before any shingle
+    kernel: shingling+hashing is CPU-dense per doc, and a
+    compact/compressed input (one parquet row group at bench scale; few
+    fat splits at cluster scale) would otherwise pin it to a handful of
+    cores. The rebalance is a narrow shuffle of raw docs, hashed on
+    doc_id so signature groupBys downstream reuse the partitioning
+    instead of adding their own exchange (verified: one Exchange in the
+    sigs plan; 3.7x faster at sf0.1)."""
+    return load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    arr = F.expr(
-        # guard: Spark sequence(1, 0) is DESCENDING, so short docs need
-        # an explicit empty array, not a greatest() clamp
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-        " array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
-        " ELSE array() END"
+
+
+def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles) with shingles = the per-doc-distinct trigram
+    array — for consumers that need row-local set operations on the
+    whole array (e.g. the df-capped Jaccard)."""
+    return _docs_rebalanced(spark, sf_dir).select(
+        "doc_id", F.expr(_SHINGLE_ARR).alias("shingles")
     )
-    return docs.select("doc_id", arr.alias("shingles"))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) word-trigram shingles, exploded."""
-    return _shingle_arrays(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    """Distinct (doc_id, shingle) word-trigram shingles, exploded.
+    The shingle expression stays INLINE in the explode: Generate over the
+    inline expression codegens as one pass, while a separate projection
+    materializing the array first measured ~2x slower at sf0.1 (the
+    array round-trips through an UnsafeRow before the explode)."""
+    return _docs_rebalanced(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(_SHINGLE_ARR)).alias("shingle")
     )
 
 

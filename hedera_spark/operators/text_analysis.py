@@ -325,3 +325,134 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uniform_weight"),
         )
     )
+
+
+REP_TOP_BIGRAM_MAX = 0.10  # Gopher-style repetition gates
+REP_DUP_TOKEN_MAX = 0.90
+
+
+def _max_multiplicity(arr: F.Column) -> F.Column:
+    """Highest multiplicity of any element in `arr`, computed row-locally:
+    sort the array, then fold run lengths — O(k log k) per row, no
+    explode/groupBy shuffle. Matches SQL `max(count(*)) GROUP BY elem`."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    same = lambda i: F.element_at(s, i) == F.element_at(s, i - 1)  # noqa: E731
+    folded = F.aggregate(
+        F.sequence(F.lit(2), n),
+        F.struct(
+            F.lit(1).cast("long").alias("run"), F.lit(1).cast("long").alias("best")
+        ),
+        lambda acc, i: F.struct(
+            F.when(same(i), acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias(
+                "run"
+            ),
+            F.greatest(
+                acc["best"],
+                F.when(same(i), acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )["best"]
+    # guard: sequence(2, n) DESCENDS for n < 2; empty array has multiplicity 0
+    return (
+        F.when(n >= 2, folded)
+        .otherwise(F.when(n == 1, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+        .alias("best")
+    )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features per doc, entirely row-local (the
+    100 TB shape: a map-only pass, no shuffle): fraction of all word
+    bigrams taken by the most frequent bigram, same for trigrams, the
+    duplicate-token fraction, and the composite keep/drop flag. The
+    per-doc top-n-gram count is a sorted-array run fold
+    (_max_multiplicity), not an explode+groupBy — the oracle states the
+    same semantics relationally."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        F.expr(
+            "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1),"
+            " i -> concat(t[i - 1], ' ', t[i])) ELSE array() END"
+        ).alias("bigrams"),
+        F.expr(
+            "CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2),"
+            " i -> concat_ws(' ', slice(t, i, 3))) ELSE array() END"
+        ).alias("trigrams"),
+    )
+    feat = grams.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.when(
+                F.size("bigrams") > 0,
+                _max_multiplicity(F.col("bigrams")) / F.size("bigrams").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(
+                F.size("trigrams") > 0,
+                _max_multiplicity(F.col("trigrams"))
+                / F.size("trigrams").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("top_trigram_frac"),
+        F.round(
+            1 - F.col("n_distinct") / F.col("n_tokens").cast("double"), 6
+        ).alias("dup_token_frac"),
+    )
+    return feat.withColumn(
+        "is_repetitive",
+        (
+            (F.col("top_bigram_frac") > REP_TOP_BIGRAM_MAX)
+            | (F.col("dup_token_frac") > REP_DUP_TOKEN_MAX)
+        ).cast("int"),
+    )
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: fraction of the doc's distinct trigram shingles
+    whose global first occurrence (min doc_id) is this doc — the
+    memorization / freshness signal of a crawl-ordered corpus. Plan:
+    partial-agg min per shingle (shrinks to |vocab|), one equality join
+    back on shingle, then a per-doc aggregate. At 100 TB the first-seen
+    table is the only wide shuffle and it is bounded by vocabulary size."""
+    from hedera_spark.operators.dedup import _shingles
+
+    sh = _shingles(spark, sf_dir).persist()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_shingles").cast("double"), 6),
+        )
+    )
+
+
+def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus accounting: doc counts, language spread, token
+    budget, size/quality aggregates — the mix dashboard a data-curation
+    pipeline keys its sampling weights from. One partial-aggregated
+    shuffle on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

@@ -1247,6 +1247,86 @@ register(
     """,
 )
 
+register(
+    "text_repetition",
+    ta.text_repetition,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+             CASE WHEN len(t) >= 2 THEN
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+             ELSE [] END AS bigrams,
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+             ELSE [] END AS trigrams
+      FROM toks
+    ),
+    bc AS (
+      SELECT doc_id, max(c) AS top_b FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(bigrams) AS g FROM grams) GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ),
+    tc AS (
+      SELECT doc_id, max(c) AS top_t FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(trigrams) AS g FROM grams) GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ),
+    feat AS (
+      SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+             coalesce(round(CAST(bc.top_b AS DOUBLE) / len(g.bigrams), 6), 0.0)
+               AS top_bigram_frac,
+             coalesce(round(CAST(tc.top_t AS DOUBLE) / len(g.trigrams), 6), 0.0)
+               AS top_trigram_frac,
+             round(1 - CAST(g.n_distinct AS DOUBLE) / g.n_tokens, 6)
+               AS dup_token_frac
+      FROM grams g
+      LEFT JOIN bc ON g.doc_id = bc.doc_id
+      LEFT JOIN tc ON g.doc_id = tc.doc_id
+    )
+    SELECT *,
+           CAST(top_bigram_frac > {ta.REP_TOP_BIGRAM_MAX}
+                OR dup_token_frac > {ta.REP_DUP_TOKEN_MAX} AS INT)
+             AS is_repetitive
+    FROM feat
+    """,
+)
+
+register(
+    "ngram_novelty",
+    ta.ngram_novelty,
+    f"""
+    WITH {_SHINGLES},
+    first AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM sh JOIN first USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+
+register(
+    "source_stats",
+    ta.source_stats,
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+
 _UNIT_COSTS = """
     costs AS (
       SELECT l_partkey, l_suppkey,
@@ -1513,6 +1593,9 @@ _DEMOTED_STABLE = [
     "lang_id",
     "text_quality",
     "token_count",
+    "token_count_by_lang",
+    "mix_weights",
+    "decontaminate",
 ]
 
 

@@ -122,3 +122,50 @@ def test_stream_append_mode_closes_windows_by_watermark(spark, tmp_path):
     assert (abs(merged["sum_value_b"] - merged["sum_value_s"]) < 1e-6).all()
     # 2. nothing beyond the watermark horizon was emitted
     assert (pd.to_datetime(got["hour"]) < horizon + pd.Timedelta(hours=3)).all()
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    """Append-mode dropDuplicates over the replayed log == batch DISTINCT."""
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.dedup import stream_dedup
+
+    stream_df = stream_dedup(spark, SF_DIR)
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream").toPandas()
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .toPandas()
+    )
+    assert_frames_match(got, want, "stream_dedup")
+
+
+def test_stream_dedup_within_watermark_bounds(spark):
+    """The watermarked variant emits at least every distinct key (a key can
+    re-emit after state eviction) and no more rows than the raw stream."""
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.dedup import stream_dedup_within_watermark
+
+    q = (
+        stream_dedup_within_watermark(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName("dedup_wm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_wm_stream")
+    events = load_table(spark, SF_DIR, "events")
+    n_distinct = events.select("user_id", "event_type").distinct().count()
+    assert got.count() >= n_distinct > 0
+    assert got.count() <= events.count()
