@@ -1,0 +1,129 @@
+"""Temporal join operators — as-of join and interval range join.
+
+Hedera's temporal core is "which revision was live at time T": the
+interval readers (reference: java/main/org/hedera/io/etl/
+IntervalRevisionETLReader.java, sampling the snapshot valid at each
+interval boundary) and the pageview-to-revision attribution implicit in
+BuildShortTermTS. Spark has no ASOF JOIN or native interval join, so both
+are built here as custom operators from DataFrame primitives — the
+mandated pattern for operators Spark lacks.
+
+Scale design (100 TB):
+
+- ``asof_join`` is NOT a join at all: the two event streams are unioned,
+  shuffled ONCE on the entity key, and the most recent right-side row is
+  carried forward with ``last(..., ignorenulls=True)`` over the
+  time-ordered window — the distributed equivalent of a merge-asof. No
+  range predicate ever reaches a join operator, so there is no
+  BroadcastNestedLoop fallback and no candidate blow-up; cost is one
+  shuffle + one per-partition sort, same as any keyed window.
+- ``range_join_hot_windows`` makes the interval join an EQUALITY join:
+  each interval is exploded into the hour buckets it covers (bounded
+  fan-out: interval_len/bucket + 2) and events join on their own hour
+  bucket, with the exact containment predicate applied as a post-join
+  filter. Equality keys mean hash join — broadcast here (the interval
+  side is a top-k, bounded by construction), shuffle-hash when the
+  interval table outgrows broadcast. The bucket trick is what keeps the
+  plan off BroadcastNestedLoopJoin, which at 100 TB would scan every
+  event row against every interval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.tables import load_table
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each 'view' event joined AS OF to the latest 'purchase' by the same
+    user at or before its timestamp (left-outer: views with no prior
+    purchase keep nulls). Union + keyed window, not a join — see module
+    docstring. Ties (same user, same ts) rank purchases before views so
+    "at or before" is inclusive; among same-ts purchases the highest
+    event_id wins, keeping the result deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_p"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(
+            F.col("is_p") == 1,
+            F.struct(
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_event_id"),
+                F.col("value").alias("p_value"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        tagged.withColumn("p", carried)
+        .where(F.col("is_p") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("p.p_event_id").alias("purchase_event_id"),
+            F.col("p.p_value").alias("purchase_value"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("p.p_ts")).alias(
+                "seconds_since_purchase"
+            ),
+        )
+    )
+
+
+HOT_WINDOW_TOP_K = 5
+
+
+def range_join_hot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: the top-5 busiest hours (by event count,
+    ties broken by hour) widened to [hour-30min, hour+90min) incident
+    windows, then every event overlapping each window is attributed to it
+    (windows may overlap — an event can land in several). The join is an
+    hour-bucket EQUALITY join with exact containment as a residual
+    filter; see module docstring for why this beats a nested-loop range
+    predicate at scale."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("hour", "ts")
+    )
+    hourly = ev.groupBy(F.col("bucket").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # global top-k over at most |hours| rows — bounded, single light task
+    hot = hourly.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("c"), "h"))
+    ).where(F.col("rk") <= HOT_WINDOW_TOP_K)
+    windows = hot.select(
+        (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("win_start"),
+        (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("win_end"),
+    )
+    buckets = windows.withColumn(
+        "bucket",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('HOUR', win_start),"
+                " date_trunc('HOUR', win_end), interval 1 hour)"
+            )
+        ),
+    )
+    return (
+        ev.join(F.broadcast(buckets), "bucket")
+        .where((F.col("ts") >= F.col("win_start")) & (F.col("ts") < F.col("win_end")))
+        .groupBy("win_start", "win_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

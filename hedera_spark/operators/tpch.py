@@ -599,3 +599,96 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (q11 adapted: no partsupp/availqty,
+    so part value = total unit cost over the lineitem-derived bridge for
+    EUROPE suppliers). HAVING value > fraction-of-global-total — the
+    scalar subquery broadcast as a 1-row dim. At 100 TB the bridge agg is
+    the only wide shuffle; the global total is a partial-agg reduce."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_costs = _unit_costs(spark, sf_dir).join(
+        F.broadcast(
+            supp.join(
+                F.broadcast(
+                    nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+                ),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+                "left_semi",
+            ).select("s_suppkey")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    # sum exact integer ten-thousandths, not doubles: float accumulation
+    # order differs between engines and a part near the threshold would
+    # flip in/out of the HAVING cut (observed at sf0.01)
+    value = eu_costs.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("cost") * 10000).cast("long")).alias("cents")
+    )
+    total = value.agg(F.sum("cents").alias("total_cents"))
+    return (
+        value.join(F.broadcast(total))
+        .where(F.col("cents") > F.col("total_cents") * 0.0008)
+        .select(
+            "l_partkey", F.round(F.col("cents") / 10000.0, 2).alias("value")
+        )
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority counts (q12 adapted: no l_shipmode /
+    receipt-commit dates, so the mode proxy is l_returnflag and the
+    lateness window is the 1996 ship year). Conditional counts of
+    high- vs low-priority orders per flag — the orders-lineitem join is
+    the single large shuffle; priority classification is map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (q21 adapted: no commit/receipt
+    dates, so "late" = shipped >60 days after the order date). For
+    finalized multi-supplier orders where EXACTLY ONE supplier was late,
+    count waiting incidents per supplier. The correlated EXISTS /
+    NOT-EXISTS pair of the original decorrelates into one per-order
+    aggregate (distinct-supplier and distinct-late-supplier counts
+    computed in the same shuffle) — no self-joins on lineitem."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    per_order = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    return (
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )

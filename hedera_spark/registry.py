@@ -1549,6 +1549,116 @@ register(
     """,
 )
 
+register(
+    "tpch_q11",
+    tpch.tpch_q11,
+    f"""
+    WITH {_UNIT_COSTS},
+    eu AS (
+      SELECT c.* FROM costs c
+      WHERE c.l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+    ),
+    v AS (SELECT l_partkey,
+                 CAST(sum(CAST(round(cost * 10000) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM eu GROUP BY 1)
+    SELECT l_partkey, round(cents / 10000.0, 2) AS value FROM v
+    WHERE cents > (SELECT CAST(sum(cents) AS BIGINT) FROM v) * 0.0008
+    """,
+)
+
+register(
+    "tpch_q12",
+    tpch.tpch_q12,
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    GROUP BY 1
+    """,
+)
+
+register(
+    "tpch_q21",
+    tpch.tpch_q21,
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                 THEN l_suppkey END) AS n_late,
+             min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN l_suppkey END) AS late_supp
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      GROUP BY 1
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_order JOIN supplier ON late_supp = s_suppkey
+    WHERE n_supp > 1 AND n_late = 1
+    GROUP BY 1
+    """,
+)
+
+from hedera_spark.operators import temporal_join as tj  # noqa: E402
+
+register(
+    "asof_join",
+    tj.asof_join,
+    """
+    WITH u AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    filled AS (
+      SELECT *,
+             last_value(CASE WHEN is_p = 1 THEN event_id END IGNORE NULLS)
+               OVER w AS purchase_event_id,
+             last_value(CASE WHEN is_p = 1 THEN value END IGNORE NULLS)
+               OVER w AS purchase_value,
+             last_value(CASE WHEN is_p = 1 THEN ts END IGNORE NULLS)
+               OVER w AS p_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, purchase_event_id, purchase_value,
+           date_diff('second', p_ts, ts) AS seconds_since_purchase
+    FROM filled WHERE is_p = 0
+    """,
+)
+
+register(
+    "range_join_hot_windows",
+    tj.range_join_hot_windows,
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS c FROM events GROUP BY 1
+    ),
+    hot AS (
+      SELECT h FROM (SELECT h, c, row_number() OVER (ORDER BY c DESC, h) AS rk
+                     FROM hourly) WHERE rk <= {tj.HOT_WINDOW_TOP_K}
+    ),
+    win AS (
+      SELECT h - INTERVAL 30 MINUTE AS win_start,
+             h + INTERVAL 90 MINUTE AS win_end FROM hot
+    )
+    SELECT win_start, win_end, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM win JOIN events e ON e.ts >= win_start AND e.ts < win_end
+    GROUP BY 1, 2
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -1596,6 +1706,12 @@ _DEMOTED_STABLE = [
     "token_count_by_lang",
     "mix_weights",
     "decontaminate",
+    # round 2 third wave: room for q11/q12/q21 + the temporal joins
+    "tpch_q1",
+    "tpch_q6",
+    "topk_per_group",
+    "fingerprint",
+    "sample_stratified",
 ]
 
 

@@ -10,6 +10,7 @@ import pytest
 
 from hedera_spark.plans import (
     executed_plan,
+    formatted_plan,
     has_broadcast_join,
     has_python_eval,
     pushed_filters,
@@ -108,3 +109,29 @@ def test_tpch_q2_min_cost_join_no_python(spark):
     df = tpch_q2(spark, SF_DIR)
     assert not has_python_eval(df)
     assert has_broadcast_join(df)
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of join must compile to union + one keyed window — if a
+    range predicate ever reaches a join operator the plan degrades to
+    BroadcastNestedLoop and dies at scale."""
+    from hedera_spark.operators.temporal_join import asof_join
+
+    import re
+
+    plan = formatted_plan(asof_join(spark, SF_DIR))
+    assert "Join" not in plan  # no join operator at all
+    # exactly one shuffle: the user_id hash partitioning (formatted plans
+    # name each node twice — tree line and detail header — so count the
+    # detail headers)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The interval join must ride the hour-bucket equality key: hash
+    join (broadcast here), never BroadcastNestedLoopJoin."""
+    from hedera_spark.operators.temporal_join import range_join_hot_windows
+
+    plan = formatted_plan(range_join_hot_windows(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
