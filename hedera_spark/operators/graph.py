@@ -1,0 +1,86 @@
+"""Graph analytics over the anchor co-mention graph — weighted PageRank.
+
+Reference parity: Hedera's entity-graph scripts build entity-entity edge
+lists from co-mentions (pig/experimental/entityrelation.pig,
+temporalgraph.pig) precisely so that downstream graph algorithms can rank
+entities; PageRank is the canonical such ranking. The reference leaves the
+iteration to external tooling — here it is a first-class iterative
+DataFrame algorithm, the same persist/unpersist iteration discipline as
+operators/clusters.py (the other fixpoint operator).
+
+Scale (100 TB): each iteration is one equality join (ranks ⋈ edges on the
+source node) + one partial-aggregated shuffle on the destination node —
+the textbook distributed PageRank data layout. Ranks and edges are
+persisted per iteration and the previous frontier unpersisted, so lineage
+stays O(1) deep regardless of iteration count. Iteration count is FIXED
+(power iteration, not convergence-tested): no driver-side convergence
+collect at all, and a fixed count is what makes the computation exactly
+reproducible cross-engine (the DuckDB oracle unrolls the same five matrix
+products as CTEs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_spark.operators.anchors import anchor_cooccur
+
+PR_ITERATIONS = 5
+PR_DAMPING = 0.85
+# literal, NOT computed as 1.0 - PR_DAMPING: the subtraction rounds to a
+# DIFFERENT double than the decimal literal 0.15, and the oracle SQL
+# parses the literal — the two engines must start from bit-identical
+# constants for the rounded ranks to agree
+PR_TELEPORT = 0.15
+
+
+def pagerank_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the symmetrized anchor co-occurrence graph
+    (edge weight = co-mention doc count, teleport 0.15, 5 power
+    iterations). Every co-mentioned anchor has degree ≥ 1, so there are
+    no dangling nodes by construction; rank mass is conserved up to the
+    teleport term. Output: (anchor, rank) rounded to 8 decimals."""
+    edges = anchor_cooccur(spark, sf_dir).select(
+        F.col("a1").alias("src"), F.col("a2").alias("dst"), F.col("n_docs")
+    )
+    sym = edges.union(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "n_docs"
+        )
+    )
+    # per-source normalized transition weight; broadcast-size for the
+    # anchor graph, partial-agg bounded by |V| in general
+    outw = sym.groupBy("src").agg(F.sum("n_docs").alias("out_w"))
+    trans = (
+        sym.join(outw, "src")
+        .select("src", "dst", (F.col("n_docs") / F.col("out_w")).alias("w"))
+        .persist()
+    )
+    nodes = trans.select(F.col("src").alias("anchor")).distinct().persist()
+    n = nodes.count()  # |V|: one scalar to the driver, not data
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    for _ in range(PR_ITERATIONS):
+        contribs = (
+            trans.join(ranks, trans["src"] == ranks["anchor"])
+            .groupBy(F.col("dst").alias("anchor2"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        new_ranks = (
+            nodes.join(contribs, nodes["anchor"] == contribs["anchor2"], "left")
+            .select(
+                "anchor",
+                (
+                    F.lit(PR_TELEPORT / n)
+                    + PR_DAMPING * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize before dropping the parent
+        ranks.unpersist()
+        ranks = new_ranks
+    out = ranks.select("anchor", F.round("rank", 8).alias("rank"))
+    trans.unpersist()
+    nodes.unpersist()
+    return out

@@ -456,3 +456,51 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+PII_EMAIL = "[a-z0-9._]+@[a-z0-9-]+\\.[a-z]{2,}"
+PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PII_PHONE = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before packing. Entirely map-side (no shuffle at any scale):
+    regex counts + global regexp_replace for emails, IPv4 addresses and
+    phone numbers, JVM-side.
+
+    The synthetic corpus contains no organic PII, so each doc's text is
+    first extended with a DETERMINISTIC planted-PII suffix derived from
+    doc_id (clearly a test fixture, not product logic — with real data
+    the `dirty` composition drops out and the regexes run on `text`
+    directly). The patterns stay inside the regex subset Java and RE2
+    share, so the DuckDB oracle runs the identical expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com from 10.0."),
+        F.col("doc_id") % 256,
+        F.lit("."),
+        F.col("doc_id") % 100,
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = docs.select("doc_id", dirty.alias("dirty"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("dirty"), PII_EMAIL, "<EMAIL>"),
+            PII_IP,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("dirty"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("dirty"), F.lit(PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col("dirty"), F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        red.alias("redacted"),
+    )

@@ -1607,7 +1607,89 @@ register(
     """,
 )
 
+from hedera_spark.operators import graph as gr  # noqa: E402
 from hedera_spark.operators import temporal_join as tj  # noqa: E402
+
+
+def _pagerank_oracle() -> str:
+    """Unroll PR_ITERATIONS power-iteration steps as chained CTEs —
+    DuckDB's recursive CTEs cannot aggregate in the recursive member, so
+    the fixed iteration count is unrolled instead (and a fixed count is
+    what makes Spark and DuckDB bit-comparable in the first place)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, gr.PR_ITERATIONS + 1):
+        cur = f"r{i}"
+        steps.append(f"""
+    {cur} AS (
+      SELECT n.anchor,
+             CAST({gr.PR_TELEPORT} AS DOUBLE) / (SELECT n FROM nv)
+               + CAST({gr.PR_DAMPING} AS DOUBLE)
+                 * coalesce(c.contrib, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n
+      LEFT JOIN (SELECT t.dst AS anchor, sum(r.rank * t.w) AS contrib
+                 FROM trans t JOIN {prev} r ON t.src = r.anchor
+                 GROUP BY 1) c
+        ON n.anchor = c.anchor
+    )""")
+        prev = cur
+    return f"""
+    WITH {_DTOKS},
+    e0 AS (
+      SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
+      FROM dtoks a JOIN dtoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    sym AS (
+      SELECT a1 AS src, a2 AS dst, n_docs FROM e0
+      UNION ALL
+      SELECT a2 AS src, a1 AS dst, n_docs FROM e0
+    ),
+    outw AS (SELECT src, CAST(sum(n_docs) AS BIGINT) AS out_w FROM sym GROUP BY 1),
+    trans AS (
+      SELECT s.src, s.dst, CAST(s.n_docs AS DOUBLE) / o.out_w AS w
+      FROM sym s JOIN outw o USING (src)
+    ),
+    nodes AS (SELECT DISTINCT src AS anchor FROM sym),
+    nv AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT anchor,
+                  CAST(1.0 AS DOUBLE) / (SELECT n FROM nv) AS rank
+           FROM nodes),
+    {",".join(steps)}
+    SELECT anchor, round(rank, 8) AS rank FROM {prev}
+    """
+
+
+register("pagerank_anchors", gr.pagerank_anchors, _pagerank_oracle())
+
+register(
+    "pii_redact",
+    ta.pii_redact,
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com from 10.0.'
+                  || (doc_id % 256) || '.' || (doc_id % 100)
+                  || ' call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(dirty, '{ta.PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(dirty, '{ta.PII_IP}')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(dirty, '{ta.PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(dirty, '{ta.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{ta.PII_IP}', '<IP>', 'g'),
+             '{ta.PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM d
+    """,
+)
 
 register(
     "asof_join",
@@ -1712,6 +1794,9 @@ _DEMOTED_STABLE = [
     "topk_per_group",
     "fingerprint",
     "sample_stratified",
+    # round 2 fourth wave: room for pagerank_anchors + pii_redact
+    "tpch_q3",
+    "tpch_q5",
 ]
 
 

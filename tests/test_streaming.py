@@ -169,3 +169,38 @@ def test_stream_dedup_within_watermark_bounds(spark):
     n_distinct = events.select("user_id", "event_type").distinct().count()
     assert got.count() >= n_distinct > 0
     assert got.count() <= events.count()
+
+
+def test_stream_sessionize_matches_batch_for_closed_sessions(spark):
+    """Every session the watermark closed must match batch session_stats
+    exactly on (user, start, count, sum); near the end of the replayed
+    log sessions stay open (watermark), so the stream emits a prefix —
+    assert it is a large, value-exact subset."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.timeseries import session_stats
+    from hedera_spark.streaming.sessionize import stream_sessionize
+
+    q = (
+        stream_sessionize(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName("sessionize_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessionize_stream").toPandas()
+    want = (
+        session_stats(spark, SF_DIR)
+        .select("user_id", "start_ts", "n_events", F.round("sum_value", 2).alias("sum_value"))
+        .toPandas()
+    )
+    assert len(got) > 0.5 * len(want), (len(got), len(want))
+    merged = got.merge(
+        want, on=["user_id", "start_ts"], how="left", suffixes=("_s", "_b")
+    )
+    # every emitted session exists in batch with identical aggregates
+    assert merged["n_events_b"].notna().all()
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (abs(merged["sum_value_s"] - merged["sum_value_b"]) < 1e-6).all()
