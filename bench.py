@@ -60,15 +60,22 @@ def main() -> None:
     for n in names:
         QUERIES[n](spark, "/root/testdata/sf0.001").collect()
 
+    # best-of-N per query (default 2): single-shot timings on a shared box
+    # swing 2-4x with ambient load; the min is the reproducible number the
+    # plan actually costs. N=1 restores single-shot timing.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
     for n in names:
-        # drop caches left by prior queries (several operators persist
-        # intermediates): timings must be independent, not serialized
-        # through one session's accumulating storage pool
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        rows = QUERIES[n](spark, sf_dir).collect()
-        times[n] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            # drop caches left by prior queries/reps (several operators
+            # persist intermediates): timings must be independent, not
+            # serialized through one session's accumulating storage pool
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            rows = QUERIES[n](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[n] = round(best, 3)
         print(f"# {n}: {times[n]:.3f}s ({len(rows)} rows)", file=sys.stderr)
 
     out = {
