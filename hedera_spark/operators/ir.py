@@ -195,3 +195,39 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf_.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 5)
     )
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair statistics — the counting step of one BPE
+    merge iteration, the tokenizer-training primitive of an LLM data
+    pipeline. The 100 TB shape: aggregate the corpus to the WORD
+    FREQUENCY table first (one shuffle, bounded by |vocab|, the same
+    partial-agg argument as dictionary), then explode character pairs
+    over the compact vocab weighted by frequency — pair counting never
+    touches raw corpus rows a second time, which is exactly how
+    production BPE trainers scale."""
+    from hedera_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "w",
+        "freq",
+        F.explode(
+            F.expr(
+                # guard: sequence(1, 0) DESCENDS for single-char words
+                "CASE WHEN length(w) >= 2 THEN"
+                " transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+                " ELSE array() END"
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("freq").alias("total"),
+        F.countDistinct("w").alias("n_words"),
+    )

@@ -504,3 +504,28 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("dirty"), F.lit(PII_PHONE)).cast("long").alias("n_phones"),
         red.alias("redacted"),
     )
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram: docs and token mass per
+    bucket — the sequence-length profile that drives packing / curriculum
+    decisions. Map-only bucket assignment (the bucket is computed from
+    the binary representation length, an exact integer path on both
+    engines — floating log2 is NOT cross-engine-stable at power-of-two
+    boundaries) + one tiny aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    return (
+        docs.select(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " length(bin(size(split(text, ' ')))) - 1)"
+            ).alias("bucket_lo"),
+            n.cast("long").alias("n_tokens"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -1664,6 +1664,39 @@ def _pagerank_oracle() -> str:
 register("pagerank_anchors", gr.pagerank_anchors, _pagerank_oracle())
 
 register(
+    "bpe_pair_stats",
+    ir.bpe_pair_stats,
+    """
+    WITH w AS (
+      SELECT tok AS w, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY 1
+    ),
+    p AS (
+      SELECT w, freq,
+             unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2)))
+               AS pair
+      FROM w WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS total,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_words
+    FROM p GROUP BY 1
+    """,
+)
+
+register(
+    "length_histogram",
+    ta.length_histogram,
+    """
+    SELECT (CAST(1 AS BIGINT) << (length(bin(len(string_split(text, ' ')))) - 1))
+             AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+
+register(
     "pii_redact",
     ta.pii_redact,
     f"""
@@ -1797,6 +1830,12 @@ _DEMOTED_STABLE = [
     # round 2 fourth wave: room for pagerank_anchors + pii_redact
     "tpch_q3",
     "tpch_q5",
+    # round 2 fifth wave: room for bpe_pair_stats + length_histogram.
+    # multimodal_meta is r1-green and unchanged; approx_stats is a
+    # rows-only entry fully covered by pytest (approximate values can't
+    # hash-match by design) — rotate it back into the gate next round.
+    "multimodal_meta",
+    "approx_stats",
 ]
 
 
