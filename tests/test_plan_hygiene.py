@@ -1,0 +1,74 @@
+"""Repo-wide plan hygiene: every registered query's physical plan must be
+free of the operators that kill a 100 TB run — CartesianProduct,
+BroadcastNestedLoopJoin, and Python row evaluation — except where a query
+is EXPLICITLY a labeled baseline or a designed Arrow escape hatch. New
+queries are covered automatically; a regression that drops one of these
+into a plan fails here before it ever reaches the driver."""
+
+from __future__ import annotations
+
+import pytest
+
+from hedera_spark.plans import executed_plan
+from tests.conftest import SF_DIR
+
+# Two legitimate BroadcastNestedLoopJoin classes:
+# (a) labeled all-pairs baselines — dedup_embedding is the O(n^2)
+#     correctness baseline (scale path: dedup_embedding_lsh/ann_lsh/
+#     ann_ivf); ann_topk is the brute-force baseline (scale path:
+#     ann_topk_fast);
+# (b) BOUNDED-build scalar joins — the build side is a 1-row aggregate
+#     or a constant-size set, so the "nested loop" is one pass over the
+#     stream side (the standard scalar-subquery decorrelation):
+#     tpch_q11/tpch_q22 (1-row total/avg), mix_weights (two tiny aggs),
+#     tfidf_topk (fixed query-token set), ts_vector (global calendar
+#     span), ann_ivf (centroid set, k=constant), dedup_ngram_jaccard +
+#     dedup_clusters/corpus_select via composition (1-row hot-shingle
+#     array).
+# Anything NOT listed here that plans a nested loop is a bug.
+ALLOWED_NESTED_LOOP = {
+    "dedup_embedding",
+    "ann_topk",
+    "dedup_embedding_lsh",
+    "tpch_q11",
+    "tpch_q22",
+    "mix_weights",
+    "tfidf_topk",
+    "ts_vector",
+    "ann_ivf",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "corpus_select",
+}
+
+# the four designed Arrow escape hatches (mapInPandas / applyInPandas /
+# vectorized UDF) — semantics Spark's relational operators cannot express
+ALLOWED_PYTHON = {
+    "multimodal_meta",
+    "multimodal_features",
+    "rev_diff_chunks",
+    "ann_topk_fast",
+}
+
+
+def _names():
+    from hedera_spark.registry import QUERIES
+
+    return sorted(QUERIES)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_plan_hygiene(name, spark):
+    from hedera_spark.registry import QUERIES
+
+    plan = executed_plan(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in ALLOWED_NESTED_LOOP:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join in a non-baseline query"
+        )
+    if name not in ALLOWED_PYTHON:
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan and (
+            "FlatMapGroupsInPandas" not in plan
+        ), f"{name}: unexpected Python stage"
