@@ -211,3 +211,35 @@ def test_dedup_embedding_lsh_subset_and_recall(spark, tmp_path):
     lsh = {(r.vec_a, r.vec_b) for r in dedup_embedding_lsh(spark, str(out)).collect()}
     assert lsh <= exact
     assert (100, 101) in lsh
+
+
+def test_max_multiplicity_matches_counter_on_random_arrays(spark):
+    """The sorted-run fold behind text_repetition's top-n-gram fraction,
+    checked against collections.Counter over 300 seeded-random arrays
+    (including empties, singletons, all-equal, and high-duplication
+    shapes) in ONE Spark job."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.text_analysis import _max_multiplicity
+
+    rng = random.Random(20260813)
+    cases = [[]] + [["x"]] + [["y"] * 50]
+    for _ in range(297):
+        n = rng.randrange(0, 40)
+        alphabet = rng.randrange(1, 6)
+        cases.append([f"t{rng.randrange(alphabet)}" for _ in range(n)])
+    want = [max(Counter(c).values()) if c else 0 for c in cases]
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i INT, arr ARRAY<STRING>"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", _max_multiplicity(F.col("arr")).alias("m")
+        ).collect()
+    }
+    assert [got[i] for i in range(len(cases))] == want
