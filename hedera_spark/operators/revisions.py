@@ -218,3 +218,27 @@ def rev_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except("prev_toks", "toks")).cast("long").alias("n_deleted"),
         F.size(F.array_intersect("toks", "prev_toks")).cast("long").alias("n_common"),
     )
+
+
+SNAPSHOT_AT = "2024-01-15 12:00:00"
+
+
+def rev_snapshot_at(
+    spark: SparkSession, sf_dir: str, at: str = SNAPSHOT_AT
+) -> DataFrame:
+    """The collection AS OF time `at`: every page's live revision — the
+    latest with ts <= at. This is Hedera's defining query ("the wiki as
+    it stood at T"; io/etl/IntervalRevisionETLReader.java samples exactly
+    this at each interval boundary; mapreduce/ExtractTemporalAnchorText
+    consumes such snapshots). One pushed-down time filter + one
+    max-timestamp window per page — same single-shuffle shape as
+    rev_max_ts, so it scales identically."""
+    revs = load_revisions(spark, sf_dir).where(
+        F.col("ts") <= F.lit(at).cast("timestamp")
+    )
+    w = Window.partitionBy("page_id").orderBy(F.desc("ts"), F.desc("rev_id"))
+    return (
+        revs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("page_id", "rev_id", "ts", "kind", "value")
+    )

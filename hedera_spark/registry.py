@@ -1664,6 +1664,20 @@ def _pagerank_oracle() -> str:
 register("pagerank_anchors", gr.pagerank_anchors, _pagerank_oracle())
 
 register(
+    "rev_snapshot_at",
+    rev.rev_snapshot_at,
+    f"""
+    SELECT page_id, rev_id, ts, kind, value FROM (
+      SELECT user_id AS page_id, event_id AS rev_id, ts,
+             event_type AS kind, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '{rev.SNAPSHOT_AT}'
+    ) WHERE rn = 1
+    """,
+)
+
+register(
     "bpe_pair_stats",
     ir.bpe_pair_stats,
     """
@@ -1836,6 +1850,9 @@ _DEMOTED_STABLE = [
     # hash-match by design) — rotate it back into the gate next round.
     "multimodal_meta",
     "approx_stats",
+    # round 2 sixth wave: room for rev_snapshot_at (multimodal_features
+    # is rows-only + pytest-covered like approx_stats; rotate next round)
+    "multimodal_features",
 ]
 
 

@@ -204,3 +204,33 @@ def test_stream_sessionize_matches_batch_for_closed_sessions(spark):
     assert merged["n_events_b"].notna().all()
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (abs(merged["sum_value_s"] - merged["sum_value_b"]) < 1e-6).all()
+
+
+def test_stream_enrich_equals_batch_join(spark):
+    """Stream-static enrichment replayed over the whole log == the batch
+    join, row for row (stateless join: no watermark caveats at all)."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.enrich import stream_enrich, user_profiles
+
+    q = (
+        stream_enrich(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName("enrich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from enrich_stream").toPandas()
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .join(F.broadcast(user_profiles(spark, SF_DIR)), "user_id", "left")
+        .withColumn(
+            "above_hist_avg", (F.col("value") > F.col("hist_avg_value")).cast("int")
+        )
+        .toPandas()
+    )
+    assert_frames_match(got, want, "stream_enrich")

@@ -19,7 +19,7 @@ print(f"ENTRY OK: {len(rows)} rows, schema={[f.name for f in df.schema.fields]}"
 
 import duckdb
 con = duckdb.connect()
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
