@@ -675,15 +675,23 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
-    per_order = (
+    # two-level aggregate instead of two countDistinct in one groupBy:
+    # multiple distinct aggregates plan an Expand (x3 of every joined
+    # lineitem row before the first partial agg); collapsing to
+    # (order, supplier) grain first computes the same distinct counts
+    # with plain count/sum over strictly fewer rows
+    per_supp = (
         li.join(orders.select("o_orderkey", "o_orderdate"),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
-        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.min(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
     )
     return (
         per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
