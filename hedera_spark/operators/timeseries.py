@@ -164,3 +164,97 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("approx_percentile(value, 0.5)"), 2).alias("ap50"),
         F.round(F.expr("approx_percentile(value, 0.99)"), 2).alias("ap99"),
     )
+
+
+def pv_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(entity, day) counts with a trailing 7-day rolling sum and
+    average — the short-term-trend view of BuildShortTermTS
+    (mapreduce/BuildShortTermTS.java keeps a sliding per-page window of
+    recent activity). One shuffle on the entity key; the rolling frame is
+    a rangeBetween window over the already-aggregated daily rows, so the
+    window input is |entities| x |days|, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    # daily value as exact integer cents: re-summing rounded doubles in
+    # the rolling frame would diverge across engines on accumulation
+    # order at .005 boundaries (same determinism trick as tpch_q11)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.round(F.col("cents") / 100.0, 2).alias("sum_value"),
+        F.sum("n_events").over(w).alias("n_events_7d"),
+        F.round(F.sum("cents").over(w) / 100.0, 2).alias("sum_value_7d"),
+        F.round(F.sum("n_events").over(w) / 7.0, 4).alias("avg_events_7d"),
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort weekly retention: users grouped by first-seen week,
+    counted as retained in each later week they act in. The cohort map
+    (user -> first week) is a partial-agg min; the retention matrix is
+    one distinct (user, week) reduction joined back on the user key.
+    Output: (cohort_week, week_offset, n_active) for offsets 0..3."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("long"),
+        )
+        .where(F.col("week_offset") <= 3)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase conversion per user: first timestamp
+    of each stage, with a stage counted only if it happens at-or-after
+    the previous stage's first occurrence (the standard ordered-funnel
+    definition). One conditional-min aggregate per stage in a single
+    groupBy — no joins, no window; the whole funnel is one shuffle on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    mins = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in FUNNEL_STAGES
+        ]
+    )
+    # ordered gating: click counts only after first view; purchase only
+    # after the gated click
+    gated_click = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_click") >= F.col("t_view")),
+        F.col("t_click"),
+    )
+    return mins.select(
+        "user_id",
+        "t_view",
+        gated_click.alias("t_click_after_view"),
+        F.when(
+            F.col("t_view").isNotNull()
+            & (F.col("t_click") >= F.col("t_view"))
+            & (F.col("t_purchase") >= F.col("t_click")),
+            F.col("t_purchase"),
+        ).alias("t_purchase_after_click"),
+    )

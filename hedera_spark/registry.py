@@ -1664,6 +1664,67 @@ def _pagerank_oracle() -> str:
 register("pagerank_anchors", gr.pagerank_anchors, _pagerank_oracle())
 
 register(
+    "pv_rolling_7d",
+    ts.pv_rolling_7d,
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events,
+             CAST(round(sum(value) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day, n_events,
+           round(cents / 100.0, 2) AS sum_value,
+           CAST(sum(n_events) OVER w AS BIGINT) AS n_events_7d,
+           round(CAST(sum(cents) OVER w AS BIGINT) / 100.0, 2) AS sum_value_7d,
+           round(CAST(sum(n_events) OVER w AS BIGINT) / 7.0, 4) AS avg_events_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+
+register(
+    "cohort_retention",
+    ts.cohort_retention,
+    """
+    WITH weeks AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    first AS (
+      SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE))
+                / 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM weeks w JOIN first f ON w.user_id = f.user_id
+    WHERE date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) / 7 <= 3
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "funnel",
+    ts.funnel,
+    """
+    WITH mins AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, t_view,
+           CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                THEN t_click END AS t_click_after_view,
+           CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                     AND t_purchase >= t_click
+                THEN t_purchase END AS t_purchase_after_click
+    FROM mins
+    """,
+)
+
+register(
     "rev_snapshot_at",
     rev.rev_snapshot_at,
     f"""
@@ -1853,6 +1914,13 @@ _DEMOTED_STABLE = [
     # round 2 sixth wave: room for rev_snapshot_at (multimodal_features
     # is rows-only + pytest-covered like approx_stats; rotate next round)
     "multimodal_features",
+    # round 2 seventh wave: room for pv_rolling_7d/cohort_retention/funnel.
+    # rev_diff_chunks + ann_topk_fast are rows-only and pytest-covered;
+    # ann_ivf's only r2 change is an output cast, re-verified by the
+    # local vanilla-session sweeps at sf0.01 AND sf0.1.
+    "rev_diff_chunks",
+    "ann_topk_fast",
+    "ann_ivf",
 ]
 
 
