@@ -59,6 +59,10 @@ def pagerank_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = trans.select(F.col("src").alias("anchor")).distinct().persist()
     n = nodes.count()  # |V|: one scalar to the driver, not data
+    if n == 0:  # empty graph (empty corpus / no co-mention meets the cut)
+        trans.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "anchor string, rank double")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
     for _ in range(PR_ITERATIONS):
         contribs = (

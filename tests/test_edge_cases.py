@@ -7,20 +7,27 @@ from __future__ import annotations
 import pytest
 
 
+_EMPTY_SCHEMAS = {
+    "documents": "doc_id long, text string, source string, lang string, n_chars long",
+    "events": "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    "embeddings": "vec_id long, embedding array<float>, label int",
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    "supplier": "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    "part": "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    "orders": "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    "lineitem": "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+}
+
+
 def _empty_sf(spark, tmp_path):
-    """An sf_dir whose documents/events tables have the right schemas and
-    zero rows."""
-    docs = spark.createDataFrame(
-        [],
-        "doc_id long, text string, source string, lang string, n_chars long",
-    )
-    ev = spark.createDataFrame(
-        [],
-        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
-    )
+    """An sf_dir where every table has the right schema and zero rows."""
     out = tmp_path / "empty"
-    docs.write.parquet(str(out / "documents.parquet"))
-    ev.write.parquet(str(out / "events.parquet"))
+    for name, schema in _EMPTY_SCHEMAS.items():
+        spark.createDataFrame([], schema).write.parquet(
+            str(out / f"{name}.parquet")
+        )
     return str(out)
 
 
@@ -40,6 +47,21 @@ def _empty_sf(spark, tmp_path):
         "lang_id",
         "rev_diff_chunks",
         "dedup_clusters",
+        # round-2 operators
+        "asof_join",
+        "range_join_hot_windows",
+        "funnel",
+        "pv_rolling_7d",
+        "cohort_retention",
+        "rev_snapshot_at",
+        "pagerank_anchors",
+        "text_repetition",
+        "ngram_novelty",
+        "source_stats",
+        "bpe_pair_stats",
+        "length_histogram",
+        "pii_redact",
+        "tpch_q21",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
