@@ -31,15 +31,33 @@ COS_THRESHOLD = 0.4
 QUERY_MOD = 25  # vec_id % 25 == 0 -> the query set (scales with sf)
 
 
+def _sign_from_seed(seed: str) -> float:
+    """Deterministic ±1 from md5 — reproducible in any engine; planes are
+    precomputed driver-side and inlined as literals."""
+    return 1.0 if int(hashlib.md5(seed.encode()).hexdigest()[0], 16) < 8 else -1.0
+
+
 def _plane_sign(p: int, d: int) -> float:
-    """Deterministic ±1 hyperplane component from md5 — reproducible in any
-    engine; here precomputed driver-side and inlined as literals."""
-    return 1.0 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) < 8 else -1.0
+    return _sign_from_seed(f"{p}_{d}")
 
 
 PLANES: list[list[float]] = [
     [_plane_sign(p, d) for d in range(64)] for p in range(N_PLANES)
 ]
+
+N_TABLES = 4  # hash tables for the multi-probe variant
+
+
+def table_planes(t: int) -> list[list[float]]:
+    """Plane set for hash table `t`. Table 0 IS the single-table plane set
+    (so the multi-table candidate set provably contains ann_lsh's);
+    tables 1+ draw fresh md5-seeded planes."""
+    if t == 0:
+        return PLANES
+    return [
+        [_sign_from_seed(f"t{t}_{p}_{d}") for d in range(64)]
+        for p in range(N_PLANES)
+    ]
 
 
 def _dot(a, b) -> Column:
@@ -260,4 +278,72 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
         F.col("rk") <= IVF_TOPK
+    )
+
+
+def _with_table_buckets(df: DataFrame) -> DataFrame:
+    """Append bucket_t for every hash table (bit p of bucket_t =
+    sign(v · plane_{t,p}))."""
+    for t in range(N_TABLES):
+        bucket = F.lit(0)
+        for p, plane in enumerate(table_planes(t)):
+            lit_plane = F.array([F.lit(s) for s in plane])
+            bucket = bucket + F.when(
+                _dot(F.col("embedding"), lit_plane) > 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        df = df.withColumn(f"bucket_{t}", bucket)
+    return df
+
+
+def ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH top-3 — the recall knob ann_lsh's docstring
+    names, realized: 4 independent 8-bit hash tables; a candidate pair
+    needs to collide in ANY table. Candidates are generated per table by
+    the same bucket-equality join (each probe still touches ~1/256 of
+    the corpus per table) and deduped by (query, neighbor) with a max
+    over the identical scores, so the extra tables multiply candidate
+    generation by T but never change the join's equality-key shape.
+    Scale note: scoring before the dedup re-scores a pair once per
+    colliding table (bounded x T); at 100 TB with expensive scoring,
+    dedup the (q_id, vec_id) pairs first and join embeddings back —
+    same plan family as dedup_minhash's band join."""
+    emb = _with_table_buckets(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding")
+    ).select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        F.array(*[F.col(f"bucket_{t}") for t in range(N_TABLES)]).alias("bks"),
+    )
+    # (vec_id, t, bucket) — narrow rows; the embedding rides once per table
+    tb = F.explode(
+        F.expr(f"transform(sequence(0, {N_TABLES - 1}), t -> struct(t, bks[t] AS b))")
+    )
+    eb = emb.select("vec_id", "embedding", "nrm", tb.alias("tb")).select(
+        "vec_id", "embedding", "nrm", F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket")
+    )
+    q = eb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "t",
+        "bucket",
+    ).where(F.col("q_id") % QUERY_MOD == 0)
+    pairs = eb.join(F.broadcast(q), ["t", "bucket"]).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cos"),
+    )
+    dedup = scored.groupBy("q_id", "neighbor_id").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return dedup.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= LSH_TOPK
     )

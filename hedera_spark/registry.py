@@ -717,11 +717,11 @@ register(
 )
 
 
-def _lsh_bucket_sql(col: str) -> str:
+def _lsh_bucket_sql(col: str, planes=None) -> str:
     """Rebuild the sign-LSH bucket expression with literal plane vectors —
-    mirrors similarity.PLANES exactly (same md5-derived signs)."""
+    mirrors similarity.PLANES / table_planes(t) exactly (same md5 signs)."""
     terms = []
-    for p, plane in enumerate(sim.PLANES):
+    for p, plane in enumerate(sim.PLANES if planes is None else planes):
         lits = ", ".join(str(s) for s in plane)
         dot = (
             f"list_reduce(list_transform(list_zip({col}, [{lits}]),"
@@ -1771,6 +1771,50 @@ register(
     """,
 )
 
+def _ann_lsh_multi_oracle() -> str:
+    buckets = ",\n             ".join(
+        f"{_lsh_bucket_sql('embedding', sim.table_planes(t))} AS b{t}"
+        for t in range(sim.N_TABLES)
+    )
+    cos = _COS.format(A="q.q_emb", B="e.embedding", NA="q.q_nrm", NB="e.nrm")
+    branches = "\n      UNION ALL\n".join(
+        f"""      SELECT q.q_id, e.vec_id AS neighbor_id, {cos} AS cos
+      FROM q JOIN e ON e.b{t} = q.b{t} AND e.vec_id <> q.q_id"""
+        for t in range(sim.N_TABLES)
+    )
+    qcols = ", ".join(f"b{t}" for t in range(sim.N_TABLES))
+    return f"""
+    WITH raw AS (
+      SELECT vec_id, embedding,
+             {buckets}
+      FROM embeddings
+    ),
+    e AS (
+      SELECT *,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS nrm
+      FROM raw
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, {qcols}
+      FROM e WHERE vec_id % {sim.QUERY_MOD} = 0
+    ),
+    scored AS (
+{branches}
+    ),
+    dedup AS (
+      SELECT q_id, neighbor_id, max(cos) AS cos FROM scored GROUP BY 1, 2
+    )
+    SELECT q_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM dedup
+    ) WHERE rk <= {sim.LSH_TOPK}
+    """
+
+
+register("ann_lsh_multi", sim.ann_lsh_multi, _ann_lsh_multi_oracle())
+
 register(
     "pii_redact",
     ta.pii_redact,
@@ -1921,6 +1965,10 @@ _DEMOTED_STABLE = [
     "rev_diff_chunks",
     "ann_topk_fast",
     "ann_ivf",
+    # round 2 eighth wave: room for ann_lsh_multi (customers_without_orders
+    # was re-made non-vacuous early in r2 and parity-verified at sf0.01
+    # and sf0.1 locally since)
+    "customers_without_orders",
 ]
 
 

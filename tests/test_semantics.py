@@ -243,3 +243,38 @@ def test_max_multiplicity_matches_counter_on_random_arrays(spark):
         ).collect()
     }
     assert [got[i] for i in range(len(cases))] == want
+
+
+def test_ann_lsh_multi_dominates_single_table(spark):
+    """Table 0 of ann_lsh_multi IS ann_lsh's plane set, so the multi-table
+    candidate pool is a superset per query — its 3rd-best cosine can never
+    be worse than the single-table one, and aggregate recall@3 against
+    the exact top-3 (ann_topk) can only go up."""
+    from hedera_spark.operators.similarity import ann_lsh, ann_lsh_multi, ann_topk
+    from tests.conftest import SF_DIR
+
+    sf = SF_DIR
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ann_topk(spark, sf).where("rk <= 3").collect()
+    }
+    single = ann_lsh(spark, sf).collect()
+    multi = ann_lsh_multi(spark, sf).collect()
+
+    # per-rank dominance: at every rank the single-table result reaches,
+    # the multi-table result must score at least as well (the pool can
+    # only grow; NB a larger pool can add a lower-scored rank-3 row where
+    # the single table found fewer than 3 candidates, so comparing the
+    # per-query minimum would be wrong)
+    m_by_rank = {(r["q_id"], r["rk"]): r["cos"] for r in multi}
+    for r in single:
+        assert m_by_rank[(r["q_id"], r["rk"])] >= r["cos"] - 1e-9, (
+            r["q_id"],
+            r["rk"],
+        )
+
+    def recall(rows):
+        hit = sum((r["q_id"], r["neighbor_id"]) in exact for r in rows)
+        return hit / max(len(exact), 1)
+
+    assert recall(multi) >= recall(single)
