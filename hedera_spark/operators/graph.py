@@ -88,3 +88,42 @@ def pagerank_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans.unpersist()
     nodes.unpersist()
     return out
+
+
+def anchor_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation strength for co-mentioned anchor pairs: lift =
+    P(a,b) / (P(a)·P(b)) over documents — PMI without the log, kept as a
+    ratio of EXACT integer counts (n_ab · N / (n_a · n_b)) so both
+    engines compute bit-identical doubles from bit-identical integers
+    (libm log differs across engines by ulps; a ratio does not).
+    Reference: the entity-relation edge weighting of
+    pig/experimental/entityrelation.pig, strengthened from raw counts to
+    a normalized association score. Plan: doc-frequency table (partial
+    agg, |vocab|), broadcast into the co-occurrence edge list — one
+    broadcast join over the bounded anchor universe."""
+    from hedera_spark.operators.anchors import _doc_tokens, anchor_cooccur
+
+    toks = _doc_tokens(spark, sf_dir, distinct=True)
+    n_docs = toks.select(F.countDistinct("doc_id").alias("n"))
+    df_ = toks.groupBy("anchor").agg(F.count(F.lit(1)).alias("df"))
+    pairs = anchor_cooccur(spark, sf_dir)
+    return (
+        pairs.join(
+            F.broadcast(df_.select(F.col("anchor").alias("a1"), F.col("df").alias("df1"))),
+            "a1",
+        )
+        .join(
+            F.broadcast(df_.select(F.col("anchor").alias("a2"), F.col("df").alias("df2"))),
+            "a2",
+        )
+        .join(F.broadcast(n_docs))
+        .select(
+            "a1",
+            "a2",
+            "n_docs",
+            F.round(
+                (F.col("n_docs") * F.col("n")) / (F.col("df1") * F.col("df2")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1816,6 +1816,27 @@ def _ann_lsh_multi_oracle() -> str:
 register("ann_lsh_multi", sim.ann_lsh_multi, _ann_lsh_multi_oracle())
 
 register(
+    "anchor_lift",
+    gr.anchor_lift,
+    f"""
+    WITH {_DTOKS},
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM dtoks),
+    dfq AS (SELECT anchor, count(*) AS df FROM dtoks GROUP BY 1),
+    pairs AS (
+      SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
+      FROM dtoks a JOIN dtoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT p.a1, p.a2, p.n_docs,
+           round(CAST(p.n_docs * nd.n AS DOUBLE) / (d1.df * d2.df), 6) AS lift
+    FROM pairs p
+    JOIN dfq d1 ON p.a1 = d1.anchor
+    JOIN dfq d2 ON p.a2 = d2.anchor, nd
+    """,
+)
+
+register(
     "pii_redact",
     ta.pii_redact,
     f"""
@@ -1969,6 +1990,9 @@ _DEMOTED_STABLE = [
     # was re-made non-vacuous early in r2 and parity-verified at sf0.01
     # and sf0.1 locally since)
     "customers_without_orders",
+    # rotation queue: added late in r2 with local sf0.01+sf0.1 parity;
+    # promote into the gate in r3
+    "anchor_lift",
 ]
 
 

@@ -39,6 +39,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "corpus_select",
+    "anchor_lift",  # 1-row corpus-size aggregate broadcast
 }
 
 # the four designed Arrow escape hatches (mapInPandas / applyInPandas /
