@@ -258,3 +258,30 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_purchase"),
         ).alias("t_purchase_after_click"),
     )
+
+
+def pv_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (event_type, day): every subtotal plane plus
+    the grand total in one pass, with grouping_id disambiguating real
+    NULLs from subtotal markers — the grouping-sets face of the engine's
+    SQL surface (rev_max_ts covers ROLLUP). The Expand this plans is
+    inherent to CUBE (x4 for two dims) and bounded by map-side partial
+    aggregation, same as ROLLUP. Value mass carried as exact integer
+    cents: each CUBE plane re-sums the inputs independently, and float
+    accumulation order is not cross-engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("value"),
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("sum_value"),
+            F.grouping_id("event_type", "day").cast("long").alias("gid"),
+        )
+    )

@@ -1816,6 +1816,20 @@ def _ann_lsh_multi_oracle() -> str:
 register("ann_lsh_multi", sim.ann_lsh_multi, _ann_lsh_multi_oracle())
 
 register(
+    "pv_cube",
+    ts.pv_cube,
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS sum_value,
+           CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+)
+
+register(
     "anchor_lift",
     gr.anchor_lift,
     f"""
@@ -1993,6 +2007,7 @@ _DEMOTED_STABLE = [
     # rotation queue: added late in r2 with local sf0.01+sf0.1 parity;
     # promote into the gate in r3
     "anchor_lift",
+    "pv_cube",
 ]
 
 

@@ -69,10 +69,10 @@ def test_plan_hygiene(name, spark):
             f"{name}: nested-loop join in a non-baseline query"
         )
     # Expand multiplies every input row before the first partial agg.
-    # It is inherent to ROLLUP (rev_max_ts) but in any other query it
-    # means a multi-distinct aggregate snuck in — rewrite as a two-level
-    # aggregate instead (see tpch_q21).
-    if name != "rev_max_ts":
+    # It is inherent to ROLLUP/CUBE (rev_max_ts, pv_cube) but in any
+    # other query it means a multi-distinct aggregate snuck in — rewrite
+    # as a two-level aggregate instead (see tpch_q21).
+    if name not in ("rev_max_ts", "pv_cube"):
         assert "Expand" not in plan, f"{name}: Expand (multi-distinct agg?)"
     if name not in ALLOWED_PYTHON:
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
