@@ -283,3 +283,65 @@ def test_stream_checkpoint_resume_is_exactly_once(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == ev.count()  # no gaps
     assert got.select("event_id").distinct().count() == ev.count()  # no dupes
+
+
+def test_stream_stream_join_equals_batch_within_window(spark):
+    """Inner stream-stream join replayed over the whole log == the batch
+    join with the identical time-range predicate (inner joins emit
+    matches as both sides arrive; the watermark only bounds state)."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.joins import (
+        ATTRIBUTION_WINDOW,
+        stream_view_purchase_join,
+    )
+
+    q = (
+        stream_view_purchase_join(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName("vp_join_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from vp_join_stream").toPandas()
+
+    ev = load_table(spark, SF_DIR, "events")
+    views = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    want = (
+        views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("v_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+            ),
+        )
+        .select(
+            "v_user",
+            "v_id",
+            "p_id",
+            "v_ts",
+            "p_ts",
+            "p_value",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias(
+                "lag_seconds"
+            ),
+        )
+        .toPandas()
+    )
+    assert len(want) > 0
+    assert_frames_match(got, want, "stream_view_purchase_join")
