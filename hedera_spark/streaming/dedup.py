@@ -22,20 +22,8 @@ duplicate arrives later than the horizon. Both are exposed here.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from hedera_spark.streaming.pageviews import EVENTS_SCHEMA
-
-
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+from hedera_spark.streaming.source import event_stream as _event_stream
 
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

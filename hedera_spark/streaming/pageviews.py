@@ -17,18 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from hedera_spark.streaming.source import event_stream
 
 
 def _hourly_agg(events: DataFrame) -> DataFrame:
@@ -53,14 +43,4 @@ def stream_pv_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming hourly pageview rollup from a parquet file stream.
     Returns the streaming DataFrame; callers attach a writeStream sink
     (tests use a memory sink and compare against the batch operator)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # file-stream sources require a directory; select the events file via
-    # a glob filter so the same sf_dir layout works for batch and stream
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return _hourly_agg(events)
+    return _hourly_agg(event_stream(spark, sf_dir))

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from hedera_spark.streaming.pageviews import EVENTS_SCHEMA
+from hedera_spark.streaming.source import event_stream
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_unix long"
 STATE_SCHEMA = "n long, s double, last_unix long"
@@ -51,16 +51,10 @@ def _update_user_totals(
 
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user running totals with explicit keyed state."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = raw.select(
+    events = event_stream(spark, sf_dir).select(
         "user_id",
         "value",
-        F.expr("ts div 1000000000").alias("unix_sec"),
+        F.unix_timestamp("ts").alias("unix_sec"),
     )
     return events.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,

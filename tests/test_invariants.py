@@ -52,14 +52,15 @@ def test_rev_diff_counts_partition_current_tokens(spark):
 
 def test_ts_vector_length_equals_span(spark):
     from hedera_spark.operators.timeseries import ts_vector
+    from hedera_spark.sources.tables import load_table
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = load_table(spark, SF_DIR, "events")
     tv = ts_vector(spark, SF_DIR)
     n_days = (
         ev.select(
             F.datediff(
-                F.max(F.to_date(F.timestamp_micros(F.expr("ts div 1000")))),
-                F.min(F.to_date(F.timestamp_micros(F.expr("ts div 1000")))),
+                F.max(F.to_date("ts")),
+                F.min(F.to_date("ts")),
             )
         ).first()[0]
         + 1

@@ -79,25 +79,19 @@ def test_stream_append_mode_closes_windows_by_watermark(spark, tmp_path):
 
     from hedera_spark.operators.timeseries import pv_hourly
     from hedera_spark.sources.tables import load_table
-    from hedera_spark.streaming.pageviews import _hourly_agg, EVENTS_SCHEMA
+    from hedera_spark.streaming.pageviews import _hourly_agg
+    from hedera_spark.streaming.source import stream_events_dir
 
     # lay the log out as one parquet file per day, lexicographic = time order
     ev = load_table(spark, SF_DIR, "events")
     days = [r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()]
     src = tmp_path / "stream_src"
     src.mkdir()
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")  # ts still long nanos
     for d in sorted(days):
-        part = raw.where(F.to_date(F.timestamp_micros(F.expr("ts div 1000"))) == F.lit(d))
+        part = ev.where(F.to_date("ts") == F.lit(d))
         part.coalesce(1).write.mode("overwrite").parquet(str(src / f"day={d}"))
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = stream_events_dir(spark, str(src), recursive=True)
     q = (
         _hourly_agg(stream)
         .writeStream.format("memory")
@@ -245,7 +239,7 @@ def test_stream_checkpoint_resume_is_exactly_once(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from hedera_spark.sources.tables import load_table
-    from hedera_spark.streaming.pageviews import EVENTS_SCHEMA
+    from hedera_spark.streaming.source import stream_events_dir
 
     ev = load_table(spark, SF_DIR, "events")
     cut = "2024-01-15"
@@ -253,15 +247,14 @@ def test_stream_checkpoint_resume_is_exactly_once(spark, tmp_path):
     out = tmp_path / "out"
     ckpt = tmp_path / "ckpt"
     src.mkdir()
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")  # ts still long nanos
-    day = F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
-    raw.where(day < F.lit(cut)).coalesce(1).write.parquet(str(src / "a"))
+    day = F.to_date("ts")
+    ev.where(day < F.lit(cut)).coalesce(1).write.parquet(str(src / "a"))
 
     def run_once():
         q = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(str(src))
+            stream_events_dir(
+                spark, str(src), recursive=True, max_files_per_trigger=None
+            )
             .select("event_id", "user_id", "value")
             .writeStream.format("parquet")
             .option("path", str(out))
@@ -277,7 +270,7 @@ def test_stream_checkpoint_resume_is_exactly_once(spark, tmp_path):
     assert 0 < n_first < ev.count()
 
     # new files land; the restarted stream must pick up ONLY those
-    raw.where(day >= F.lit(cut)).coalesce(1).write.parquet(str(src / "b"))
+    ev.where(day >= F.lit(cut)).coalesce(1).write.parquet(str(src / "b"))
     run_once()
 
     got = spark.read.parquet(str(out))
@@ -345,3 +338,59 @@ def test_stream_stream_join_equals_batch_within_window(spark):
     )
     assert len(want) > 0
     assert_frames_match(got, want, "stream_view_purchase_join")
+
+
+def test_event_stream_adapts_to_both_ts_encodings(spark, tmp_path):
+    """The streaming source must yield identical real timestamps whether
+    the events parquet stores `ts` as nanos-as-long or as timestamp[us]
+    — so a testdata regeneration that flips the encoding cannot silently
+    break the streaming family again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.streaming.source import event_stream
+
+    rows = {
+        "event_id": [1, 2, 3],
+        "user_id": [10, 20, 30],
+        "event_type": ["view", "view", "purchase"],
+        "value": [1.0, 2.0, 3.0],
+        "props": ["{}", "{}", "{}"],
+    }
+    micros = [1704067200_000000, 1704070800_000000, 1704074400_000000]
+
+    ts_us = pa.array(micros, type=pa.timestamp("us"))
+    ts_ns = pa.array([m * 1000 for m in micros], type=pa.timestamp("ns"))
+
+    got = {}
+    for name, ts_arr in [("us", ts_us), ("ns", ts_ns)]:
+        d = tmp_path / name
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"]),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"]),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        q = (
+            event_stream(spark, str(d))
+            .select("event_id", "ts")
+            .writeStream.format("memory")
+            .queryName(f"ts_adapt_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got[name] = {
+            r["event_id"]: r["ts"]
+            for r in spark.sql(f"select * from ts_adapt_{name}").collect()
+        }
+
+    assert got["us"] == got["ns"]
+    assert all(t.year == 2024 for t in got["us"].values())
