@@ -10,17 +10,31 @@ stream of `documents.text`; extraction is a JVM-side split + explode
 Scale notes (100 TB): token explode multiplies rows ~|doc| but the
 follow-up aggregations are partial (map-side combine) by construction.
 `anchor_cooccur` is the one quadratic operator — it is blocked per
-document and, at scale, must be preceded by a frequency cut (drop
-stop-tokens / keep top-K per doc); we apply a distinct-per-doc reduction
-first so the self-join fans out on (doc, token) not raw occurrences.
+document AND fed through `_cooccur_tokens`, which (a) drops stop tokens
+whose document frequency exceeds ANCHOR_STOP_DF_FRACTION of the corpus
+(broadcast hot-set, cut map-side — the `_jaccard_pairs` pattern from
+operators/dedup.py) and (b) keeps at most ANCHOR_DOC_TOKEN_CAP distinct
+tokens per document, so per-doc pair fan-out is bounded by CAP²/2 no
+matter how degenerate the document. The reference's entity-graph
+scripts (pig/experimental/entityrelation.pig:34-45) co-join id-mapped
+*entities*, a universe already bounded per doc; the cap is that bound
+restated for a raw token universe.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hedera_spark.sources.tables import load_table
+
+# tokens in more than this fraction of all documents are stop tokens —
+# they carry no co-mention signal and their pair fan-out is O(corpus²)
+ANCHOR_STOP_DF_FRACTION = 0.9
+# hard per-document bound on distinct tokens entering the self-join:
+# caps pair fan-out at CAP²/2 per doc (a 10k-distinct-token doc would
+# otherwise emit 5·10⁷ pairs)
+ANCHOR_DOC_TOKEN_CAP = 256
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str, distinct: bool) -> DataFrame:
@@ -85,13 +99,56 @@ def temporal_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cooccur_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, anchor) stream feeding the co-occurrence self-join, with
+    the two scale cuts applied:
+
+    1. Stop-token cut: tokens whose document frequency exceeds
+       ANCHOR_STOP_DF_FRACTION of the corpus are collapsed into a
+       single-row broadcast hot-set and removed map-side (array_contains)
+       — no shuffle, the `_jaccard_pairs` df-cap pattern.
+    2. Per-doc cap: row_number over (doc_id, deterministic md5 order)
+       keeps at most ANCHOR_DOC_TOKEN_CAP tokens per document. The
+       window's doc_id exchange is REUSED by the doc_id self-join that
+       follows, so the cap adds a per-partition sort but no extra
+       shuffle. md5 ordering (not df ordering) keeps the selection
+       map-local — ranking by rarity would shuffle the full token
+       stream on anchor just to break ties the stop-cut already decided.
+
+    On the synthetic corpus (31-token vocab, max df ≈ 0.8·N) neither cut
+    binds, so the oracle — which applies the identical cuts in SQL —
+    stays value-exact; tests plant a stop token to prove the cut fires.
+    """
+    toks = _doc_tokens(spark, sf_dir, distinct=True).select("doc_id", "anchor")
+    n_total = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    hot_row = (
+        toks.groupBy("anchor")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_total))
+        .where(F.col("df") * 10 > F.col("n_total") * 9)
+        .agg(F.collect_set("anchor").alias("hot"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.md5("anchor"), "anchor")
+    return (
+        toks.join(F.broadcast(hot_row))
+        .where(~F.array_contains(F.col("hot"), F.col("anchor")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ANCHOR_DOC_TOKEN_CAP)
+        .select("doc_id", "anchor")
+    )
+
+
 def anchor_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence edges: unordered anchor pairs appearing in the same
     snapshot, with document frequency ≥ 5. Reference:
     pig/experimental/entityrelation.pig, temporalgraph.pig (entity-entity
     edges from co-mentions). Self-join is on doc_id over per-doc *distinct*
-    tokens (the cheapest correct blocking)."""
-    toks = _doc_tokens(spark, sf_dir, distinct=True)
+    tokens after the _cooccur_tokens stop/per-doc cuts (the cheapest
+    correct blocking, with bounded fan-out)."""
+    toks = _cooccur_tokens(spark, sf_dir)
     a = toks.select("doc_id", F.col("anchor").alias("a1"))
     b = toks.select("doc_id", F.col("anchor").alias("a2"))
     return (
@@ -110,7 +167,7 @@ def anchor_cooccur_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges with time extents) on top of anchor_cooccur's blocking. Same
     single self-join + one aggregation; the spans are two extra min/max
     partial aggregates riding the existing shuffle."""
-    toks = _doc_tokens(spark, sf_dir, distinct=True)
+    toks = _cooccur_tokens(spark, sf_dir)
     a = toks.select("doc_id", F.col("anchor").alias("a1"))
     b = toks.select("doc_id", F.col("anchor").alias("a2"))
     return (

@@ -205,6 +205,26 @@ _DTOKS = """
     )
 """
 
+# capped token stream for the co-occurrence family — the SQL restatement
+# of anchors._cooccur_tokens: drop stop tokens (df > 0.9 of corpus,
+# integer arithmetic so both engines compare identically) then keep at
+# most ANCHOR_DOC_TOKEN_CAP tokens per doc in deterministic md5 order
+_CTOKS = f"""
+    {_DTOKS},
+    ctoks AS (
+      SELECT doc_id, anchor FROM (
+        SELECT doc_id, anchor,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY md5(anchor), anchor) AS rn
+        FROM dtoks
+        WHERE anchor NOT IN (
+          SELECT anchor FROM dtoks GROUP BY anchor
+          HAVING count(*) * 10 > 9 * (SELECT count(*) FROM documents)
+        )
+      ) WHERE rn <= {anc.ANCHOR_DOC_TOKEN_CAP}
+    )
+"""
+
 register(
     "anchor_count",
     anc.anchor_count,
@@ -250,9 +270,9 @@ register(
     "anchor_cooccur",
     anc.anchor_cooccur,
     f"""
-    WITH {_DTOKS}
+    WITH {_CTOKS}
     SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
-    FROM dtoks a JOIN dtoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+    FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
     GROUP BY 1, 2
     HAVING count(*) >= 5
     """,
@@ -262,10 +282,10 @@ register(
     "anchor_cooccur_temporal",
     anc.anchor_cooccur_temporal,
     f"""
-    WITH {_DTOKS}
+    WITH {_CTOKS}
     SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs,
            min(a.doc_id) AS first_seen, max(a.doc_id) AS last_seen
-    FROM dtoks a JOIN dtoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+    FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
     GROUP BY 1, 2
     HAVING count(*) >= 5
     """,
@@ -1634,10 +1654,10 @@ def _pagerank_oracle() -> str:
     )""")
         prev = cur
     return f"""
-    WITH {_DTOKS},
+    WITH {_CTOKS},
     e0 AS (
       SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
-      FROM dtoks a JOIN dtoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+      FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
       GROUP BY 1, 2
       HAVING count(*) >= 5
     ),
@@ -1833,12 +1853,12 @@ register(
     "anchor_lift",
     gr.anchor_lift,
     f"""
-    WITH {_DTOKS},
+    WITH {_CTOKS},
     nd AS (SELECT count(DISTINCT doc_id) AS n FROM dtoks),
     dfq AS (SELECT anchor, count(*) AS df FROM dtoks GROUP BY 1),
     pairs AS (
       SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
-      FROM dtoks a JOIN dtoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+      FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
       GROUP BY 1, 2
       HAVING count(*) >= 5
     )
@@ -1961,7 +1981,6 @@ _DEMOTED_STABLE = [
     # round 2 second wave: demoted to make room for the new TPC-H suite
     # (all driver-green in r1 and unchanged since)
     "rev_interval",
-    "anchor_cooccur",
     "session_stats",
     "dedup_exact",
     "dedup_minhash",
@@ -1984,30 +2003,41 @@ _DEMOTED_STABLE = [
     # round 2 fourth wave: room for pagerank_anchors + pii_redact
     "tpch_q3",
     "tpch_q5",
-    # round 2 fifth wave: room for bpe_pair_stats + length_histogram.
-    # multimodal_meta is r1-green and unchanged; approx_stats is a
-    # rows-only entry fully covered by pytest (approximate values can't
-    # hash-match by design) — rotate it back into the gate next round.
+    # round 2 fifth wave: room for bpe_pair_stats + length_histogram
+    # (multimodal_meta is r1-green and unchanged; ann_ivf re-verified by
+    # the local vanilla-session sweeps at sf0.01 AND sf0.1)
     "multimodal_meta",
-    "approx_stats",
-    # round 2 sixth wave: room for rev_snapshot_at (multimodal_features
-    # is rows-only + pytest-covered like approx_stats; rotate next round)
-    "multimodal_features",
-    # round 2 seventh wave: room for pv_rolling_7d/cohort_retention/funnel.
-    # rev_diff_chunks + ann_topk_fast are rows-only and pytest-covered;
-    # ann_ivf's only r2 change is an output cast, re-verified by the
-    # local vanilla-session sweeps at sf0.01 AND sf0.1.
-    "rev_diff_chunks",
-    "ann_topk_fast",
     "ann_ivf",
-    # round 2 eighth wave: room for ann_lsh_multi (customers_without_orders
-    # was re-made non-vacuous early in r2 and parity-verified at sf0.01
-    # and sf0.1 locally since)
-    "customers_without_orders",
-    # rotation queue: added late in r2 with local sf0.01+sf0.1 parity;
-    # promote into the gate in r3
-    "anchor_lift",
-    "pv_cube",
+    # round 3 wave: the r2-checked TPC-H suite and scalar/IR queries are
+    # green and unchanged — demote them to promote (a) the three queries
+    # never driver-checked (anchor_lift, pv_cube, customers_without_orders),
+    # (b) the anchor_cooccur family whose oracle changes with the new
+    # df-cap, and (c) the four rows-only entries so the driver records
+    # at least their weaker rows-only signal (VERDICT r2 item 7).
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "time_convert",
+    "extract_props",
+    "extract_domain",
+    "tfidf_topk",
+    "shingle_count",
+    "top_terms_per_lang",
 ]
 
 

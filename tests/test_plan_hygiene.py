@@ -24,12 +24,14 @@ from tests.conftest import SF_DIR
 #     tfidf_topk (fixed query-token set), ts_vector (global calendar
 #     span), ann_ivf (centroid set, k=constant), dedup_ngram_jaccard +
 #     dedup_clusters/corpus_select via composition (1-row hot-shingle
-#     array).
+#     array), and the anchor_cooccur family via _cooccur_tokens (1-row
+#     hot stop-token array, same pattern).
 # Anything NOT listed here that plans a nested loop is a bug.
+# (dedup_embedding_lsh graduated: its candidate join is now a plain
+# equality join, so the allowance was removed — r2 verdict item 9.)
 ALLOWED_NESTED_LOOP = {
     "dedup_embedding",
     "ann_topk",
-    "dedup_embedding_lsh",
     "tpch_q11",
     "tpch_q22",
     "mix_weights",
@@ -39,6 +41,9 @@ ALLOWED_NESTED_LOOP = {
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "corpus_select",
+    "anchor_cooccur",
+    "anchor_cooccur_temporal",
+    "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast
 }
 
