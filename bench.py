@@ -78,12 +78,22 @@ def main() -> None:
         times[n] = round(best, 3)
         print(f"# {n}: {times[n]:.3f}s ({len(rows)} rows)", file=sys.stderr)
 
+    # 1-minute load average at run time: BENCH_r02's 40.2s "regression"
+    # was ambient load on a shared box (controlled rerun: 22.6s). Numbers
+    # taken under heavy external load are noise — record the conditions
+    # so a reader can tell signal from contention.
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m = None
     out = {
         "metric": "headline_query_wall_clock_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_avg_1m": load_1m,
+        "reps": reps,
     }
     print(json.dumps(out))
 

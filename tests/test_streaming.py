@@ -394,3 +394,53 @@ def test_event_stream_adapts_to_both_ts_encodings(spark, tmp_path):
 
     assert got["us"] == got["ns"]
     assert all(t.year == 2024 for t in got["us"].values())
+
+
+def test_rate_source_pv_hourly_equals_batch_reconstruction(spark):
+    """The hourly rollup over the rate-micro-batch source (message-bus-
+    shaped, not file-replay) must equal the batch aggregate over the
+    deterministically reconstructed input — proving the streaming
+    operators are source-agnostic."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hedera_spark.streaming.rate_source import (
+        rate_events_batch,
+        stream_pv_hourly_rate,
+    )
+
+    q = (
+        stream_pv_hourly_rate(spark)
+        .writeStream.format("memory")
+        .queryName("pv_rate_stream")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= 3:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    n_batches = q.lastProgress["batchId"] + 1
+    assert n_batches >= 3
+
+    got = spark.sql("select * from pv_rate_stream").toPandas()
+    want = (
+        rate_events_batch(spark, n_batches)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("win.start").alias("hour"), "n_events", "sum_value"
+        )
+        .toPandas()
+    )
+    assert len(want) > 0
+    assert_frames_match(got, want, "stream_pv_hourly_rate")
