@@ -91,3 +91,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).cast("int").alias("is_survivor"),
     )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: for each
+    connected component of the near-dup graph, keep the longest document
+    (max n_chars, smallest doc_id on ties) — the "which copy survives"
+    policy step a real dedup pipeline runs after cluster resolution
+    (dedup_clusters picks min-id; production pipelines keep the
+    best-quality member, and length is the standard proxy).
+
+    Plan shape: cluster assignment (iterative, see dedup_clusters) joined
+    once to the documents dim, then a single partial-agg groupBy with
+    max_by over a (n_chars, -doc_id) struct — no window, no per-cluster
+    sort."""
+    from hedera_spark.sources.tables import load_table
+
+    c = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        c.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(
+                    F.col("n_chars").alias("c"), (-F.col("doc_id")).alias("t")
+                ),
+            ).alias("best_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -231,3 +231,53 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").alias("total"),
         F.countDistinct("w").alias("n_words"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ["spark", "query", "stream"]
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs by Okapi BM25 for a fixed query token set — the
+    ranking function actually used by the retrieval stacks the
+    reference's index experiments feed
+    (experiments/.../WikiRevIndex4NonTemporalSearch.java builds the
+    index; this is the scorer on top). idf is the Lucene-style
+    ln((N-df+0.5)/(df+0.5)+1) ≥ 0 form; length normalization uses the
+    corpus-average token count.
+
+    Plan shape: tf rows for the 3 query terms (filter pushes into the
+    bow aggregate), df and the 1-row (N, avgdl) aggregate broadcast;
+    the only at-scale shuffle is the per-doc length aggregate joined on
+    doc_id. Constants are decimal literals mirrored exactly in the
+    oracle SQL so both engines fold the same doubles."""
+    tf_ = bow(spark, sf_dir).where(F.col("term").isin(BM25_QUERY_TERMS))
+    df_ = tf_.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = (
+        _doc_tokens(spark, sf_dir, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    scored = (
+        tf_.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(10)

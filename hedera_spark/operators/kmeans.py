@@ -1,0 +1,120 @@
+"""K-means over the embeddings table — the trained coarse quantizer.
+
+ann_ivf (operators/similarity.py) assigns vectors to *sampled* centroids
+and documents itself as "the stand-in for a k-means coarse quantizer";
+this module is the trainer it names: Lloyd's algorithm with fixed
+iteration count and deterministic initialization, as an iterative
+DataFrame program. Reference parity: the reference delegates clustering
+to external tooling over its extracted features (the entity/BOW exports
+of experiments/.../RevisionBOW.java feed exactly this kind of job);
+here it is first-class, like pagerank_anchors for ranking.
+
+Cross-engine determinism (the interesting part — same discipline as
+graph.py): distances are per-row sequential folds (bit-identical to the
+oracle's list_reduce); both the assignment distance and every centroid
+coordinate are rounded to 6 decimals EACH iteration, so partial-agg
+summation-order noise is quantized away before it can compound;
+assignment ties break to the smallest centroid id via a struct-ordered
+min_by. The DuckDB oracle unrolls the same KMEANS_ITERATIONS steps as
+CTEs (the pagerank_anchors pattern).
+
+Scale (100 TB): per iteration, the corpus is touched once — broadcast
+K-row centroid table, map-side distance + argmin (no shuffle), then one
+partial-agg shuffle keyed on (cluster, dim) for the means (bounded by
+K·dims, not corpus size). Assignments are persisted per iteration and
+the previous frontier unpersisted (O(1) lineage). Centroid count K is
+the only driver-side scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_spark.operators.similarity import _dot
+from hedera_spark.sources.tables import load_table
+
+KMEANS_K = 8
+KMEANS_ITERATIONS = 3
+
+
+def _dist2(a, b):
+    """Rounded squared euclidean distance — sequential fold, quantized to
+    6 decimals so both engines rank candidates on identical doubles."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, emb, cluster_id, dist2): nearest centroid per vector —
+    broadcast K-row build side, map-side argmin via struct-ordered
+    min_by (ties to the smallest centroid id), partial-agg groupBy."""
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _dist2(F.col("emb"), F.col("cemb"))
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min_by(
+            "cid", F.struct(F.col("d2").alias("d"), F.col("cid").alias("c"))
+        ).alias("cluster_id"),
+        F.min(F.struct(F.col("d2").alias("d"), F.col("cid").alias("c")))["d"].alias(
+            "dist2"
+        ),
+        F.first("emb").alias("emb"),
+    )
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (K=8, 3 fixed iterations, init = the K smallest
+    vec_ids' embeddings; cluster labels are the init vec_ids). Output:
+    (vec_id, cluster_id, dist2) — the final assignment table, i.e. the
+    trained IVF cell map."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+        .persist()
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERATIONS):
+        new_assigned = _assign(emb, cents).persist()
+        new_assigned.count()  # materialize before dropping parents
+        if assigned is not None:
+            assigned.unpersist()
+        assigned = new_assigned
+        new_cents = (
+            assigned.select(
+                F.col("cluster_id").alias("cid"),
+                F.posexplode("emb").alias("pos", "x"),
+            )
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cemb")
+            )
+            .persist()
+        )
+        new_cents.count()
+        cents.unpersist()
+        cents = new_cents
+    # final assignment under the trained centroids
+    out = _assign(emb, cents).select("vec_id", "cluster_id", "dist2")
+    return out

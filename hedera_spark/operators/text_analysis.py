@@ -529,3 +529,46 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+CHUNK_SIZE = 64  # tokens per training chunk
+CHUNK_STRIDE = 48  # chunk start step — SIZE-STRIDE tokens of overlap
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks per document — the context-
+    window chunking step every LLM training pipeline runs between
+    cleaning and packing (pack_sequences packs whole docs; this splits
+    docs that exceed the window). Chunk starts step by CHUNK_STRIDE, so
+    consecutive chunks share SIZE-STRIDE tokens of context.
+
+    Plan shape: entirely array-side per row — the chunk structs are
+    built INSIDE the array context (transform over the start-offset
+    sequence) and exploded once, so the token array is never carried
+    next to an explode (that copies the array into every generated row
+    — the O(n²) trap _jaccard_pairs documents). Map-only: no shuffle at
+    any scale.
+
+    Reference: the windowed-document shaping of
+    experiments/.../RevisionBOW.java (bounded token views per revision),
+    generalized to stride-overlap chunking."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+    ).where(F.size("toks") > 0)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE)),
+        lambda s: F.struct(
+            (s / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.slice("toks", s + 1, CHUNK_SIZE).alias("chunk"),
+        ),
+    )
+    return (
+        with_toks.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.chunk").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "c.chunk").alias("chunk_text"),
+        )
+    )

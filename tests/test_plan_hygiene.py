@@ -40,7 +40,10 @@ ALLOWED_NESTED_LOOP = {
     "ann_ivf",
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "dedup_keep_best",  # composes dedup_clusters (hot-shingle array)
     "corpus_select",
+    "bm25_topk",  # 1-row (N, avgdl) corpus-stats broadcast
+    "kmeans_embeddings",  # K-row centroid broadcast, like ann_ivf
     "anchor_cooccur",
     "anchor_cooccur_temporal",
     "pagerank_anchors",
