@@ -360,3 +360,52 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
+
+
+def minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the minhash sketch: for every LSH
+    candidate pair, the banded 16-hash estimate next to the EXACT shingle
+    Jaccard and their absolute error — the number you read before
+    trusting est_jaccard as a dedup threshold at 100 TB (16 hashes give
+    ±1/16 granularity; if the observed error is worse, the hash family
+    is broken, which is exactly what this caught-in-tests operator would
+    surface).
+
+    Plan shape: candidate pairs are LSH-bounded (never all-pairs); the
+    exact intersection joins the per-doc distinct shingle table twice,
+    restricted to candidate docs by broadcasting the bounded pair set."""
+    est = dedup_minhash(spark, sf_dir)
+    sh = _shingles(spark, sf_dir)
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        F.broadcast(est)
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "est_jaccard")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+            F.round(
+                F.abs(
+                    F.col("est_jaccard")
+                    - F.round(
+                        F.col("n_common")
+                        / (F.col("na") + F.col("nb") - F.col("n_common")),
+                        6,
+                    )
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+    )

@@ -347,3 +347,41 @@ def ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.withColumn("rk", F.row_number().over(w).cast("long")).where(
         F.col("rk") <= LSH_TOPK
     )
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH probe against the exact top-3 — the evaluation
+    loop that turns "approximate" into a measured trade-off (you tune
+    N_PLANES/N_TABLES against THIS number, not intuition; ann_lsh_multi's
+    docstring calls recall the knob, this operator reads the dial).
+    Output: one row per query — approximate result count, hits inside
+    the exact top-3, and recall. A probe whose bucket holds no other
+    vector scores recall 0, not a dropped row (left joins from the exact
+    side).
+
+    Plan shape: both sides reuse the audited ann plans; the comparison
+    adds only |queries|-bounded joins on (q_id, neighbor_id)."""
+    exact3 = (
+        ann_topk(spark, sf_dir)
+        .where(F.col("rk") <= LSH_TOPK)
+        .select("q_id", "neighbor_id")
+    )
+    approx = ann_lsh(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = approx.join(exact3, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_approx = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        exact3.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(n_approx, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

@@ -2087,6 +2087,116 @@ def _kmeans_oracle() -> str:
 
 register("kmeans_embeddings", km.kmeans_embeddings, _kmeans_oracle())
 
+register(
+    "ann_recall",
+    sim.ann_recall,
+    f"""
+    WITH raw AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, embedding, bucket,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS nrm
+      FROM raw
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket
+      FROM e WHERE vec_id % 25 = 0
+    ),
+    exact3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_COS.format(A='q.q_emb', B='e.embedding',
+                                       NA='q.q_nrm', NB='e.nrm')} DESC,
+                          e.vec_id) AS rk
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rk <= 3
+    ),
+    lsh3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_COS.format(A='q.q_emb', B='e.embedding',
+                                       NA='q.q_nrm', NB='e.nrm')} DESC,
+                          e.vec_id) AS rk
+        FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+      ) WHERE rk <= 3
+    ),
+    ne AS (SELECT q_id, count(*) AS n_exact FROM exact3 GROUP BY 1),
+    na AS (SELECT q_id, count(*) AS n_approx FROM lsh3 GROUP BY 1),
+    nh AS (
+      SELECT l.q_id, count(*) AS n_hits
+      FROM lsh3 l JOIN exact3 x USING (q_id, neighbor_id)
+      GROUP BY 1
+    )
+    SELECT ne.q_id,
+           CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(nh.n_hits, 0) / ne.n_exact, 6) AS recall
+    FROM ne
+    LEFT JOIN na USING (q_id)
+    LEFT JOIN nh USING (q_id)
+    """,
+)
+
+register(
+    "minhash_error",
+    dedup.minhash_error,
+    f"""
+    WITH {_SHINGLES},
+    mh AS (
+      SELECT doc_id, seed,
+             min(substr(md5((seed // 4) || '|' || shingle),
+                        (seed % 4) * 8 + 1, 8)) AS minh
+      FROM sh, unnest(generate_series(0, 15)) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, list(minh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, sig, band,
+             md5(array_to_string(sig[band * 4 + 1 : band * 4 + 4], '|')) AS band_hash
+      FROM sig, unnest(generate_series(0, 3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT doc_a, doc_b,
+             round(CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+                   x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS BIGINT) / 16.0, 6)
+               AS est_jaccard
+      FROM cand
+    ),
+    n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT est.doc_a, est.doc_b, est.est_jaccard, count(*) AS n_common
+      FROM est
+      JOIN sh a ON a.doc_id = est.doc_a
+      JOIN sh b ON b.doc_id = est.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2, 3
+    )
+    SELECT c.doc_a, c.doc_b, c.est_jaccard,
+           round(c.n_common / (na.n + nb.n - c.n_common), 6) AS jaccard,
+           round(abs(c.est_jaccard
+                     - round(c.n_common / (na.n + nb.n - c.n_common), 6)), 6)
+             AS abs_err
+    FROM common c
+    JOIN n na ON na.doc_id = c.doc_a
+    JOIN n nb ON nb.doc_id = c.doc_b
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).

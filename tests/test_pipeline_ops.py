@@ -114,3 +114,56 @@ def test_kmeans_invariants(spark):
         for r in emb.select("vec_id").orderBy("vec_id").limit(KMEANS_K).collect()
     )
     assert set(out["cluster_id"]) <= init_ids
+
+
+def test_minhash_error_is_within_sketch_granularity(spark):
+    """16 minhashes estimate Jaccard at +-1/16 granularity; the measured
+    absolute error over every LSH candidate pair must stay within a few
+    multiples of it (a blowout means the hash family lost independence —
+    the regression this operator exists to surface)."""
+    from hedera_spark.operators.dedup import minhash_error
+
+    e = minhash_error(spark, SF_DIR).toPandas()
+    assert len(e) > 0
+    assert ((e["est_jaccard"] >= 0) & (e["est_jaccard"] <= 1)).all()
+    assert ((e["jaccard"] >= 0) & (e["jaccard"] <= 1)).all()
+    assert (e["abs_err"] <= 4 / 16).all()
+
+
+def test_ann_recall_shape_and_multi_table_dominance(spark):
+    """One recall row per query, recall in [0, 1], and the 4-table LSH
+    candidate structure must not lose to single-table on mean recall —
+    the knob ann_lsh_multi exists to turn."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.similarity import (
+        LSH_TOPK,
+        QUERY_MOD,
+        ann_lsh_multi,
+        ann_recall,
+        ann_topk,
+    )
+    from hedera_spark.sources.tables import load_table
+
+    r = ann_recall(spark, SF_DIR).toPandas()
+    n_queries = (
+        load_table(spark, SF_DIR, "embeddings")
+        .where(F.col("vec_id") % QUERY_MOD == 0)
+        .count()
+    )
+    assert len(r) == n_queries
+    assert ((r["recall"] >= 0) & (r["recall"] <= 1)).all()
+    assert (r["n_hits"] <= r["n_approx"]).all()
+
+    # multi-table recall >= single-table recall (same exact baseline)
+    exact3 = (
+        ann_topk(spark, SF_DIR)
+        .where(F.col("rk") <= LSH_TOPK)
+        .select("q_id", "neighbor_id")
+        .toPandas()
+    )
+    multi3 = ann_lsh_multi(spark, SF_DIR).select("q_id", "neighbor_id").toPandas()
+    key = ["q_id", "neighbor_id"]
+    hits_multi = len(exact3.merge(multi3, on=key))
+    hits_single = int(r["n_hits"].sum())
+    assert hits_multi >= hits_single

@@ -32,6 +32,7 @@ from tests.conftest import SF_DIR
 ALLOWED_NESTED_LOOP = {
     "dedup_embedding",
     "ann_topk",
+    "ann_recall",  # measures ann_lsh AGAINST the ann_topk baseline
     "tpch_q11",
     "tpch_q22",
     "mix_weights",
