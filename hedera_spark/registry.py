@@ -2087,6 +2087,84 @@ def _kmeans_oracle() -> str:
 
 register("kmeans_embeddings", km.kmeans_embeddings, _kmeans_oracle())
 
+from hedera_spark.operators import bpe as bp  # noqa: E402
+
+
+def _bpe_ctes() -> tuple[str, str]:
+    """Shared unrolled-merge CTE chain for the BPE pair (train + apply):
+    v0 = char-wrapped vocab; per step i, p{i} counts adjacent pairs,
+    best{i} takes the argmax (integer count, string tie-break), v{i}
+    rewrites with the delimiter-wrapped replace. Returns (ctes, final_v).
+    """
+    steps = []
+    prev = "v0"
+    for i in range(1, bp.BPE_MERGES + 1):
+        steps.append(f"""
+    p{i} AS (
+      SELECT pr.l AS l, pr.r AS r, sum(freq) AS total FROM (
+        SELECT freq, unnest(list_transform(range(1, len(els)),
+                 i -> {{'l': els[i], 'r': els[i+1]}})) AS pr
+        FROM (SELECT freq, string_split(trim(syms, '|'), '||') AS els
+              FROM {prev})
+        WHERE len(els) >= 2
+      ) GROUP BY 1, 2
+    ),
+    best{i} AS (
+      SELECT l, r, total FROM p{i} ORDER BY total DESC, l, r LIMIT 1
+    ),
+    v{i} AS (
+      SELECT w, freq,
+             replace(syms, '|' || b.l || '||' || b.r || '|',
+                     '|' || b.l || b.r || '|') AS syms
+      FROM {prev}, best{i} b
+    )""")
+        prev = f"v{i}"
+    ctes = f"""
+    WITH wf AS (
+      SELECT tok AS w, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+    ),
+    v0 AS (
+      SELECT w, freq,
+             array_to_string(list_transform(range(1, len(w) + 1),
+               i -> '|' || substr(w, i, 1) || '|'), '') AS syms
+      FROM wf
+    ),
+    {",".join(steps)}
+    """
+    return ctes, prev
+
+
+_BPE_CTES, _BPE_FINAL_V = _bpe_ctes()
+
+register(
+    "bpe_train",
+    bp.bpe_train,
+    _BPE_CTES
+    + "".join(
+        f"""{"" if i == 1 else "UNION ALL "}
+    SELECT CAST({i} AS BIGINT) AS step, l AS left, r AS right,
+           l || r AS merged, CAST(total AS BIGINT) AS pair_count
+    FROM best{i}
+    """
+        for i in range(1, bp.BPE_MERGES + 1)
+    ),
+)
+
+register(
+    "bpe_apply",
+    bp.bpe_apply,
+    _BPE_CTES
+    + f"""
+    SELECT w, freq,
+           array_to_string(string_split(trim(syms, '|'), '||'), ' ') AS tokens,
+           CAST(len(string_split(trim(syms, '|'), '||')) AS BIGINT) AS n_tokens
+    FROM {_BPE_FINAL_V}
+    """,
+)
+
 register(
     "ann_recall",
     sim.ann_recall,

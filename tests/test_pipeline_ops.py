@@ -167,3 +167,38 @@ def test_ann_recall_shape_and_multi_table_dominance(spark):
     hits_multi = len(exact3.merge(multi3, on=key))
     hits_single = int(r["n_hits"].sum())
     assert hits_multi >= hits_single
+
+
+def test_bpe_train_and_apply_invariants(spark):
+    """The merge table is the greedy argmax chain and the applied
+    segmentation must losslessly reconstruct every word — checked against
+    an independent pure-Python replay of the merge rules."""
+    from hedera_spark.operators.bpe import BPE_MERGES, bpe_apply, bpe_train
+
+    merges = bpe_train(spark, SF_DIR).toPandas().sort_values("step")
+    assert list(merges["step"]) == list(range(1, BPE_MERGES + 1))
+    assert (merges["left"] + merges["right"] == merges["merged"]).all()
+    assert (merges["pair_count"] > 0).all()
+
+    applied = bpe_apply(spark, SF_DIR).toPandas()
+    rules = list(zip(merges["left"], merges["right"]))
+
+    def replay(word: str) -> list[str]:
+        syms = list(word)
+        for l, r in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for row in applied.itertuples():
+        toks = row.tokens.split(" ")
+        assert "".join(toks) == row.w  # lossless
+        assert row.n_tokens == len(toks)
+        assert toks == replay(row.w)  # exact greedy semantics
