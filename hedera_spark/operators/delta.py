@@ -1,0 +1,63 @@
+"""Corpus snapshot delta — incremental reprocessing classification.
+
+The reference's whole reason to exist is versioned corpora: its readers
+diff *revisions within one dump* (io/input/WikiRevisionDiffInputFormat.
+java). This operator is the corpus-level counterpart a pipeline runs
+between two crawl/dump snapshots: classify every document as added /
+removed / modified / unchanged, so downstream stages (dedup, indexing,
+training-set builds) re-run only on the delta instead of the full 100 TB.
+
+The second snapshot is synthesized deterministically from the first
+(md5-keyed subsets get dropped / edited / added — the same
+planted-mutation technique as anchor_from_markup and pii_redact, since
+the driver ships a single documents table); the CLASSIFIER is the real
+operator: one keyed full-outer join + row-local content compare.
+
+Scale: one shuffle on doc_id (both snapshot scans are map-side until
+the join); the compare is row-local. At 100 TB you'd substitute content
+md5s for raw text in the compare columns — same plan, narrower shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.tables import load_table
+
+_ADDED_ID_OFFSET = 100000000
+
+
+def _snapshot_v2(docs: DataFrame) -> DataFrame:
+    """Deterministic second snapshot: md5(text) last hex selects the
+    mutation — 0/1 removed, 2/3 edited, 4/5 cloned as new docs."""
+    base = docs.withColumn("h", F.substring(F.md5("text"), 32, 1))
+    kept = base.where(~F.col("h").isin("0", "1")).select(
+        "doc_id",
+        F.when(
+            F.col("h").isin("2", "3"), F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = base.where(F.col("h").isin("4", "5")).select(
+        (F.col("doc_id") + _ADDED_ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    return kept.unionByName(added)
+
+
+def corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, change_type) for every document in either snapshot:
+    added / removed / modified / unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.col("text").alias("t1"))
+    v2 = _snapshot_v2(docs).select("doc_id", F.col("text").alias("t2"))
+    return v1.join(v2, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("t1").isNull(), "added")
+        .when(F.col("t2").isNull(), "removed")
+        .when(F.col("t1") != F.col("t2"), "modified")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )

@@ -2165,6 +2165,33 @@ register(
     """,
 )
 
+from hedera_spark.operators import delta as dl  # noqa: E402
+
+register(
+    "corpus_delta",
+    dl.corpus_delta,
+    f"""
+    WITH b AS (
+      SELECT doc_id, text, substr(md5(text), 32, 1) AS h FROM documents
+    ),
+    v1 AS (SELECT doc_id, text AS t1 FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN h IN ('2', '3') THEN text || ' v2' ELSE text END AS t2
+      FROM b WHERE h NOT IN ('0', '1')
+      UNION ALL
+      SELECT doc_id + {dl._ADDED_ID_OFFSET}, 'new ' || text
+      FROM b WHERE h IN ('4', '5')
+    )
+    SELECT doc_id,
+           CASE WHEN t1 IS NULL THEN 'added'
+                WHEN t2 IS NULL THEN 'removed'
+                WHEN t1 <> t2 THEN 'modified'
+                ELSE 'unchanged' END AS change_type
+    FROM v1 FULL JOIN v2 USING (doc_id)
+    """,
+)
+
 register(
     "ann_recall",
     sim.ann_recall,

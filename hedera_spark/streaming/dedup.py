@@ -51,3 +51,36 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def stream_dedup_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static ANTI join: drop incoming events whose
+    (user_id, event_type, hour-of-day) behavior key already exists in
+    the historical log — the ingest-time "have we already crawled this"
+    filter, third of the three dedup shapes (unbounded state:
+    stream_dedup; watermark-bounded: stream_dedup_within_watermark;
+    against a static corpus: this).
+
+    The static side is planned per micro-batch and broadcast; no state
+    store at all — history membership is the static table's job (at
+    100 TB that side is a bloom-filter-compacted key table, same plan
+    shape). Replaying the post-cutoff stream and collecting equals the
+    batch anti join exactly (stateless, no watermark caveats)."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.sources.tables import load_table
+
+    cutoff = "2024-01-15"
+    hist = (
+        load_table(spark, sf_dir, "events")
+        .where(F.to_date("ts") < F.lit(cutoff))
+        .select("user_id", "event_type", F.hour("ts").alias("hr"))
+        .distinct()
+    )
+    return (
+        _event_stream(spark, sf_dir)
+        .where(F.to_date("ts") >= F.lit(cutoff))
+        .withColumn("hr", F.hour("ts"))
+        .join(F.broadcast(hist), ["user_id", "event_type", "hr"], "left_anti")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )

@@ -444,3 +444,40 @@ def test_rate_source_pv_hourly_equals_batch_reconstruction(spark):
     )
     assert len(want) > 0
     assert_frames_match(got, want, "stream_pv_hourly_rate")
+
+
+def test_stream_dedup_vs_history_equals_batch_anti_join(spark):
+    """The stream-static anti join replayed over the whole log must equal
+    the batch anti join row for row."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.dedup import stream_dedup_vs_history
+
+    q = (
+        stream_dedup_vs_history(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName("dedup_hist_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_hist_stream").toPandas()
+
+    ev = load_table(spark, SF_DIR, "events")
+    cutoff = "2024-01-15"
+    hist = (
+        ev.where(F.to_date("ts") < F.lit(cutoff))
+        .select("user_id", "event_type", F.hour("ts").alias("hr"))
+        .distinct()
+    )
+    want = (
+        ev.where(F.to_date("ts") >= F.lit(cutoff))
+        .withColumn("hr", F.hour("ts"))
+        .join(hist, ["user_id", "event_type", "hr"], "left_anti")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .toPandas()
+    )
+    assert len(want) > 0
+    assert_frames_match(got, want, "stream_dedup_vs_history")
