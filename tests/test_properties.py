@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): operator invariants over GENERATED
+corpora, not just the shipped testdata — the corpus shapes that break
+chunking/packing arithmetic (empty docs, 1-token docs, exact-boundary
+lengths) are exactly the ones a fixed synthetic corpus never contains."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _write_docs(tmpdir: str, texts: list[str]) -> str:
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["gen"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/documents.parquet")
+    return tmpdir
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=12)
+)
+def test_chunk_documents_covers_exactly(spark, tmp_path_factory, lengths):
+    """For any doc lengths (including 0, 1, and exact chunk boundaries):
+    chunks reconstruct the token stream exactly once after removing the
+    stride overlap, every chunk is <= CHUNK_SIZE tokens, and starts step
+    by CHUNK_STRIDE."""
+    from hedera_spark.operators.text_analysis import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    texts = [" ".join(f"t{i}_{j}" for j in range(n)) for i, n in enumerate(lengths)]
+    d = _write_docs(str(tmp_path_factory.mktemp("chunks")), texts)
+    rows = chunk_documents(spark, d).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if n == 0:
+            assert chunks == []
+            continue
+        toks = texts[i].split(" ")
+        for k, c in enumerate(chunks):
+            ctoks = c["chunk_text"].split(" ")
+            assert c["chunk_id"] == k
+            assert 1 <= c["n_tokens"] == len(ctoks) <= CHUNK_SIZE
+            start = k * CHUNK_STRIDE
+            assert ctoks == toks[start : start + CHUNK_SIZE]
+        # position coverage: every token index appears in >= 1 chunk and
+        # the chunk set spans exactly the document
+        covered = set()
+        for k, c in enumerate(chunks):
+            covered.update(
+                range(k * CHUNK_STRIDE, k * CHUNK_STRIDE + c["n_tokens"])
+            )
+        assert covered == set(range(n))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bpe_apply_reconstructs_any_corpus(spark, tmp_path_factory, words):
+    """BPE segmentation is lossless and greedy-consistent for arbitrary
+    small-alphabet corpora (where merge collisions are most brutal)."""
+    from hedera_spark.operators.bpe import bpe_apply, bpe_train
+
+    d = _write_docs(str(tmp_path_factory.mktemp("bpe")), [" ".join(words)])
+    merges = bpe_train(spark, d).toPandas().sort_values("step")
+    rules = list(zip(merges["left"], merges["right"]))
+    applied = bpe_apply(spark, d).toPandas()
+
+    def replay(word: str) -> list[str]:
+        syms = list(word)
+        for l, r in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    assert set(applied["w"]) == set(words)
+    for row in applied.itertuples():
+        toks = row.tokens.split(" ")
+        assert "".join(toks) == row.w
+        assert toks == replay(row.w)
