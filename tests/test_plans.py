@@ -135,3 +135,33 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     plan = formatted_plan(range_join_hot_windows(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Chunking must stay a single map-side pass — zero exchanges. The
+    guarantee that lets it run on 100 TB without a shuffle budget."""
+    from hedera_spark.operators.text_analysis import chunk_documents
+
+    plan = executed_plan(chunk_documents(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_corpus_delta_is_one_keyed_join(spark):
+    """Snapshot delta = one full-outer sort-merge join on doc_id (a full
+    outer can never broadcast) and nothing else join-shaped."""
+    from hedera_spark.operators.delta import corpus_delta
+
+    plan = executed_plan(corpus_delta(spark, SF_DIR))
+    assert plan.count("SortMergeJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    """The 1-row corpus stats and the 3-term df table must broadcast —
+    the per-doc length join is the only legitimate big shuffle."""
+    from hedera_spark.operators.ir import bm25_topk
+
+    plan = executed_plan(bm25_topk(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
