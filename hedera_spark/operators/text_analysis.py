@@ -572,3 +572,56 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", "c.chunk").alias("chunk_text"),
         )
     )
+
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality score (the CCNet/Wikipedia-LM filtering signal):
+    each document's mean add-one-smoothed bigram log-probability under
+    the corpus's OWN bigram model — documents whose word sequences are
+    atypical for the corpus score low and are filter candidates.
+    logp(w2|w1) = ln((c(w1,w2) + 1) / (ctx(w1) + V)), ctx = count of w1
+    as a bigram context, V = vocabulary size.
+
+    Plan shape (100 TB): the corpus is read once into the doc-bigram
+    stream; the bigram and context-count model tables are partial-agg
+    aggregates of that stream (|bigram-vocab|-bounded) joined back on
+    their keys; V is a 1-row broadcast. Per-doc averaging is one
+    partial-agg groupBy. No Python, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+        )
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS w1,"
+                    "             element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")))), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -2165,6 +2165,35 @@ register(
     """,
 )
 
+register(
+    "doc_perplexity",
+    ta.doc_perplexity,
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS pr
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c2.c2 + 1) / (c1.c1 + v.v))), 6) AS avg_logprob
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY doc_id
+    """,
+)
+
 from hedera_spark.operators import delta as dl  # noqa: E402
 
 register(

@@ -44,6 +44,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_keep_best",  # composes dedup_clusters (hot-shingle array)
     "corpus_select",
     "bm25_topk",  # 1-row (N, avgdl) corpus-stats broadcast
+    "doc_perplexity",  # 1-row vocabulary-size broadcast
     "kmeans_embeddings",  # K-row centroid broadcast, like ann_ivf
     "anchor_cooccur",
     "anchor_cooccur_temporal",
