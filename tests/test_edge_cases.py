@@ -86,3 +86,38 @@ def test_single_token_docs_shingle_safely(spark, tmp_path):
     assert per_doc.get(1) is None  # 1 token -> no shingles
     assert per_doc.get(2) is None  # 2 tokens -> no shingles
     assert per_doc[3] == 2  # 4 tokens -> 2 trigrams
+
+
+def test_r3_operators_on_degenerate_corpus(spark, tmp_path):
+    """Single 1-char-word corpus: zero BPE pairs (empty merge table, but
+    apply still segments), one 1-token chunk, no bigrams for the LM
+    score, and the delta classifier still covers the doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.operators.bpe import bpe_apply, bpe_train
+    from hedera_spark.operators.delta import corpus_delta
+    from hedera_spark.operators.text_analysis import (
+        chunk_documents,
+        doc_perplexity,
+    )
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["a"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["t"]),
+            "n_chars": pa.array([1], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    d = str(tmp_path)
+
+    assert bpe_train(spark, d).collect() == []
+    applied = bpe_apply(spark, d).collect()
+    assert len(applied) == 1 and applied[0]["tokens"] == "a"
+    chunks = chunk_documents(spark, d).collect()
+    assert len(chunks) == 1 and chunks[0]["n_tokens"] == 1
+    assert doc_perplexity(spark, d).collect() == []
+    assert corpus_delta(spark, d).count() >= 1
