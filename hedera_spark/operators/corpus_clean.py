@@ -1,0 +1,259 @@
+"""Group G.5 — corpus-level cleaning / accounting operators beyond the
+per-document gates (SURVEY.md §2.G): repeated-segment (line) removal,
+exact-substring duplicate pairs, vocabulary-growth accounting, tokenizer
+fertility.
+
+Motivated by the reference's corpus hygiene passes (the dedup/merge
+steps of pig/preprocess — sortRevisions.pig, checkRevisions.pig — clean
+the revision stream before analytics) re-expressed as the corpus-level
+cleaning a large-scale LLM training pipeline runs: MassiveText-style
+repeated-line removal, Lee-et-al-style exact substring dedup, Heaps-law
+vocabulary accounting, tokenizer-fit measurement.
+
+All pure `pyspark.sql.functions` compositions — zero Python in the row
+path. Scale notes per operator docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hedera_spark.sources.tables import load_table
+
+LINE_TOKENS = 8  # tokens per synthetic "line" segment (corpus has no \n)
+LINE_DF_CAP = 5  # segments appearing in more than this many docs are boilerplate
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+    ).where(F.size("toks") > 0)
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText/C4-style repeated-line removal at corpus granularity:
+    segment every document into fixed LINE_TOKENS-token "lines" (the
+    test corpus has no newlines, so segment boundaries stand in for
+    them), count each distinct segment's document frequency across the
+    corpus, and strip segments appearing in more than LINE_DF_CAP
+    documents — boilerplate (navigation chrome, license headers, cookie
+    banners) repeats across pages while body text does not.
+
+    Output per doc: segment count, removed-segment count, and the
+    reassembled text with boilerplate segments deleted (original
+    segment order preserved).
+
+    Plan shape (100 TB): the segment df aggregate shrinks map-side to
+    the distinct-segment universe; the boilerplate set (df > cap) is
+    small by construction and collapsed to a one-row array that is
+    BROADCAST, so the removal flag is map-side. Reassembly is one
+    groupBy doc_id over narrow (seg_id, seg) rows — a single shuffle of
+    the corpus, same cost class as any per-doc rebuild. No window, no
+    self-join.
+
+    Reference: the merge/clean passes of pig/preprocess/sortRevisions.pig
+    (stream hygiene before analytics), lifted to segment granularity.
+    """
+    segs = (
+        _doc_tokens(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.size("toks") - 1) / LINE_TOKENS).cast("int"),
+                    ),
+                    lambda i: F.struct(
+                        i.cast("long").alias("seg_id"),
+                        F.concat_ws(
+                            " ", F.slice("toks", i * LINE_TOKENS + 1, LINE_TOKENS)
+                        ).alias("seg"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.seg_id").alias("seg_id"), F.col("s.seg").alias("seg"))
+        .persist()
+    )
+    hot_row = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > LINE_DF_CAP)
+        .agg(F.collect_set("seg").alias("hot"))
+    )
+    flagged = segs.join(F.broadcast(hot_row)).select(
+        "doc_id",
+        "seg_id",
+        "seg",
+        F.coalesce(F.array_contains("hot", F.col("seg")), F.lit(False)).alias(
+            "is_boiler"
+        ),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_boiler"),
+                            F.struct(F.col("seg_id"), F.col("seg")),
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("kept_text"),
+    )
+
+
+SUBSTR_TOKENS = 16  # verbatim-overlap window length (Lee et al. use 50 BPE toks)
+SUBSTR_DF_CAP = 20  # windows in more than this many docs carry no pair signal
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): two documents are
+    substring-duplicates when they share a verbatim run of at least
+    SUBSTR_TOKENS tokens. Rolling SUBSTR_TOKENS-token windows are
+    hashed per doc (distinct), a document-frequency cap drops
+    boilerplate windows, and the surviving inverted index is self-joined
+    to count shared windows per pair — `n_shared` = number of distinct
+    common windows, a proxy for total duplicated span length.
+
+    Plan shape (100 TB): candidate generation is the inverted-index
+    join on window hashes — never all-pairs; the df cap bounds each
+    hash's join fan-out to SUBSTR_DF_CAP² pairs, the same guarantee
+    _jaccard_pairs documents for shingles. Windows travel as md5 hex
+    (narrow) — the 16-token text never shuffles.
+    """
+    wins = (
+        _doc_tokens(spark, sf_dir)
+        .where(F.size("toks") >= SUBSTR_TOKENS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size("toks") - (SUBSTR_TOKENS - 1)
+                        ),
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice("toks", i, SUBSTR_TOKENS))
+                        ),
+                    )
+                )
+            ).alias("h"),
+        )
+        .persist()
+    )
+    hot_row = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > SUBSTR_DF_CAP)
+        .agg(F.collect_set("h").alias("hot"))
+    )
+    kept = (
+        wins.join(F.broadcast(hot_row))
+        .where(~F.coalesce(F.array_contains("hot", F.col("h")), F.lit(False)))
+        .select("doc_id", "h")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+VOCAB_BUCKET_DOCS = 100  # crawl-order bucket width for the growth curve
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth accounting: walk the corpus in
+    crawl order (doc_id) in VOCAB_BUCKET_DOCS-document buckets and
+    report, per bucket, the token volume and the number of NEVER-SEEN-
+    BEFORE terms, plus running totals — the curve that says whether a
+    crawl is still contributing new vocabulary or re-crawling the same
+    content (flattening curve → diminishing data value).
+
+    Plan shape (100 TB): term first-occurrence is a |vocab|-bounded
+    min-aggregate; per-bucket token volume is a partial-agg groupBy.
+    The cumulative window runs over the BUCKET table only
+    (corpus/VOCAB_BUCKET_DOCS rows — thousands, not billions), so the
+    unpartitioned window is driver-trivial by construction, the same
+    bounded-table argument dictionary() makes for its vocab sort.
+    """
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    per_bucket = (
+        toks.groupBy(
+            F.floor(F.col("doc_id") / VOCAB_BUCKET_DOCS).cast("long").alias("bucket")
+        )
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("bucket_tokens"),
+        )
+    )
+    new_terms = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(
+            F.floor(F.col("first_doc") / VOCAB_BUCKET_DOCS)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_terms, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "bucket_tokens",
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .withColumn("cum_tokens", F.sum("bucket_tokens").over(w).cast("long"))
+        .withColumn("cum_vocab", F.sum("new_terms").over(w).cast("long"))
+    )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit accounting per language: regex-subword tokens per
+    whitespace word (fertility — the multiplier a BPE-ish pre-tokenizer
+    pays over word count) and characters per whitespace token. High
+    fertility for a language means the tokenizer fragments it and its
+    effective context window shrinks — the dashboard number multilingual
+    data mixes are balanced against.
+
+    Plan shape: token counts are row-local array sizes; one partial-agg
+    groupBy on lang (5 groups). Map-only + trivial shuffle at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("ws"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+', 0)"))
+        .cast("long")
+        .alias("re"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("re").alias("re_tokens"),
+        F.round(F.sum("re") / F.sum("ws"), 6).alias("fertility"),
+        F.round(F.sum("chars") / F.sum("ws"), 6).alias("chars_per_token"),
+    )

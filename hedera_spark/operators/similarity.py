@@ -385,3 +385,40 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF probe against the exact top-3 — the same
+    measured dial ann_recall reads for the LSH probe, pointed at the
+    inverted-file structure instead. Together the two recall operators
+    make every approximate ANN path in the repo a measured trade-off:
+    K/CENTROID_MOD/nprobe tune against THIS number.
+
+    Plan shape: reuses the audited ann_ivf and ann_topk plans; the
+    comparison adds only |queries|-bounded joins on (q_id, neighbor_id).
+    A query whose cell holds no other vector scores recall 0, not a
+    dropped row (left joins from the exact side)."""
+    exact3 = (
+        ann_topk(spark, sf_dir)
+        .where(F.col("rk") <= IVF_TOPK)
+        .select("q_id", "neighbor_id")
+    )
+    approx = ann_ivf(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = approx.join(exact3, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_approx = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        exact3.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(n_approx, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

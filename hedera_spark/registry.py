@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from hedera_spark.operators import anchors as anc
+from hedera_spark.operators import corpus_clean as cc
 from hedera_spark.operators import dedup
 from hedera_spark.operators import functions_queries as fq
 from hedera_spark.operators import ir
@@ -2328,6 +2329,167 @@ register(
     FROM common c
     JOIN n na ON na.doc_id = c.doc_a
     JOIN n nb ON nb.doc_id = c.doc_b
+    """,
+)
+
+# --- Group G.5: corpus-level cleaning / accounting (round-3 wave 2) ---------
+
+register(
+    "line_dedup",
+    cc.line_dedup,
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+      SELECT doc_id, i AS seg_id,
+             array_to_string(toks[(i*{cc.LINE_TOKENS}+1):(i*{cc.LINE_TOKENS}+{cc.LINE_TOKENS})], ' ') AS seg
+      FROM t, unnest(generate_series(0,
+               CAST(floor((len(toks)-1)/{cc.LINE_TOKENS}.0) AS BIGINT))) AS s(i)
+      WHERE len(toks) > 0
+    ),
+    hot AS (
+      SELECT seg FROM segs GROUP BY seg
+      HAVING count(DISTINCT doc_id) > {cc.LINE_DF_CAP}
+    ),
+    flagged AS (
+      SELECT doc_id, seg_id, seg, seg IN (SELECT seg FROM hot) AS is_boiler
+      FROM segs
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg END,
+                               ' ' ORDER BY seg_id), '') AS kept_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+
+register(
+    "dedup_substring",
+    cc.dedup_substring,
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    wins AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i:(i+{cc.SUBSTR_TOKENS}-1)], ' ') AS w
+      FROM t, unnest(generate_series(1, len(toks) - {cc.SUBSTR_TOKENS - 1})) AS s(i)
+      WHERE len(toks) >= {cc.SUBSTR_TOKENS}
+    ),
+    kept AS (
+      SELECT doc_id, w FROM wins
+      WHERE w IN (SELECT w FROM wins GROUP BY w
+                  HAVING count(*) <= {cc.SUBSTR_DF_CAP})
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "vocab_growth",
+    cc.vocab_growth,
+    f"""
+    WITH tk AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    pb AS (
+      SELECT CAST(floor(doc_id / {cc.VOCAB_BUCKET_DOCS}) AS BIGINT) AS bucket,
+             count(DISTINCT doc_id) AS n_docs, count(*) AS bucket_tokens
+      FROM tk GROUP BY 1
+    ),
+    nt AS (
+      SELECT CAST(floor(min_doc / {cc.VOCAB_BUCKET_DOCS}) AS BIGINT) AS bucket,
+             count(*) AS new_terms
+      FROM (SELECT tok, min(doc_id) AS min_doc FROM tk GROUP BY tok)
+      GROUP BY 1
+    )
+    SELECT pb.bucket, CAST(pb.n_docs AS BIGINT) AS n_docs,
+           CAST(pb.bucket_tokens AS BIGINT) AS bucket_tokens,
+           CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms,
+           CAST(sum(pb.bucket_tokens) OVER (ORDER BY pb.bucket) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY pb.bucket) AS BIGINT)
+             AS cum_vocab
+    FROM pb LEFT JOIN nt USING (bucket)
+    """,
+)
+
+register(
+    "tokenizer_fertility",
+    cc.tokenizer_fertility,
+    r"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT) AS re_tokens,
+           round(sum(len(regexp_extract_all(text, '\w+')))::DOUBLE
+                 / sum(len(string_split(text, ' '))), 6) AS fertility,
+           round(sum(length(text))::DOUBLE
+                 / sum(len(string_split(text, ' '))), 6) AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+
+register(
+    "ivf_recall",
+    sim.ivf_recall,
+    f"""
+    WITH {_EMB_NORM},
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+      FROM e WHERE vec_id % {sim.CENTROID_MOD} = 1
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, e.nrm, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COS.format(A='e.embedding', B='cent.cemb', NA='e.nrm', NB='cent.cnrm')} DESC,
+                        cent.cid
+             ) AS crk
+      FROM e CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, nrm, cid FROM assign WHERE crk = 1),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cid
+      FROM cells WHERE vec_id % {sim.QUERY_MOD} = 0
+    ),
+    exact3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_COS.format(A='q.q_emb', B='e.embedding',
+                                       NA='q.q_nrm', NB='e.nrm')} DESC,
+                          e.vec_id) AS rk
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rk <= {sim.IVF_TOPK}
+    ),
+    ivf3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_COS.format(A='q.q_emb', B='c.embedding',
+                                       NA='q.q_nrm', NB='c.nrm')} DESC,
+                          c.vec_id) AS rk
+        FROM q JOIN cells c ON c.cid = q.cid AND c.vec_id <> q.q_id
+      ) WHERE rk <= {sim.IVF_TOPK}
+    ),
+    ne AS (SELECT q_id, count(*) AS n_exact FROM exact3 GROUP BY 1),
+    na AS (SELECT q_id, count(*) AS n_approx FROM ivf3 GROUP BY 1),
+    nh AS (
+      SELECT l.q_id, count(*) AS n_hits
+      FROM ivf3 l JOIN exact3 x USING (q_id, neighbor_id)
+      GROUP BY 1
+    )
+    SELECT ne.q_id,
+           CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(nh.n_hits, 0) / ne.n_exact, 6) AS recall
+    FROM ne
+    LEFT JOIN na USING (q_id)
+    LEFT JOIN nh USING (q_id)
     """,
 )
 

@@ -50,6 +50,9 @@ ALLOWED_NESTED_LOOP = {
     "anchor_cooccur_temporal",
     "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast
+    "line_dedup",  # 1-row boilerplate-segment array broadcast
+    "dedup_substring",  # 1-row hot-window array broadcast
+    "ivf_recall",  # measures ann_ivf AGAINST the ann_topk baseline
 }
 
 # the four designed Arrow escape hatches (mapInPandas / applyInPandas /
