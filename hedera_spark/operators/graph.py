@@ -90,6 +90,93 @@ def pagerank_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def hits_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg) over the co-mention graph,
+    directed from the more-generic anchor to the more-specific one
+    (higher document frequency → lower; df ties broken lexicographically)
+    — generic terms act as hubs pointing at the specific entities they
+    co-occur with, so authority surfaces the entities, hub the
+    connectors. PageRank's companion ranking on the entityrelation.pig
+    graph (pagerank_anchors ranks by stationary visit mass; HITS by
+    mutual hub/authority reinforcement).
+
+    Determinism: unnormalized power iteration on INTEGER edge weights —
+    auth₁ = AᵀW·1, hub₁ = W·auth₁, auth₂ = AᵀW·hub₁ are exact BIGINT
+    sums (the per-iteration scalar normalization cancels from the
+    ranking, so dropping it trades bounded magnitude for bit-exact
+    cross-engine agreement; production would rescale each round).
+    Final scores divide by the exact integer maxima — one double
+    division per node.
+
+    Scale (100 TB): two broadcast df-joins to orient the edges, then
+    each half-step is one equality join + one partial-agg shuffle on a
+    node key — identical layout to pagerank_anchors, fixed depth 3, no
+    driver-side collect (the maxima are 1-row broadcast aggregates)."""
+    from hedera_spark.operators.anchors import _doc_tokens, anchor_cooccur
+
+    df_ = (
+        _doc_tokens(spark, sf_dir, distinct=True)
+        .groupBy("anchor")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    pairs = (
+        anchor_cooccur(spark, sf_dir)
+        .join(
+            F.broadcast(df_.select(F.col("anchor").alias("a1"), F.col("df").alias("df1"))),
+            "a1",
+        )
+        .join(
+            F.broadcast(df_.select(F.col("anchor").alias("a2"), F.col("df").alias("df2"))),
+            "a2",
+        )
+    )
+    fwd = (F.col("df1") > F.col("df2")) | (
+        (F.col("df1") == F.col("df2")) & (F.col("a1") < F.col("a2"))
+    )
+    edges = pairs.select(
+        F.when(fwd, F.col("a1")).otherwise(F.col("a2")).alias("src"),
+        F.when(fwd, F.col("a2")).otherwise(F.col("a1")).alias("dst"),
+        F.col("n_docs").alias("w"),
+    ).persist()
+    auth1 = edges.groupBy("dst").agg(F.sum("w").alias("auth1"))
+    hub1 = (
+        edges.join(auth1, "dst")
+        .groupBy("src")
+        .agg(F.sum(F.col("w") * F.col("auth1")).alias("hub1"))
+    )
+    auth2 = (
+        edges.join(hub1, "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("w") * F.col("hub1")).alias("auth2"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("anchor"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    maxima = auth2.agg(F.max("auth2").alias("max_a")).crossJoin(
+        hub1.agg(F.max("hub1").alias("max_h"))
+    )
+    out = (
+        nodes.join(auth2, nodes["anchor"] == auth2["dst"], "left")
+        .join(hub1, nodes["anchor"] == hub1["src"], "left")
+        .crossJoin(F.broadcast(maxima))
+        .select(
+            "anchor",
+            F.round(F.coalesce(F.col("auth2"), F.lit(0)) / F.col("max_a"), 8).alias(
+                "authority"
+            ),
+            F.round(F.coalesce(F.col("hub1"), F.lit(0)) / F.col("max_h"), 8).alias(
+                "hub"
+            ),
+        )
+    )
+    # edges stays persisted (read by all five sub-plans of the lazy
+    # result); dropped with the session/cache like dedup.py's signature
+    # table — an eager unpersist here would force 5x recomputation
+    return out
+
+
 def anchor_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation strength for co-mentioned anchor pairs: lift =
     P(a,b) / (P(a)·P(b)) over documents — PMI without the log, kept as a

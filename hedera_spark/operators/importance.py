@@ -1,0 +1,130 @@
+"""Data-selection scoring — DSIR importance weights and CCNet buckets.
+
+Two published data-selection recipes for LLM training corpora, expressed
+as pure DataFrame aggregations over the `documents` table:
+
+- ``dsir_weights``: hashed n-gram importance resampling (Xie et al. 2023,
+  "Data Selection for Language Models via Importance Resampling") — score
+  every document by the log-likelihood ratio of a *target* hashed-unigram
+  distribution (here: the English slice of the corpus) against the full
+  *source* corpus distribution. High-weight documents "look like" the
+  target domain and are preferred when subsampling the crawl.
+- ``ccnet_buckets``: the CCNet head/middle/tail split (Wenzek et al.
+  2020) — per-language perplexity terciles under the corpus's own bigram
+  LM (operators/text_analysis.doc_perplexity); `head` is the most fluent
+  third, `tail` the least, which is exactly the CCNet quality gate.
+
+Reference parity: the reference's corpus curation is time/namespace
+sampling (python/sample-by-year.py, WikiRevisionInputFormat SKIP_*
+switches); these operators are the modern statistical counterparts the
+BASELINE mandates for the LLM-pipeline family.
+
+Scale (100 TB): dsir's model is a FIXED 512-bucket table — two partial
+aggregations bounded by the bucket count, broadcast back over the
+per-document bucket counts; the corpus token stream is read once and
+never shuffled except by (doc_id, bucket). ccnet_buckets needs a
+per-language rank: language cardinality is small and fixed, so the
+per-lang window is the per-shard sort CCNet itself performs; at extreme
+skew replace ntile with pre-computed percentile cut-points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.tables import load_table
+
+DSIR_BUCKETS = 512
+DSIR_TARGET_LANG = "en"
+
+
+def _hashed_tokens(docs: DataFrame) -> DataFrame:
+    """Token occurrences with their hashed feature bucket (md5 prefix —
+    the deterministic cross-engine hash used repo-wide)."""
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return toks.withColumn(
+        "bucket",
+        (F.conv(F.substring(F.md5("tok"), 1, 3), 16, 10).cast("long") % DSIR_BUCKETS),
+    )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: mean hashed-unigram
+    log-likelihood ratio  avg_tok[ ln p_tgt(b) - ln p_src(b) ]  with
+    add-one smoothing over 512 md5 buckets; target = the ``en`` slice,
+    source = the whole corpus. Positive = target-like.
+
+    Determinism: the per-document sum is a sorted-by-bucket left fold
+    (F.aggregate), matching the oracle's ordered list_reduce, so the
+    double summation order is engine-independent; the only cross-engine
+    exposure is ln() itself, absorbed by round(...,6)."""
+    feat = _hashed_tokens(load_table(spark, sf_dir, "documents"))
+    per_doc = feat.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    src = feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("sc"))
+    tgt = (
+        feat.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    totals = feat.agg(
+        F.count(F.lit(1)).alias("ts"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)).otherwise(F.lit(0))
+        ).alias("tt"),
+    )
+    model = (
+        src.join(tgt, "bucket", "left")
+        .na.fill({"tc": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("tc") + 1) / (F.col("tt") + DSIR_BUCKETS))
+                - F.log((F.col("sc") + 1) / (F.col("ts") + DSIR_BUCKETS))
+            ).alias("llr"),
+        )
+    )
+    contrib = per_doc.join(F.broadcast(model), "bucket").groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bucket"), (F.col("cnt") * F.col("llr")).alias("v")))
+        ).alias("parts"),
+    )
+    return contrib.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.aggregate(
+                "parts", F.lit(0.0).cast("double"), lambda acc, s: acc + s["v"]
+            )
+            / F.col("n_tokens"),
+            6,
+        ).alias("dsir_logw"),
+    )
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per-language perplexity terciles of the
+    bigram-LM score (doc_perplexity.avg_logprob, higher = more fluent).
+    ntile(3) ordered by (avg_logprob DESC, doc_id) — standard balanced
+    terciles, identical tie handling in Spark and DuckDB."""
+    from hedera_spark.operators.text_analysis import doc_perplexity
+
+    lp = doc_perplexity(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    return (
+        lp.join(docs, "doc_id")
+        .withColumn("tercile", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("tercile")
+            ).alias("bucket"),
+        )
+    )

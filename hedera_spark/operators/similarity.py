@@ -422,3 +422,95 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+PQ_M = 8  # subspaces
+PQ_DIM = 8  # dims per subspace (PQ_M * PQ_DIM = 64, the embedding width)
+
+
+def _l2sq(a, b) -> Column:
+    """Squared L2 distance as a sequential left fold (cross-engine exact:
+    float->double casts, fixed order, no rounding needed)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-3 (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): vectors are compressed to PQ_M
+    per-subspace codebook entries (the 100 TB memory play — 8 codes ≈
+    8 bytes instead of 256 bytes per vector), candidates come from the
+    query's own IVF cell (nprobe=1, as ann_ivf), and ranking uses the
+    asymmetric distance (exact query vs RECONSTRUCTED candidate — here
+    literally materialized as the decoded vector, which is the
+    lookup-table ADC sum in distance terms).
+
+    Codebook: the subvectors of the deterministic centroid sample
+    (vec_id % CENTROID_MOD == 1) — the stand-in for a trained per-subspace
+    k-means, same policy as ann_ivf's coarse quantizer, keeping every
+    step oracle-checkable.
+
+    Plan: encode = one broadcast cross join (vectors × codebook ×
+    subspace rows) reduced by a (vec_id, m) min_by partial agg — never a
+    shuffle of the corpus beyond the (vec_id, m) key; decode = ordered
+    array flatten; probe = one equality join on the IVF cell id."""
+    cells = _ivf_cells(spark, sf_dir)  # vec_id, cid, embedding, nrm
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") % CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("ccid"), F.col("embedding").alias("cemb")
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    subs = emb.select("vec_id", ms, "embedding").select(
+        "vec_id",
+        "m",
+        F.slice("embedding", F.col("m") * PQ_DIM + 1, PQ_DIM).alias("subv"),
+    )
+    csubs = cents.select("ccid", ms, "cemb").select(
+        "ccid",
+        "m",
+        F.slice("cemb", F.col("m") * PQ_DIM + 1, PQ_DIM).alias("csub"),
+    )
+    scored = subs.join(F.broadcast(csubs), "m").select(
+        "vec_id",
+        "m",
+        "ccid",
+        "csub",
+        _l2sq(F.col("subv"), F.col("csub")).alias("d"),
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min_by(
+            "csub", F.struct(F.col("d").alias("d"), F.col("ccid").alias("c"))
+        ).alias("bsub")
+    )
+    recon = best.groupBy("vec_id").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("m"), F.col("bsub")))
+                ),
+                lambda s: s["bsub"],
+            )
+        ).alias("recon")
+    )
+    q = cells.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "cid"
+    )
+    cand = cells.select("vec_id", "cid").join(recon, "vec_id")
+    pairs = q.join(cand, "cid").where(F.col("vec_id") != F.col("q_id"))
+    scored_q = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_l2sq(F.col("q_emb"), F.col("recon")), 6).alias("adist"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return scored_q.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= IVF_TOPK
+    )

@@ -285,3 +285,51 @@ def pv_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id("event_type", "day").cast("long").alias("gid"),
         )
     )
+
+
+def pv_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the per-entity daily series:
+    each (entity, day) count is scored against the trailing 7-observation
+    window (current day inclusive). Spike/drop days with |z| >= 2 are
+    flagged — the alerting face of the pageview-rollup family (the
+    short-term-series use case BuildShortTermTS.java feeds).
+
+    Determinism: the window statistics are EXACT-INTEGER sums (n, Σx,
+    Σx²), so mean = Σx/n and the sample variance
+    (n·Σx² − (Σx)²) / (n·(n−1)) are single double divisions of
+    bit-identical integers; z adds one sqrt (correctly rounded IEEE) and
+    one division — no accumulation-order exposure at all.
+
+    Scale: one shuffle to the daily aggregate (partial agg bounds it at
+    |entities|×|days|), then one window over the same entity key — the
+    sort is per-entity over the tiny daily series, never over raw
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    stats = daily.select(
+        "user_id",
+        "day",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+    ).where(F.col("n") >= 4)
+    varx = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")) / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    z = F.when(varx > 0, (F.col("cnt") - F.col("s") / F.col("n")) / F.sqrt(varx))
+    return stats.select(
+        "user_id",
+        "day",
+        "cnt",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean_7"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) >= 2.0).alias("is_anomaly"),
+    )

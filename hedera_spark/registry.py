@@ -2493,6 +2493,247 @@ register(
     """,
 )
 
+from hedera_spark.operators import importance as imp  # noqa: E402
+
+_DSIR_B = imp.DSIR_BUCKETS
+
+register(
+    "dsir_weights",
+    imp.dsir_weights,
+    f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tok), 1, 3))::BIGINT % {_DSIR_B} AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    per_doc AS (
+      SELECT doc_id, bucket, count(*) AS cnt FROM feat GROUP BY 1, 2
+    ),
+    src AS (SELECT bucket, count(*) AS sc FROM feat GROUP BY 1),
+    tgt AS (
+      SELECT bucket, count(*) AS tc FROM feat
+      WHERE lang = '{imp.DSIR_TARGET_LANG}' GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS ts,
+             sum(CASE WHEN lang = '{imp.DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tt
+      FROM feat
+    ),
+    model AS (
+      SELECT s.bucket,
+             ln((coalesce(t.tc, 0) + 1) / (tot.tt + {_DSIR_B}))
+               - ln((s.sc + 1) / (tot.ts + {_DSIR_B})) AS llr
+      FROM src s LEFT JOIN tgt t USING (bucket), tot
+    ),
+    contrib AS (
+      SELECT p.doc_id,
+             CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+             list(p.cnt * m.llr ORDER BY p.bucket) AS parts
+      FROM per_doc p JOIN model m USING (bucket)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(list_reduce(parts, (a, b) -> a + b) / n_tokens, 6) AS dsir_logw
+    FROM contrib
+    """,
+)
+
+_PPL_CTES = """
+    t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> {'w1': toks[i], 'w2': toks[i+1]})) AS pr
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM t)
+    ),
+    lp AS (
+      SELECT doc_id, round(avg(ln((c2.c2 + 1) / (c1.c1 + v.v))), 6) AS avg_logprob
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+      GROUP BY doc_id
+    )
+"""
+
+register(
+    "ccnet_buckets",
+    imp.ccnet_buckets,
+    f"""
+    WITH {_PPL_CTES}
+    SELECT doc_id, lang, avg_logprob,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+    FROM (
+      SELECT lp.doc_id, d.lang, lp.avg_logprob,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY lp.avg_logprob DESC, lp.doc_id) AS tercile
+      FROM lp JOIN documents d ON d.doc_id = lp.doc_id
+    )
+    """,
+)
+
+_L2SQ = (
+    "list_reduce(list_transform(list_zip({A}, {B}),"
+    " x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),"
+    " (a, b) -> a + b)"
+)
+
+register(
+    "ann_pq",
+    sim.ann_pq,
+    f"""
+    WITH {_EMB_NORM},
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+      FROM e WHERE vec_id % {sim.CENTROID_MOD} = 1
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, e.nrm, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COS.format(A='e.embedding', B='cent.cemb', NA='e.nrm', NB='cent.cnrm')} DESC,
+                        cent.cid
+             ) AS crk
+      FROM e CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, nrm, cid FROM assign WHERE crk = 1),
+    subs AS (
+      SELECT vec_id, t.range AS m,
+             list_slice(embedding, t.range * {sim.PQ_DIM} + 1,
+                        t.range * {sim.PQ_DIM} + {sim.PQ_DIM}) AS subv
+      FROM embeddings, range(0, {sim.PQ_M}) t
+    ),
+    csubs AS (
+      SELECT cid AS ccid, t.range AS m,
+             list_slice(cemb, t.range * {sim.PQ_DIM} + 1,
+                        t.range * {sim.PQ_DIM} + {sim.PQ_DIM}) AS csub
+      FROM cent, range(0, {sim.PQ_M}) t
+    ),
+    enc AS (
+      SELECT s.vec_id, s.m, c.ccid, c.csub,
+             {_L2SQ.format(A='s.subv', B='c.csub')} AS d
+      FROM subs s JOIN csubs c USING (m)
+    ),
+    best AS (
+      SELECT vec_id, m, csub FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d, ccid) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT vec_id, flatten(list(csub ORDER BY m)) AS recon
+      FROM best GROUP BY 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, cid
+      FROM cells WHERE vec_id % {sim.QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT c.vec_id, c.cid, r.recon FROM cells c JOIN recon r USING (vec_id)
+    ),
+    scored_q AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             round({_L2SQ.format(A='q.q_emb', B='c.recon')}, 6) AS adist
+      FROM q JOIN cand c ON c.cid = q.cid AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, adist, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY adist, neighbor_id) AS rk
+      FROM scored_q
+    ) WHERE rk <= {sim.IVF_TOPK}
+    """,
+)
+
+register(
+    "pv_anomaly",
+    ts.pv_anomaly,
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id, day, cnt,
+             count(*) OVER w AS n,
+             sum(cnt) OVER w AS s,
+             sum(cnt * cnt) OVER w AS ss
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, day, cnt,
+           round(s / n, 6) AS mean_7,
+           round(CASE WHEN n * ss - s * s > 0
+                      THEN (cnt - s / n)
+                           / sqrt((n * ss - s * s) / (n * (n - 1)))
+                 END, 6) AS z_score,
+           coalesce(abs(CASE WHEN n * ss - s * s > 0
+                             THEN (cnt - s / n)
+                                  / sqrt((n * ss - s * s) / (n * (n - 1)))
+                        END) >= 2.0, FALSE) AS is_anomaly
+    FROM stats WHERE n >= 4
+    """,
+)
+
+register(
+    "hits_anchors",
+    gr.hits_anchors,
+    f"""
+    WITH {_CTOKS},
+    dfq AS (SELECT anchor, count(*) AS df FROM dtoks GROUP BY 1),
+    pairs AS (
+      SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
+      FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    edges AS (
+      SELECT CASE WHEN d1.df > d2.df OR (d1.df = d2.df AND p.a1 < p.a2)
+                  THEN p.a1 ELSE p.a2 END AS src,
+             CASE WHEN d1.df > d2.df OR (d1.df = d2.df AND p.a1 < p.a2)
+                  THEN p.a2 ELSE p.a1 END AS dst,
+             p.n_docs AS w
+      FROM pairs p
+      JOIN dfq d1 ON p.a1 = d1.anchor
+      JOIN dfq d2 ON p.a2 = d2.anchor
+    ),
+    auth1 AS (SELECT dst, sum(w) AS auth1 FROM edges GROUP BY 1),
+    hub1 AS (
+      SELECT e.src, sum(e.w * a.auth1) AS hub1
+      FROM edges e JOIN auth1 a ON e.dst = a.dst GROUP BY 1
+    ),
+    auth2 AS (
+      SELECT e.dst, sum(e.w * h.hub1) AS auth2
+      FROM edges e JOIN hub1 h ON e.src = h.src GROUP BY 1
+    ),
+    nodes AS (
+      SELECT src AS anchor FROM edges UNION SELECT dst FROM edges
+    ),
+    maxima AS (
+      SELECT (SELECT max(auth2) FROM auth2) AS max_a,
+             (SELECT max(hub1) FROM hub1) AS max_h
+    )
+    SELECT n.anchor,
+           round(coalesce(a.auth2, 0) / mx.max_a, 8) AS authority,
+           round(coalesce(h.hub1, 0) / mx.max_h, 8) AS hub
+    FROM nodes n
+    LEFT JOIN auth2 a ON n.anchor = a.dst
+    LEFT JOIN hub1 h ON n.anchor = h.src, maxima mx
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -2584,6 +2825,14 @@ _DEMOTED_STABLE = [
     "tfidf_topk",
     "shingle_count",
     "top_terms_per_lang",
+    # round 3 second wave: make room for dsir_weights / ccnet_buckets /
+    # ann_pq / pv_anomaly / hits_anchors (all new this round) — these
+    # five are r2-green and untouched since their last driver check
+    "term_stats",
+    "pv_daily",
+    "ts_vector",
+    "value_percentiles",
+    "cohort_retention",
 ]
 
 

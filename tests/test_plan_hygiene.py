@@ -53,6 +53,10 @@ ALLOWED_NESTED_LOOP = {
     "line_dedup",  # 1-row boilerplate-segment array broadcast
     "dedup_substring",  # 1-row hot-window array broadcast
     "ivf_recall",  # measures ann_ivf AGAINST the ann_topk baseline
+    "dsir_weights",  # 1-row corpus-totals broadcast
+    "ccnet_buckets",  # composes doc_perplexity (1-row vocab-size broadcast)
+    "ann_pq",  # centroid-set broadcast, like ann_ivf
+    "hits_anchors",  # 1-row integer maxima broadcast
 }
 
 # the four designed Arrow escape hatches (mapInPandas / applyInPandas /
