@@ -426,6 +426,10 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_M = 8  # subspaces
 PQ_DIM = 8  # dims per subspace (PQ_M * PQ_DIM = 64, the embedding width)
+PQ_K = 32  # codebook entries per subspace — FIXED size, independent of
+# corpus scale: the codebook must stay broadcastable at 100 TB (a
+# %-of-corpus sample would not be), exactly like a trained 256-entry
+# PQ codebook is fixed-size regardless of training-set size
 
 
 def _l2sq(a, b) -> Column:
@@ -453,10 +457,11 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     literally materialized as the decoded vector, which is the
     lookup-table ADC sum in distance terms).
 
-    Codebook: the subvectors of the deterministic centroid sample
-    (vec_id % CENTROID_MOD == 1) — the stand-in for a trained per-subspace
-    k-means, same policy as ann_ivf's coarse quantizer, keeping every
-    step oracle-checkable.
+    Codebook: the subvectors of the first PQ_K vectors by id — a
+    deterministic FIXED-SIZE sample standing in for a trained
+    per-subspace k-means (same policy as ann_ivf's coarse quantizer),
+    keeping every step oracle-checkable; fixed size is what keeps the
+    codebook broadcastable independent of corpus scale.
 
     Plan: encode = one broadcast cross join (vectors × codebook ×
     subspace rows) reduced by a (vec_id, m) min_by partial agg — never a
@@ -464,7 +469,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     array flatten; probe = one equality join on the IVF cell id."""
     cells = _ivf_cells(spark, sf_dir)  # vec_id, cid, embedding, nrm
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.where(F.col("vec_id") % CENTROID_MOD == 1).select(
+    cents = emb.where(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("ccid"), F.col("embedding").alias("cemb")
     )
     ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
@@ -513,4 +518,37 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     return scored_q.withColumn("rk", F.row_number().over(w).cast("long")).where(
         F.col("rk") <= IVF_TOPK
+    )
+
+
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF-PQ probe against the exact top-3 — the third
+    measured ANN dial (ann_recall: LSH; ivf_recall: IVF; this: PQ), so
+    the quantization loss of the 8-byte codes is itself a measured
+    number, separable from the IVF cell-miss loss ivf_recall isolates
+    (same candidate set, coarser distances). Plan shape: reuses the
+    audited ann_pq and ann_topk plans plus |queries|-bounded joins."""
+    exact3 = (
+        ann_topk(spark, sf_dir)
+        .where(F.col("rk") <= IVF_TOPK)
+        .select("q_id", "neighbor_id")
+    )
+    approx = ann_pq(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = approx.join(exact3, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_approx = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        exact3.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(n_approx, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
     )

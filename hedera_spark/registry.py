@@ -2615,10 +2615,11 @@ register(
       FROM embeddings, range(0, {sim.PQ_M}) t
     ),
     csubs AS (
-      SELECT cid AS ccid, t.range AS m,
-             list_slice(cemb, t.range * {sim.PQ_DIM} + 1,
+      SELECT vec_id AS ccid, t.range AS m,
+             list_slice(embedding, t.range * {sim.PQ_DIM} + 1,
                         t.range * {sim.PQ_DIM} + {sim.PQ_DIM}) AS csub
-      FROM cent, range(0, {sim.PQ_M}) t
+      FROM embeddings, range(0, {sim.PQ_M}) t
+      WHERE vec_id < {sim.PQ_K}
     ),
     enc AS (
       SELECT s.vec_id, s.m, c.ccid, c.csub,
@@ -2653,6 +2654,101 @@ register(
                                    ORDER BY adist, neighbor_id) AS rk
       FROM scored_q
     ) WHERE rk <= {sim.IVF_TOPK}
+    """,
+)
+
+register(
+    "pq_recall",
+    sim.pq_recall,
+    f"""
+    WITH {_EMB_NORM},
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cemb, cnrm FROM (
+        SELECT vec_id, embedding, nrm AS cnrm FROM e
+        WHERE vec_id % {sim.CENTROID_MOD} = 1
+      )
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, e.nrm, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COS.format(A='e.embedding', B='cent.cemb', NA='e.nrm', NB='cent.cnrm')} DESC,
+                        cent.cid
+             ) AS crk
+      FROM e CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, nrm, cid FROM assign WHERE crk = 1),
+    subs AS (
+      SELECT vec_id, t.range AS m,
+             list_slice(embedding, t.range * {sim.PQ_DIM} + 1,
+                        t.range * {sim.PQ_DIM} + {sim.PQ_DIM}) AS subv
+      FROM embeddings, range(0, {sim.PQ_M}) t
+    ),
+    csubs AS (
+      SELECT vec_id AS ccid, t.range AS m,
+             list_slice(embedding, t.range * {sim.PQ_DIM} + 1,
+                        t.range * {sim.PQ_DIM} + {sim.PQ_DIM}) AS csub
+      FROM embeddings, range(0, {sim.PQ_M}) t
+      WHERE vec_id < {sim.PQ_K}
+    ),
+    enc AS (
+      SELECT s.vec_id, s.m, c.ccid, c.csub,
+             {_L2SQ.format(A='s.subv', B='c.csub')} AS d
+      FROM subs s JOIN csubs c USING (m)
+    ),
+    best AS (
+      SELECT vec_id, m, csub FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d, ccid) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT vec_id, flatten(list(csub ORDER BY m)) AS recon
+      FROM best GROUP BY 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cid
+      FROM cells WHERE vec_id % {sim.QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT c.vec_id, c.cid, r.recon FROM cells c JOIN recon r USING (vec_id)
+    ),
+    exact3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_COS.format(A='q.q_emb', B='e.embedding',
+                                       NA='q.q_nrm', NB='e.nrm')} DESC,
+                          e.vec_id) AS rk
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rk <= {sim.IVF_TOPK}
+    ),
+    pq3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round({_L2SQ.format(A='q.q_emb', B='c.recon')}, 6),
+                          c.vec_id) AS rk
+        FROM q JOIN cand c ON c.cid = q.cid AND c.vec_id <> q.q_id
+      ) WHERE rk <= {sim.IVF_TOPK}
+    ),
+    ne AS (SELECT q_id, count(*) AS n_exact FROM exact3 GROUP BY 1),
+    na AS (SELECT q_id, count(*) AS n_approx FROM pq3 GROUP BY 1),
+    nh AS (
+      SELECT l.q_id, count(*) AS n_hits
+      FROM pq3 l JOIN exact3 x USING (q_id, neighbor_id)
+      GROUP BY 1
+    )
+    SELECT ne.q_id,
+           CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(nh.n_hits, 0) / ne.n_exact, 6) AS recall
+    FROM ne
+    LEFT JOIN na USING (q_id)
+    LEFT JOIN nh USING (q_id)
     """,
 )
 
@@ -2833,6 +2929,7 @@ _DEMOTED_STABLE = [
     "ts_vector",
     "value_percentiles",
     "cohort_retention",
+    "funnel",
 ]
 
 

@@ -56,6 +56,7 @@ ALLOWED_NESTED_LOOP = {
     "dsir_weights",  # 1-row corpus-totals broadcast
     "ccnet_buckets",  # composes doc_perplexity (1-row vocab-size broadcast)
     "ann_pq",  # centroid-set broadcast, like ann_ivf
+    "pq_recall",  # measures ann_pq AGAINST the ann_topk baseline
     "hits_anchors",  # 1-row integer maxima broadcast
 }
 
