@@ -62,6 +62,13 @@ def _empty_sf(spark, tmp_path):
         "length_histogram",
         "pii_redact",
         "tpch_q21",
+        # round-3 second-wave operators
+        "dsir_weights",
+        "ccnet_buckets",
+        "ann_pq",
+        "pq_recall",
+        "pv_anomaly",
+        "hits_anchors",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -278,3 +278,105 @@ def test_ann_lsh_multi_dominates_single_table(spark):
         return hit / max(len(exact), 1)
 
     assert recall(multi) >= recall(single)
+
+
+def test_pv_anomaly_flags_planted_spike(spark, tmp_path):
+    """A constant daily series with one planted 10x spike must flag
+    exactly the spike day; the all-constant prefix (variance 0) must
+    yield NULL z and no flag."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    for day in range(1, 15):
+        n = 50 if day == 10 else 5
+        for i in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, day, 12, 0, 0), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    sf = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+
+    from hedera_spark.operators.timeseries import pv_anomaly
+
+    out = pv_anomaly(spark, str(sf)).orderBy("day").collect()
+    flagged = [r["day"] for r in out if r["is_anomaly"]]
+    assert flagged == [datetime.date(2024, 1, 10)]
+    # constant windows (before the spike): zero variance -> NULL z-score
+    pre = [r for r in out if r["day"] < datetime.date(2024, 1, 10)]
+    assert pre and all(r["z_score"] is None for r in pre)
+    # day 10's z must be large and positive
+    spike = [r for r in out if r["day"] == datetime.date(2024, 1, 10)][0]
+    assert spike["z_score"] > 2.0 and spike["cnt"] == 50
+
+
+def test_hits_direction_and_normalization(spark, tmp_path):
+    """hits_anchors on a planted star graph: the high-df hub token must
+    get hub score 1.0, the leaf entities authority 1.0; scores lie in
+    [0, 1]."""
+    # "hub" appears in 16 of 20 docs — below the 90% stop-token df cap —
+    # and co-occurs with each leaf in 8 docs (>= the n_docs >= 5 cut);
+    # hub's df (16) > leaves' (8), so edges point hub -> leaf
+    rows = []
+    for i in range(8):
+        rows.append((i, "hub l1 x%d" % i, "s", "en", 10))
+    for i in range(8, 16):
+        rows.append((i, "hub l2 y%d" % i, "s", "en", 10))
+    for i in range(16, 20):
+        rows.append((i, "filler f%d" % i, "s", "en", 10))
+    sf = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    from hedera_spark.operators.graph import hits_anchors
+
+    out = {r["anchor"]: r for r in hits_anchors(spark, str(sf)).collect()}
+    assert out["hub"]["hub"] == 1.0  # the only node with out-edges
+    assert out["hub"]["authority"] == 0.0  # nothing points at it
+    # both leaves are pure authorities with equal weight (10 docs each)
+    assert out["l1"]["authority"] == 1.0 and out["l2"]["authority"] == 1.0
+    assert out["l1"]["hub"] == 0.0 and out["l2"]["hub"] == 0.0
+    for r in out.values():
+        assert 0.0 <= r["authority"] <= 1.0 and 0.0 <= r["hub"] <= 1.0
+
+
+def test_dsir_prefers_target_like_documents(spark, tmp_path):
+    """Documents made of target-language (en) tokens must out-score
+    documents made of tokens that appear only outside the target slice."""
+    rows = (
+        [(i, "the quick brown fox", "s", "en", 20) for i in range(8)]
+        + [(i + 8, "der schnelle braune fuchs", "s", "de", 25) for i in range(8)]
+    )
+    sf = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    from hedera_spark.operators.importance import dsir_weights
+
+    w = {r["doc_id"]: r["dsir_logw"] for r in dsir_weights(spark, str(sf)).collect()}
+    assert w[0] > 0 > w[8], (
+        "en-token docs must score positive, de-only docs negative"
+    )
+
+
+def test_ann_pq_reconstruction_exact_for_codebook_vectors(spark):
+    """A vector that IS a codebook entry reconstructs losslessly, so its
+    approximate distance to itself-as-query is what exact distance would
+    be; more broadly every adist must be >= 0 and rk deterministic."""
+    from hedera_spark.operators.similarity import ann_pq
+
+    out = ann_pq(spark, "/root/testdata/sf0.001").collect()
+    assert out and all(r["adist"] >= 0.0 for r in out)
+    ranks = {}
+    for r in out:
+        ranks.setdefault(r["q_id"], []).append(r["rk"])
+    for q, rks in ranks.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))

@@ -525,3 +525,60 @@ def test_stream_write_partitioned_is_idempotent(spark, tmp_path):
     lake2 = spark.read.parquet(str(out))
     assert lake2.count() == ev.count()
     assert lake2.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_write_compacted_bounds_file_count(spark, tmp_path):
+    """The compaction sink must land the same rows as the plain
+    partitioned sink while writing a BOUNDED number of parquet files per
+    date partition: with a large target, one file per partition (not one
+    per shuffle partition); with a small target, ~rows/target files."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.sink import stream_write_compacted
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    days = sorted(
+        r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    for d in days:
+        ev.where(F.to_date("ts") == F.lit(d)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"day={d}"))
+
+    # large target: every date partition compacts to exactly ONE file
+    out = tmp_path / "lake"
+    q = stream_write_compacted(
+        spark, str(src), str(out), str(tmp_path / "ck1"),
+        target_rows_per_file=10_000_000,
+    )
+    q.awaitTermination(180)
+    lake = spark.read.parquet(str(out))
+    assert lake.count() == ev.count()
+    assert lake.select("event_id").distinct().count() == ev.count()
+    for d in days:
+        files = globmod.glob(str(out / f"event_date={d}" / "*.parquet"))
+        assert len(files) == 1, f"{d}: {len(files)} files, want 1"
+
+    # small target: file count grows with batch size but stays bounded
+    # by ceil(batch_rows / target)
+    out2 = tmp_path / "lake2"
+    rows_per_day = ev.count() // len(days)
+    target = max(1, rows_per_day // 3)
+    q = stream_write_compacted(
+        spark, str(src), str(out2), str(tmp_path / "ck2"),
+        target_rows_per_file=target,
+    )
+    q.awaitTermination(180)
+    lake2 = spark.read.parquet(str(out2))
+    assert lake2.count() == ev.count()
+    import math
+
+    for d in days:
+        n_day = ev.where(F.to_date("ts") == F.lit(d)).count()
+        files = globmod.glob(str(out2 / f"event_date={d}" / "*.parquet"))
+        assert 1 <= len(files) <= math.ceil(n_day / target)
