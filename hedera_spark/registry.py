@@ -2753,6 +2753,47 @@ register(
 )
 
 register(
+    "doc_vectors_delta",
+    ir.doc_vectors_delta,
+    f"""
+    WITH {_TF},
+    dict AS (
+      SELECT term, row_number() OVER (ORDER BY term) AS term_id
+      FROM tf GROUP BY term
+    ),
+    vec AS (
+      SELECT tf.doc_id, list(dict.term_id ORDER BY dict.term_id) AS v
+      FROM tf JOIN dict ON tf.term = dict.term
+      GROUP BY tf.doc_id
+    ),
+    g AS (
+      SELECT doc_id, len(v) AS n_terms,
+             list_transform(
+               list_zip(v, list_prepend(0, list_slice(v, 1, len(v) - 1))),
+               x -> x[1] - x[2]) AS gaps
+      FROM vec
+    )
+    SELECT doc_id,
+           CAST(n_terms AS BIGINT) AS n_terms,
+           array_to_string(gaps, ',') AS gaps,
+           CAST(list_reduce(
+             list_transform(gaps, gp -> CASE WHEN gp < 128 THEN 1
+                                             WHEN gp < 16384 THEN 2
+                                             WHEN gp < 2097152 THEN 3
+                                             ELSE 4 END),
+             (a, b) -> a + b) AS BIGINT) AS vbyte_bytes,
+           CAST(n_terms * 4 AS BIGINT) AS raw_bytes,
+           round(CAST(list_reduce(
+             list_transform(gaps, gp -> CASE WHEN gp < 128 THEN 1
+                                             WHEN gp < 16384 THEN 2
+                                             WHEN gp < 2097152 THEN 3
+                                             ELSE 4 END),
+             (a, b) -> a + b) AS BIGINT) / (n_terms * 4), 6) AS ratio
+    FROM g
+    """,
+)
+
+register(
     "pv_anomaly",
     ts.pv_anomaly,
     """
@@ -2930,6 +2971,7 @@ _DEMOTED_STABLE = [
     "value_percentiles",
     "cohort_retention",
     "funnel",
+    "pv_rolling_7d",
 ]
 
 

@@ -69,6 +69,7 @@ def _empty_sf(spark, tmp_path):
         "pq_recall",
         "pv_anomaly",
         "hits_anchors",
+        "doc_vectors_delta",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
