@@ -113,3 +113,113 @@ def test_bpe_apply_reconstructs_any_corpus(spark, tmp_path_factory, words):
         toks = row.tokens.split(" ")
         assert "".join(toks) == row.w
         assert toks == replay(row.w)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=60), min_size=4, max_size=20
+    )
+)
+def test_pv_anomaly_matches_numpy_statistics(spark, tmp_path_factory, counts):
+    """For any daily count series: pv_anomaly's integer-derived mean and
+    z-score equal the float statistics computed independently by numpy
+    over the same trailing windows (to the output rounding)."""
+    import datetime
+    import math
+
+    import numpy as np
+
+    tmpdir = str(tmp_path_factory.mktemp("pvprop"))
+    rows = []
+    eid = 0
+    for day_idx, n in enumerate(counts):
+        for _ in range(n):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, 1, 8, 0, 0)
+                    + datetime.timedelta(days=day_idx),
+                    7,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/events.parquet")
+
+    from hedera_spark.operators.timeseries import pv_anomaly
+
+    got = {
+        r["day"].day + (r["day"].month - 1) * 31: r
+        for r in pv_anomaly(spark, tmpdir).collect()
+    }
+    for i, n in enumerate(counts):
+        day = datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+        key = day.day + (day.month - 1) * 31
+        win = counts[max(0, i - 6) : i + 1]
+        if len(win) < 4:
+            assert key not in got
+            continue
+        r = got[key]
+        assert r["cnt"] == n
+        assert abs(r["mean_7"] - np.mean(win)) < 1e-6
+        var = np.var(win, ddof=1)
+        if var > 0:
+            z = (n - np.mean(win)) / math.sqrt(var)
+            assert abs(r["z_score"] - z) < 1e-6
+            assert r["is_anomaly"] == (abs(z) >= 2.0 - 1e-9)
+        else:
+            assert r["z_score"] is None and not r["is_anomaly"]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_doc_vectors_delta_is_lossless(spark, tmp_path_factory, texts):
+    """For any corpus: cumulative sums of the delta gaps reconstruct a
+    strictly-increasing term-id vector of length n_terms, and the VByte
+    size is within [n_terms, 4*n_terms]."""
+    tmpdir = _write_docs(str(tmp_path_factory.mktemp("dvd")), texts)
+
+    from hedera_spark.operators.ir import doc_vectors_delta
+
+    for r in doc_vectors_delta(spark, tmpdir).collect():
+        gaps = [int(g) for g in r["gaps"].split(",")]
+        assert len(gaps) == r["n_terms"]
+        ids = []
+        acc = 0
+        for g in gaps:
+            acc += g
+            ids.append(acc)
+        assert ids == sorted(set(ids)), "reconstructed ids must be strictly increasing"
+        assert ids[0] >= 1
+        assert r["n_terms"] <= r["vbyte_bytes"] <= 4 * r["n_terms"]
+        assert r["raw_bytes"] == 4 * r["n_terms"]
