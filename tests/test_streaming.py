@@ -582,3 +582,60 @@ def test_stream_write_compacted_bounds_file_count(spark, tmp_path):
         n_day = ev.where(F.to_date("ts") == F.lit(d)).count()
         files = globmod.glob(str(out2 / f"event_date={d}" / "*.parquet"))
         assert 1 <= len(files) <= math.ceil(n_day / target)
+
+
+def test_stream_pv_anomaly_equals_batch(spark, tmp_path):
+    """The stateful online anomaly scorer, replayed over day-files in
+    order, must reproduce batch pv_anomaly's scores for every (user,
+    day): same flags, same mean/z to rounding tolerance (stream emits
+    NaN where batch emits NULL z)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.timeseries import pv_anomaly
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.stateful import stream_pv_anomaly
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    days = sorted(
+        r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    for d in days:
+        ev.where(F.to_date("ts") == F.lit(d)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"day={d}"))
+
+    out = stream_pv_anomaly(spark, str(src), recursive=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pv_anomaly_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update-mode re-emissions: keep the LAST row per (user, day)
+    got = {}
+    for r in spark.sql("select * from pv_anomaly_stream").collect():
+        got[(r["user_id"], r["day_num"])] = r
+
+    want = {
+        (
+            r["user_id"],
+            (r["day"] - __import__("datetime").date(1970, 1, 1)).days,
+        ): r
+        for r in pv_anomaly(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["cnt"] == w["cnt"], k
+        assert abs(g["mean_7"] - w["mean_7"]) < 1e-6, k
+        assert g["is_anomaly"] == w["is_anomaly"], k
+        if w["z_score"] is None:
+            assert math.isnan(g["z_score"]), k
+        else:
+            assert abs(g["z_score"] - w["z_score"]) < 1e-6, k
