@@ -61,3 +61,48 @@ def corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change_type"),
     )
+
+
+def index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance: the per-term UPDATE SET
+    between the two corpus snapshots — (term, n_added, n_removed,
+    df_delta) counting posting insertions/deletions — so a deployed
+    index applies a delta instead of rebuilding (the point of
+    corpus_delta's classification, carried into the index structures of
+    mapreduce/BuildDictionary.java / InvertedIndexByBOW.java).
+
+    Scale: ONE keyed full-outer join on doc_id (same as corpus_delta);
+    the token set-differences are row-local array ops on the joined row;
+    one partial-agg shuffle on term bounded by |changed-doc postings| —
+    unchanged documents contribute zero rows to the exchange, which is
+    the entire economics of incremental indexing at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.col("text").alias("t1"))
+    v2 = _snapshot_v2(docs).select("doc_id", F.col("text").alias("t2"))
+    joined = v1.join(v2, "doc_id", "full_outer")
+
+    def _toks(c):
+        return F.array_distinct(
+            F.filter(F.split(F.coalesce(c, F.lit("")), " "), lambda t: t != "")
+        )
+
+    k1, k2 = _toks(F.col("t1")), _toks(F.col("t2"))
+    tagged = F.concat(
+        F.transform(
+            F.array_except(k2, k1),
+            lambda x: F.struct(x.alias("term"), F.lit(1).alias("w")),
+        ),
+        F.transform(
+            F.array_except(k1, k2),
+            lambda x: F.struct(x.alias("term"), F.lit(-1).alias("w")),
+        ),
+    )
+    return (
+        joined.select(F.explode(tagged).alias("s"))
+        .groupBy(F.col("s.term").alias("term"))
+        .agg(
+            F.sum(F.when(F.col("s.w") == 1, 1).otherwise(0)).alias("n_added"),
+            F.sum(F.when(F.col("s.w") == -1, 1).otherwise(0)).alias("n_removed"),
+            F.sum("s.w").cast("long").alias("df_delta"),
+        )
+    )

@@ -2753,6 +2753,48 @@ register(
 )
 
 register(
+    "index_delta",
+    dl.index_delta,
+    f"""
+    WITH b AS (
+      SELECT doc_id, text, substr(md5(text), 32, 1) AS h FROM documents
+    ),
+    v1 AS (SELECT doc_id, text AS t1 FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN h IN ('2', '3') THEN text || ' v2' ELSE text END AS t2
+      FROM b WHERE h NOT IN ('0', '1')
+      UNION ALL
+      SELECT doc_id + {dl._ADDED_ID_OFFSET}, 'new ' || text
+      FROM b WHERE h IN ('4', '5')
+    ),
+    j AS (SELECT doc_id, t1, t2 FROM v1 FULL OUTER JOIN v2 USING (doc_id)),
+    tk AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(coalesce(t1, ''), ' '),
+                                       x -> x <> '')) AS k1,
+             list_distinct(list_filter(string_split(coalesce(t2, ''), ' '),
+                                       x -> x <> '')) AS k2
+      FROM j
+    ),
+    chg AS (
+      SELECT unnest(list_concat(
+        list_transform(list_filter(k2, x -> NOT list_contains(k1, x)),
+                       x -> {{'term': x, 'w': 1}}),
+        list_transform(list_filter(k1, x -> NOT list_contains(k2, x)),
+                       x -> {{'term': x, 'w': -1}})
+      )) AS s
+      FROM tk
+    )
+    SELECT s.term AS term,
+           CAST(sum(CASE WHEN s.w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN s.w = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(s.w) AS BIGINT) AS df_delta
+    FROM chg GROUP BY 1
+    """,
+)
+
+register(
     "doc_vectors_delta",
     ir.doc_vectors_delta,
     f"""
@@ -2972,6 +3014,7 @@ _DEMOTED_STABLE = [
     "cohort_retention",
     "funnel",
     "pv_rolling_7d",
+    "rev_interval_hour",
 ]
 
 

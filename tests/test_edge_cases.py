@@ -70,6 +70,7 @@ def _empty_sf(spark, tmp_path):
         "pv_anomaly",
         "hits_anchors",
         "doc_vectors_delta",
+        "index_delta",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
