@@ -165,3 +165,52 @@ def test_bm25_broadcasts_stats_and_df(spark):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     ) >= 2
+
+
+def test_index_delta_is_one_keyed_join(spark):
+    """index_delta's doc-level compare must be exactly ONE join (the
+    full-outer on doc_id) — the set-difference token logic is row-local
+    array work, never a postings-level join."""
+    from hedera_spark.operators.delta import index_delta
+
+    plan = executed_plan(index_delta(spark, SF_DIR))
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert joins == 1, f"expected 1 keyed join, plan has {joins}"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not has_python_eval(index_delta(spark, SF_DIR))
+
+
+def test_dsir_model_is_broadcast(spark):
+    """dsir_weights' 512-bucket scoring model must come in as a broadcast
+    join — the corpus-side stream is never shuffled against it."""
+    from hedera_spark.operators.importance import dsir_weights
+
+    df = dsir_weights(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert not has_python_eval(df)
+
+
+def test_ann_pq_codebook_is_broadcast_and_bounded(spark):
+    """ann_pq: the codebook join must be broadcast; the only corpus-wide
+    exchanges are the (vec_id[, m]) aggregations and the cell-equality
+    probe — no all-pairs operator anywhere."""
+    from hedera_spark.operators.similarity import ann_pq
+
+    df = ann_pq(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert not has_python_eval(df)
+
+
+def test_pv_anomaly_single_window_over_daily_agg(spark):
+    """pv_anomaly must aggregate to daily grain BEFORE the window (the
+    window sorts |entity x day| rows, not raw events), with exactly one
+    Window operator."""
+    from hedera_spark.operators.timeseries import pv_anomaly
+
+    plan = executed_plan(pv_anomaly(spark, SF_DIR))
+    assert plan.count("Window") == 1
+    # the window's input is the aggregated (user_id, day) stream: the
+    # hash aggregate must appear below the window in the plan
+    assert "HashAggregate" in plan
