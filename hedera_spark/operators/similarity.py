@@ -552,3 +552,66 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining (the DPR/SimCSE data recipe):
+    for every query vector, the nearest SAME-label neighbor (positive)
+    and the nearest DIFFERENT-label neighbor (hard negative), plus the
+    margin between them — the per-anchor triple an embedding trainer
+    consumes. Labeled brute-force baseline like ann_topk (queries
+    broadcast, corpus scanned once); the scale path blocks candidates
+    by LSH bucket / IVF cell exactly as the ann_* family does.
+
+    Plan: ONE pass over the scored pairs — both argmaxes are max_by
+    partial aggregates riding a single q_id shuffle (no window, no
+    second scan). Queries whose label has no second member (no possible
+    positive) are dropped by the non-null filter, matching the oracle's
+    inner joins."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        F.col("nrm").alias("q_nrm"),
+    ).where(F.col("q_id") % QUERY_MOD == 0)
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cos"),
+    )
+    same = F.col("label") == F.col("q_label")
+    rank = F.struct(F.col("cos").alias("c"), (-F.col("vec_id")).alias("t"))
+    out = scored.groupBy("q_id").agg(
+        F.max_by(F.when(same, F.col("vec_id")), F.when(same, rank)).alias("pos_id"),
+        F.max(F.when(same, F.col("cos"))).alias("pos_cos"),
+        F.max_by(F.when(~same, F.col("vec_id")), F.when(~same, rank)).alias(
+            "neg_id"
+        ),
+        F.max(F.when(~same, F.col("cos"))).alias("neg_cos"),
+    )
+    return out.where(
+        F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull()
+    ).select(
+        "q_id",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )

@@ -2836,6 +2836,42 @@ register(
 )
 
 register(
+    "contrastive_pairs",
+    sim.contrastive_pairs,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding, label,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label, nrm AS q_nrm
+      FROM e WHERE vec_id % {sim.QUERY_MOD} = 0
+    ),
+    scored AS (
+      SELECT q.q_id, q.q_label, e.vec_id, e.label,
+             {_COS.format(A='q.q_emb', B='e.embedding', NA='q.q_nrm', NB='e.nrm')} AS cos
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    ),
+    pos AS (
+      SELECT q_id, vec_id AS pos_id, cos AS pos_cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+      FROM scored WHERE label = q_label
+    ),
+    neg AS (
+      SELECT q_id, vec_id AS neg_id, cos AS neg_cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+      FROM scored WHERE label <> q_label
+    )
+    SELECT p.q_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+           round(p.pos_cos - n.neg_cos, 6) AS margin
+    FROM (SELECT * FROM pos WHERE rn = 1) p
+    JOIN (SELECT * FROM neg WHERE rn = 1) n USING (q_id)
+    """,
+)
+
+register(
     "pv_anomaly",
     ts.pv_anomaly,
     """
@@ -3015,6 +3051,7 @@ _DEMOTED_STABLE = [
     "funnel",
     "pv_rolling_7d",
     "rev_interval_hour",
+    "anchor_from_markup",
 ]
 
 

@@ -71,6 +71,7 @@ def _empty_sf(spark, tmp_path):
         "hits_anchors",
         "doc_vectors_delta",
         "index_delta",
+        "contrastive_pairs",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

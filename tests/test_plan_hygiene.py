@@ -57,6 +57,7 @@ ALLOWED_NESTED_LOOP = {
     "ccnet_buckets",  # composes doc_perplexity (1-row vocab-size broadcast)
     "ann_pq",  # centroid-set broadcast, like ann_ivf
     "pq_recall",  # measures ann_pq AGAINST the ann_topk baseline
+    "contrastive_pairs",  # labeled brute-force baseline, like ann_topk
     "hits_anchors",  # 1-row integer maxima broadcast
 }
 
