@@ -158,3 +158,77 @@ def read_json_revisions(spark: SparkSession, path: str) -> DataFrame:
     """Processed JSON revision files (the reference's post-XML2JSON world;
     pig scripts load these with elephant-bird JsonLoader)."""
     return spark.read.json(path)
+
+
+# pagecounts-ez raw dump parsing (mapreduce/PreprocessEZPageviews.java):
+# line = "<project> <title> <total> <compactTs>"; compactTs = comma-joined
+# day segments "<DayChar><HourChar><count><HourChar><count>...", DayChar
+# 'A'..'_' = day 0..30 (consecutive ASCII, so ascii-65 covers the
+# reference's A-Z plus [\]^_ special cases in one expression), HourChar
+# 'A'..'X' = hour 0..23.
+EZ_SKIP_PREFIXES = (
+    "Category:", "File:", "Wikipedia:", "User:", "Special:", "Portal:",
+    "Talk:", "Help:", "Template:", "Translate:", "http://", "https://",
+)
+EZ_SKIP_SUFFIXES = (
+    ".html", ".jpg", ".txt", ".gif", ".css", ".bmp", ".php", ".svg",
+    ".ogg", ".ogv", ".webm",
+)
+
+
+def read_pageviews_ez(
+    spark: SparkSession, path: str, project: str = "en.z"
+) -> DataFrame:
+    """Raw pagecounts-ez dump → (title, day_of_month, hour, views, total)
+    rows, the hourly fan-out PreprocessEZPageviews.java's mapper decodes —
+    entirely with built-in string/array functions (no Python): project
+    filter, the reference's namespace/extension skip heuristics, title
+    normalization (anchor/query cut, underscore/quote trim, first-letter
+    capitalization), then the compact time-series decode as a double
+    explode (day segments, then hour/count pairs)."""
+    lines = spark.read.text(path).where(
+        F.col("value").startswith(project + " ")
+    )
+    parts = F.split("value", " ", 4)
+    df = lines.select(
+        parts.getItem(1).alias("raw_title"),
+        parts.getItem(2).cast("long").alias("total"),
+        parts.getItem(3).alias("compact_ts"),
+    ).where(F.col("compact_ts").isNotNull() & (F.length("raw_title") <= 50))
+    for p in EZ_SKIP_PREFIXES:
+        df = df.where(~F.col("raw_title").startswith(p))
+    for s in EZ_SKIP_SUFFIXES:
+        df = df.where(~F.lower(F.col("raw_title")).endswith(s))
+    norm = df.withColumn("t", F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("raw_title", r"[#&].*$", ""), r"^[_#]+|_+$", ""
+        ),
+        r"^'''|'''$|^''|''$|^\"|\"$", "",
+    )).where(F.col("t") != "").select(
+        F.concat(
+            F.upper(F.substring("t", 1, 1)),
+            F.substring("t", 2, 1_000_000),
+        ).alias("title"),
+        "total",
+        "compact_ts",
+    )
+    seg = norm.select(
+        "title",
+        "total",
+        F.explode(F.split("compact_ts", ",")).alias("seg"),
+    ).where(F.col("seg") != "")
+    pairs = seg.select(
+        "title",
+        "total",
+        (F.ascii(F.substring("seg", 1, 1)) - 65 + 1).alias("day_of_month"),
+        F.explode(
+            F.expr(r"regexp_extract_all(substring(seg, 2), '([A-X])([0-9]+)', 0)")
+        ).alias("hv"),
+    )
+    return pairs.select(
+        "title",
+        "day_of_month",
+        (F.ascii(F.substring("hv", 1, 1)) - 65).alias("hour"),
+        F.expr("CAST(substring(hv, 2) AS BIGINT)").alias("views"),
+        "total",
+    )

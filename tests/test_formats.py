@@ -163,3 +163,43 @@ def test_read_revision_xml_bz2(spark, tmp_path):
     b = read_revision_xml(spark, str(packed)).orderBy("rev_id").collect()
     assert len(a) == 3
     assert a == b
+
+
+def test_read_pageviews_ez_decodes_compact_timeseries(spark, tmp_path):
+    """Hand-built pagecounts-ez lines: the reader must filter non-project
+    lines and namespace titles, normalize titles (anchor cut, underscore
+    trim, capitalization), and decode the compact day/hour series — day
+    'A'=1st .. '_'=31st, hour 'A'=0h .. 'X'=23h."""
+    raw = "\n".join(
+        [
+            "# comment line ignored",
+            "de.z Ignored_project 5 AA5",
+            "en.z Category:Skipped 9 AA9",
+            "en.z main_page#History 33 AB12CX21",  # -> Main_page, day 1
+            "en.z _Alan_Turing_ 7 _X7",  # underscore trim, day 31 hour 23
+            "en.z Style.css 4 AA4",  # extension filtered
+            "en.z Graph 10 BA3,CB7",  # two day segments
+        ]
+    )
+    src = tmp_path / "pagecounts-2014-01-views-ge-5"
+    src.write_text(raw)
+
+    from hedera_spark.sources.formats import read_pageviews_ez
+
+    rows = {
+        (r["title"], r["day_of_month"], r["hour"]): r
+        for r in read_pageviews_ez(spark, str(src)).collect()
+    }
+    assert set(rows) == {
+        ("Main_page", 1, 1),
+        ("Main_page", 1, 23),
+        ("Alan_Turing", 31, 23),
+        ("Graph", 2, 0),
+        ("Graph", 3, 1),
+    }
+    assert rows[("Main_page", 1, 1)]["views"] == 12
+    assert rows[("Main_page", 1, 23)]["views"] == 21
+    assert rows[("Main_page", 1, 1)]["total"] == 33
+    assert rows[("Alan_Turing", 31, 23)]["views"] == 7
+    assert rows[("Graph", 2, 0)]["views"] == 3
+    assert rows[("Graph", 3, 1)]["views"] == 7
