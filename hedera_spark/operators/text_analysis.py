@@ -625,3 +625,87 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+FUNNEL_STAGES = ["raw", "dedup", "quality", "length", "decontaminated"]
+
+
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survival accounting through the cleaning pipeline —
+    the dashboard number every corpus build reports: how many documents
+    (and tokens) survive each CUMULATIVE gate, in gate order:
+    raw → exact-dedup survivor → quality ≥ 0.70 → token budget
+    [20, 90] → not benchmark-contaminated (no shared eval trigrams,
+    eval docs themselves excluded from the training funnel).
+
+    Composition, not re-derivation (same policy as corpus_select):
+    per-doc flags come from text_quality, dedup_exact, and
+    decontaminate; the funnel is one explode of each doc's
+    stages-survived prefix and one partial-agg shuffle keyed by the
+    5-value stage id — scale-independent output size.
+
+    Output: (stage_id, stage, n_docs, n_tokens, pct_docs) with pct
+    rounded against the raw count."""
+    from hedera_spark.operators import dedup as dd
+
+    quality = text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    survivors = dd.dedup_exact(spark, sf_dir).select("doc_id", "is_dup")
+    decont = dd.decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("contaminated")
+    )
+    flags = (
+        quality.join(survivors, "doc_id")
+        .join(decont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("is_dup") == 0).alias("g1"),
+            (F.col("quality") >= CORPUS_MIN_QUALITY).alias("g2"),
+            F.col("n_tokens")
+            .between(CORPUS_MIN_TOKENS, CORPUS_MAX_TOKENS)
+            .alias("g3"),
+            (
+                F.col("contaminated").isNull()
+                & (F.col("doc_id") % dd.EVAL_MOD != 0)
+            ).alias("g4"),
+        )
+    )
+    reached = flags.select(
+        "doc_id",
+        "n_tokens",
+        F.when(~F.col("g1"), 0)
+        .when(~F.col("g2"), 1)
+        .when(~F.col("g3"), 2)
+        .when(~F.col("g4"), 3)
+        .otherwise(4)
+        .alias("stage_reached"),
+    )
+    per_stage = (
+        reached.select(
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.col("stage_reached"))).alias(
+                "stage_id"
+            ),
+        )
+        .groupBy("stage_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    total = per_stage.where(F.col("stage_id") == 0).select(
+        F.col("n_docs").alias("raw_docs")
+    )
+    stage_names = F.array(*[F.lit(s) for s in FUNNEL_STAGES])
+    return (
+        per_stage.crossJoin(F.broadcast(total))
+        .select(
+            F.col("stage_id").cast("long").alias("stage_id"),
+            F.element_at(stage_names, F.col("stage_id") + 1).alias("stage"),
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("raw_docs"), 6).alias("pct_docs"),
+        )
+    )

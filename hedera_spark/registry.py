@@ -2836,6 +2836,73 @@ register(
 )
 
 register(
+    "pipeline_funnel",
+    ta.pipeline_funnel,
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             round(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the', 'a', 'data', 'value', 'row'], t)))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, n_tokens,
+             round(least(n_tokens / 50.0, 1.0) * 0.5
+                   + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.3
+                   + (1 - stopword_ratio) * 0.2, 6) AS quality
+      FROM feats
+    ),
+    de AS (
+      SELECT doc_id,
+             CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0),
+    cont AS (
+      SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (shingle)
+      WHERE sh.doc_id % 25 <> 0
+    ),
+    flags AS (
+      SELECT q.doc_id, q.n_tokens,
+             (de.is_dup = 0) AS g1,
+             (q.quality >= {ta.CORPUS_MIN_QUALITY}) AS g2,
+             (q.n_tokens BETWEEN {ta.CORPUS_MIN_TOKENS} AND {ta.CORPUS_MAX_TOKENS}) AS g3,
+             (cont.doc_id IS NULL AND q.doc_id % 25 <> 0) AS g4
+      FROM q
+      JOIN de USING (doc_id)
+      LEFT JOIN cont ON cont.doc_id = q.doc_id
+    ),
+    reached AS (
+      SELECT n_tokens,
+             CASE WHEN NOT g1 THEN 0 WHEN NOT g2 THEN 1
+                  WHEN NOT g3 THEN 2 WHEN NOT g4 THEN 3 ELSE 4 END AS sr
+      FROM flags
+    ),
+    per AS (
+      SELECT t.i AS stage_id, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM reached, unnest(generate_series(0, sr)) AS t(i)
+      GROUP BY 1
+    ),
+    tot AS (SELECT n_docs AS raw_docs FROM per WHERE stage_id = 0)
+    SELECT CAST(per.stage_id AS BIGINT) AS stage_id,
+           (['raw', 'dedup', 'quality', 'length', 'decontaminated'])[per.stage_id + 1] AS stage,
+           per.n_docs, per.n_tokens,
+           round(per.n_docs / tot.raw_docs, 6) AS pct_docs
+    FROM per, tot
+    """,
+)
+
+register(
     "contrastive_pairs",
     sim.contrastive_pairs,
     f"""
@@ -3052,6 +3119,7 @@ _DEMOTED_STABLE = [
     "pv_rolling_7d",
     "rev_interval_hour",
     "anchor_from_markup",
+    "dedup_embedding_lsh",
 ]
 
 

@@ -72,6 +72,7 @@ def _empty_sf(spark, tmp_path):
         "doc_vectors_delta",
         "index_delta",
         "contrastive_pairs",
+        "pipeline_funnel",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -58,6 +58,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_pq",  # centroid-set broadcast, like ann_ivf
     "pq_recall",  # measures ann_pq AGAINST the ann_topk baseline
     "contrastive_pairs",  # labeled brute-force baseline, like ann_topk
+    "pipeline_funnel",  # 1-row raw-count broadcast (funnel percentages)
     "hits_anchors",  # 1-row integer maxima broadcast
 }
 
