@@ -118,3 +118,61 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final assignment under the trained centroids
     out = _assign(emb, cents).select("vec_id", "cluster_id", "dist2")
     return out
+
+
+SEMDEDUP_COS = 0.4  # same cosine scale as the dedup_embedding family
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embeddings
+    with the trained k-means, then score cosine ONLY within clusters and
+    greedily keep the smallest-id member of every near-duplicate
+    relation — the clustering IS the candidate blocking, which is the
+    paper's entire scale argument (k² work inside clusters instead of
+    n² over the corpus). Output: every vector with its cluster and a
+    drop flag (is_semantic_dup = 1 iff a smaller-id same-cluster vector
+    sits within the cosine threshold).
+
+    Plan: the trained assignment (kmeans_embeddings — broadcast
+    centroids, map-side argmin) + ONE equality self-join on cluster_id
+    + the exact cosine residual on candidates; never an all-pairs
+    operator. At 100 TB, K scales with corpus so cluster occupancy
+    stays bounded."""
+    from hedera_spark.operators.similarity import _norm
+
+    assign = kmeans_embeddings(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    j = assign.join(emb, "vec_id")
+    b = j.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cluster_id").alias("cl_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dropped = (
+        j.join(b, (F.col("cluster_id") == F.col("cl_b")) & (F.col("vec_id") < F.col("vec_b")))
+        .where(
+            F.round(
+                _dot(F.col("embedding"), F.col("emb_b"))
+                / (F.col("nrm") * F.col("nrm_b")),
+                6,
+            )
+            >= SEMDEDUP_COS
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_semantic_dup", F.lit(1))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce("is_semantic_dup", F.lit(0)).cast("long").alias(
+                "is_semantic_dup"
+            ),
+        )
+    )

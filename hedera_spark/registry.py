@@ -2065,28 +2065,37 @@ def _kmeans_oracle() -> str:
       ) GROUP BY cid
     )""")
         prev_c = f"c{i}"
-    return f"""
-    WITH e AS (
+    # the full chain ends in a reusable `kassign` CTE (vec_id, cluster_id,
+    # dist2) so composing oracles (dedup_semantic) share the exact same
+    # trained assignment
+    return f"""e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
       FROM embeddings
     ),
     c0 AS (
       SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT {km.KMEANS_K}
     ),
-    {",".join(steps)}
-    SELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM (
-      SELECT vec_id, cid, d2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      FROM (
-        SELECT e.vec_id, c.cid,
-               {d2.format(E="e.emb", C="c.cemb")} AS d2
-        FROM e CROSS JOIN {prev_c} c
-      )
-    ) WHERE rn = 1
-    """
+    {",".join(steps)},
+    kassign AS (
+      SELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (
+          SELECT e.vec_id, c.cid,
+                 {d2.format(E="e.emb", C="c.cemb")} AS d2
+          FROM e CROSS JOIN {prev_c} c
+        )
+      ) WHERE rn = 1
+    )"""
 
 
-register("kmeans_embeddings", km.kmeans_embeddings, _kmeans_oracle())
+_KMEANS_CTES = _kmeans_oracle()
+
+register(
+    "kmeans_embeddings",
+    km.kmeans_embeddings,
+    f"WITH {_KMEANS_CTES}\n    SELECT vec_id, cluster_id, dist2 FROM kassign",
+)
 
 from hedera_spark.operators import bpe as bp  # noqa: E402
 
@@ -2836,6 +2845,35 @@ register(
 )
 
 register(
+    "dedup_semantic",
+    km.dedup_semantic,
+    f"""
+    WITH {_KMEANS_CTES},
+    en AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ),
+    j AS (
+      SELECT k.vec_id, k.cluster_id, en.embedding, en.nrm
+      FROM kassign k JOIN en USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM j a JOIN j b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_COS.format(A='a.embedding', B='b.embedding', NA='a.nrm', NB='b.nrm')}
+              >= {km.SEMDEDUP_COS}
+    )
+    SELECT j.vec_id, j.cluster_id,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_semantic_dup
+    FROM j LEFT JOIN dropped d ON j.vec_id = d.vec_id
+    """,
+)
+
+register(
     "pipeline_funnel",
     ta.pipeline_funnel,
     f"""
@@ -3120,6 +3158,7 @@ _DEMOTED_STABLE = [
     "rev_interval_hour",
     "anchor_from_markup",
     "dedup_embedding_lsh",
+    "pack_sequences",
 ]
 
 

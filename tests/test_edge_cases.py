@@ -73,6 +73,7 @@ def _empty_sf(spark, tmp_path):
         "index_delta",
         "contrastive_pairs",
         "pipeline_funnel",
+        "dedup_semantic",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -59,6 +59,7 @@ ALLOWED_NESTED_LOOP = {
     "pq_recall",  # measures ann_pq AGAINST the ann_topk baseline
     "contrastive_pairs",  # labeled brute-force baseline, like ann_topk
     "pipeline_funnel",  # 1-row raw-count broadcast (funnel percentages)
+    "dedup_semantic",  # composes kmeans_embeddings (K-row centroid broadcast)
     "hits_anchors",  # 1-row integer maxima broadcast
 }
 
