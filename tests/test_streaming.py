@@ -639,3 +639,86 @@ def test_stream_pv_anomaly_equals_batch(spark, tmp_path):
             assert math.isnan(g["z_score"]), k
         else:
             assert abs(g["z_score"] - w["z_score"]) < 1e-6, k
+
+
+def test_stream_pv_anomaly_state_survives_restart(spark, tmp_path):
+    """Keyed state must survive a stream restart: replay the first half
+    of the days, stop, add the rest, restart with the SAME checkpoint —
+    the later days' scores must be computed against state accumulated
+    before the restart, matching the batch operator exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.timeseries import pv_anomaly
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.stateful import stream_pv_anomaly
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    days = sorted(
+        r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    half = len(days) // 2
+
+    def write_days(day_list):
+        for d in day_list:
+            ev.where(F.to_date("ts") == F.lit(d)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"day={d}"))
+
+    out_dir = str(tmp_path / "scores")
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        def _sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            stream_pv_anomaly(spark, str(src), recursive=True)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_days(days[:half])
+    run_once()
+    n_first = spark.read.parquet(out_dir).count()
+
+    write_days(days[half:])
+    run_once()
+
+    # the restarted run must NOT have reprocessed the first half: new
+    # rows only for the new days (exactly-once at the source)
+    all_rows = spark.read.parquet(out_dir).collect()
+    got = {}
+    for r in sorted(all_rows, key=lambda r: r["batch_id"]):
+        got[(r["user_id"], r["day_num"])] = r
+    assert 0 < n_first < len(all_rows)
+
+    epoch = __import__("datetime").date(1970, 1, 1)
+    want = {
+        (r["user_id"], (r["day"] - epoch).days): r
+        for r in pv_anomaly(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    # the decisive rows: days at/after the restart boundary depend on
+    # pre-restart state
+    boundary = (days[half] - epoch).days
+    post = [k for k in want if k[1] >= boundary]
+    assert post, "restart boundary must leave scored days after it"
+    for k in post:
+        g, w = got[k], want[k]
+        assert g["cnt"] == w["cnt"], k
+        assert g["is_anomaly"] == w["is_anomaly"], k
+        if w["z_score"] is None:
+            assert math.isnan(g["z_score"]), k
+        else:
+            assert abs(g["z_score"] - w["z_score"]) < 1e-6, k
