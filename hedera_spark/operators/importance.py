@@ -128,3 +128,118 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
+
+
+LR_ITERATIONS = 3
+LR_RATE = 4.0  # step size; features are occupancy-normalized so |grad| ~ 1e-2
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter — the third quality recipe next to the
+    heuristic score (text_quality) and importance weights (dsir): a
+    fastText-style logistic regression over the 512 hashed-unigram
+    buckets, trained BY GRADIENT DESCENT INSIDE THE ENGINE against the
+    heuristic gate's labels (quality >= 0.70), then applied back to
+    every document. Output: (doc_id, p, pred, y) — probability,
+    predicted keep flag, training label.
+
+    Cross-engine determinism (kmeans/pagerank discipline): the model is
+    a FIXED 512+1-weight vector; every per-document dot product is a
+    bucket-sorted left fold, every per-bucket gradient a doc_id-sorted
+    left fold; z is quantized to 6 decimals before the sigmoid and the
+    weights after each step, so summation-order noise never compounds
+    (the only libm exposure is exp(), absorbed by rounding — the
+    doc_perplexity precedent).
+
+    Scale: parameter-server layout — the weight vector (513 floats) is
+    collected to the driver each step and re-broadcast as a literal
+    array, so scoring is MAP-SIDE (element_at on the literal, no join);
+    each iteration is one pass over the cached per-doc features plus a
+    512-group partial agg. 3 fixed iterations = 3 passes, O(1) driver
+    state."""
+    feat = _hashed_tokens(load_table(spark, sf_dir, "documents"))
+    per_doc = (
+        feat.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "x",
+            F.col("cnt")
+            / F.sum("cnt").over(Window.partitionBy("doc_id")),
+        )
+        .select("doc_id", "bucket", "x")
+        .persist()
+    )
+    from hedera_spark.operators.text_analysis import (
+        CORPUS_MIN_QUALITY,
+        text_quality,
+    )
+
+    labels = (
+        text_quality(spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.col("quality") >= CORPUS_MIN_QUALITY).cast("long").alias("y"),
+        )
+        .persist()
+    )
+    n_docs = labels.count()  # scalar to the driver (grad normalization)
+
+    def score(w: list) -> "DataFrame":
+        """Map-side z per doc: bucket-sorted fold of x * w[bucket] plus
+        the bias (w[-1]); w inlined as a literal array."""
+        w_arr = F.array(*[F.lit(float(v)) for v in w[:-1]])
+        parts = F.sort_array(
+            F.collect_list(F.struct(F.col("bucket"), F.col("x")))
+        )
+        z = F.aggregate(
+            parts,
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["x"] * F.element_at(w_arr, s["bucket"].cast("int") + 1),
+        ) + F.lit(float(w[-1]))
+        return per_doc.groupBy("doc_id").agg(
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(z, 6))), 6
+            ).alias("p")
+        )
+
+    w = [0.0] * (DSIR_BUCKETS + 1)  # last entry = bias
+    for _ in range(LR_ITERATIONS) if n_docs else []:  # empty corpus: skip GD
+        resid = score(w).join(labels, "doc_id").select(
+            "doc_id", (F.col("p") - F.col("y")).alias("r")
+        )
+        grads = (
+            per_doc.join(resid, "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("doc_id"), (F.col("r") * F.col("x")).alias("c"))
+                        )
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, s: acc + s["c"],
+                ).alias("g")
+            )
+            .collect()
+        )
+        bias_g = resid.agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct(F.col("doc_id"), F.col("r")))),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["r"],
+            ).alias("g")
+        ).collect()[0]["g"]
+        for row in grads:
+            b = int(row["bucket"])
+            w[b] = round(w[b] - LR_RATE * round(row["g"] / n_docs, 6), 6)
+        w[-1] = round(w[-1] - LR_RATE * round(bias_g / n_docs, 6), 6)
+
+    out = (
+        score(w)
+        .join(labels, "doc_id")
+        .select("doc_id", "p", (F.col("p") >= 0.5).alias("pred"), "y")
+    )
+    per_doc.unpersist()
+    labels.unpersist()
+    return out

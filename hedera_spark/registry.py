@@ -2844,6 +2844,98 @@ register(
     """,
 )
 
+def _quality_lr_oracle() -> str:
+    """Unroll LR_ITERATIONS gradient steps as chained CTEs (the
+    kmeans/pagerank pattern): per-doc sigmoid scores under the previous
+    weights (bucket-sorted fold + bias), per-bucket doc_id-sorted
+    gradient folds, rounded weight updates."""
+    n = "(SELECT n FROM nd)"
+    steps = []
+    prev_w, prev_b = "w0", "b0"
+    for k in range(1, imp.LR_ITERATIONS + 1):
+        steps.append(f"""
+    z{k} AS (
+      SELECT pd.doc_id,
+             round(list_reduce(list(pd.x * coalesce(w.w, 0.0) ORDER BY pd.bucket),
+                               (a, b) -> a + b)
+                   + (SELECT bias FROM {prev_b}), 6) AS z
+      FROM pd LEFT JOIN {prev_w} w USING (bucket)
+      GROUP BY pd.doc_id
+    ),
+    r{k} AS (
+      SELECT z.doc_id, round(1.0 / (1.0 + exp(-z.z)), 6) - lab.y AS r
+      FROM z{k} z JOIN lab USING (doc_id)
+    ),
+    g{k} AS (
+      SELECT pd.bucket,
+             list_reduce(list(r.r * pd.x ORDER BY pd.doc_id), (a, b) -> a + b) AS g
+      FROM pd JOIN r{k} r USING (doc_id)
+      GROUP BY pd.bucket
+    ),
+    w{k} AS (
+      SELECT g.bucket,
+             round(coalesce(w.w, 0.0) - {imp.LR_RATE} * round(g.g / {n}, 6), 6) AS w
+      FROM g{k} g LEFT JOIN {prev_w} w USING (bucket)
+    ),
+    b{k} AS (
+      SELECT round((SELECT bias FROM {prev_b})
+                   - {imp.LR_RATE} * round((
+                       SELECT list_reduce(list(r ORDER BY doc_id), (a, b) -> a + b)
+                       FROM r{k}) / {n}, 6), 6) AS bias
+    )""")
+        prev_w, prev_b = f"w{k}", f"b{k}"
+    return f"""
+    WITH feat AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 3))::BIGINT % {imp.DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    pd AS (
+      SELECT doc_id, bucket,
+             cnt / (sum(cnt) OVER (PARTITION BY doc_id)) AS x
+      FROM (SELECT doc_id, bucket, count(*) AS cnt FROM feat GROUP BY 1, 2)
+    ),
+    qf AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             round(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the', 'a', 'data', 'value', 'row'], t)))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id,
+             CAST(CASE WHEN round(least(n_tokens / 50.0, 1.0) * 0.5
+                   + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.3
+                   + (1 - stopword_ratio) * 0.2, 6) >= {ta.CORPUS_MIN_QUALITY}
+                   THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM qf
+    ),
+    nd AS (SELECT count(*) AS n FROM lab),
+    w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM pd),
+    b0 AS (SELECT 0.0 AS bias),
+    {",".join(steps)},
+    zf AS (
+      SELECT pd.doc_id,
+             round(list_reduce(list(pd.x * coalesce(w.w, 0.0) ORDER BY pd.bucket),
+                               (a, b) -> a + b)
+                   + (SELECT bias FROM {prev_b}), 6) AS z
+      FROM pd LEFT JOIN {prev_w} w USING (bucket)
+      GROUP BY pd.doc_id
+    )
+    SELECT z.doc_id,
+           round(1.0 / (1.0 + exp(-z.z)), 6) AS p,
+           round(1.0 / (1.0 + exp(-z.z)), 6) >= 0.5 AS pred,
+           lab.y
+    FROM zf z JOIN lab USING (doc_id)
+    """
+
+
+register("quality_classifier", imp.quality_classifier, _quality_lr_oracle())
+
+
 register(
     "dedup_semantic",
     km.dedup_semantic,
@@ -3159,6 +3251,7 @@ _DEMOTED_STABLE = [
     "anchor_from_markup",
     "dedup_embedding_lsh",
     "pack_sequences",
+    "corpus_select",
 ]
 
 

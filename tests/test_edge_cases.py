@@ -74,6 +74,7 @@ def _empty_sf(spark, tmp_path):
         "contrastive_pairs",
         "pipeline_funnel",
         "dedup_semantic",
+        "quality_classifier",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
