@@ -214,3 +214,55 @@ def anchor_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def anchor_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    co-mention graph — the cohesion statistic next to the two rankings
+    (pagerank_anchors, hits_anchors): cc = 2T / (deg·(deg−1)), the
+    probability that two co-mention partners also co-occur with each
+    other, which separates topic hubs (low cc) from tight entity
+    cliques (high cc) on entityrelation.pig's graph.
+
+    Exact and deterministic: triangle enumeration is two equality joins
+    over the (a<b<c)-ordered edge list (the standard distributed
+    triangle count; the df-cap keeps the edge list and join fan-out
+    bounded), T and deg are integers, and cc is one double division of
+    exact integers, rounded.
+
+    Output: (anchor, degree, n_triangles, clustering_coeff) for every
+    node of the edge list; cc = 0.0 for degree-1 nodes."""
+    from hedera_spark.operators.anchors import anchor_cooccur
+
+    e = anchor_cooccur(spark, sf_dir).select("a1", "a2").persist()
+    ab = e.select(F.col("a1").alias("a"), F.col("a2").alias("b"))
+    bc = e.select(F.col("a1").alias("b"), F.col("a2").alias("c"))
+    ac = e.select(F.col("a1").alias("a"), F.col("a2").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"], "left_semi")
+    tri_nodes = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("anchor")
+    ).groupBy("anchor").agg(F.count(F.lit(1)).alias("n_triangles"))
+    deg = (
+        e.select(F.col("a1").alias("anchor"))
+        .union(e.select(F.col("a2").alias("anchor")))
+        .groupBy("anchor")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tri_nodes, "anchor", "left")
+        .select(
+            "anchor",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (F.coalesce("n_triangles", F.lit(0)) * 2)
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

@@ -333,3 +333,69 @@ def pv_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (F.abs(F.coalesce(z, F.lit(0.0))) >= 2.0).alias("is_anomaly"),
     )
+
+
+def pv_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per entity over the daily series: the
+    weekly profile's share of total variance (SSB/SST, one-way ANOVA
+    between-group fraction) + the peak weekday — is an entity's traffic
+    weekly-patterned or flat? The profile analytics of the pageview
+    rollup family (BuildShortTermTS's series, summarized).
+
+    Determinism: every input to the ratio derives from exact integer
+    aggregates — per-dow (n_w, s_w) and global (D, S, Σc²) — and the
+    only float reductions are the sorted-by-dow folds of s_w²/n_w
+    (≤ 7 terms, fixed order): SSB = Σ_w s_w²/n_w − S²/D,
+    SST = Σc² − S²/D. Peak day = max_by on exact (mean, −dow) structs.
+
+    Scale: daily partial agg, then a per-(entity, dow) partial agg —
+    both bounded by |entities|×7; no window, no sort of raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    dowed = daily.select(
+        "user_id", (F.dayofweek("day") - 1).alias("dow"), "cnt"
+    )
+    per_dow = dowed.groupBy("user_id", "dow").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.sum("cnt").alias("s_w"),
+    )
+    glob = dowed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    folded = per_dow.groupBy("user_id").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("dow"),
+                        ((F.col("s_w") * F.col("s_w")) / F.col("n_w")).alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["v"],
+        ).alias("ssb_raw"),
+        F.max_by(
+            "dow",
+            F.struct(
+                (F.col("s_w") / F.col("n_w")).alias("m"), (-F.col("dow")).alias("t")
+            ),
+        ).alias("peak_dow"),
+    )
+    j = folded.join(glob, "user_id")
+    grand = (F.col("s") * F.col("s")) / F.col("d")
+    sst = F.col("ss") - grand
+    ssb = F.col("ssb_raw") - grand
+    return j.where(F.col("d") >= 7).select(
+        "user_id",
+        F.col("d").alias("n_days"),
+        "peak_dow",
+        F.when(sst > 0, F.round(ssb / sst, 6)).otherwise(F.lit(0.0)).alias(
+            "seasonality"
+        ),
+    )

@@ -2844,6 +2844,87 @@ register(
     """,
 )
 
+register(
+    "anchor_triangles",
+    gr.anchor_triangles,
+    f"""
+    WITH {_CTOKS},
+    e AS (
+      SELECT a.anchor AS a1, b.anchor AS a2
+      FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    tri AS (
+      SELECT ab.a1 AS a, ab.a2 AS b, bc.a2 AS c
+      FROM e ab JOIN e bc ON ab.a2 = bc.a1
+      WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.a1 = ab.a1 AND ac.a2 = bc.a2)
+    ),
+    tn AS (
+      SELECT anchor, count(*) AS n_triangles FROM (
+        SELECT a AS anchor FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    ),
+    deg AS (
+      SELECT anchor, count(*) AS degree FROM (
+        SELECT a1 AS anchor FROM e UNION ALL SELECT a2 FROM e
+      ) GROUP BY 1
+    )
+    SELECT d.anchor, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN round((coalesce(t.n_triangles, 0) * 2)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN tn t USING (anchor)
+    """,
+)
+
+register(
+    "pv_seasonality",
+    ts.pv_seasonality,
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    dowed AS (SELECT user_id, dayofweek(day) AS dow, cnt FROM daily),
+    per_dow AS (
+      SELECT user_id, dow, count(*) AS n_w, sum(cnt) AS s_w
+      FROM dowed GROUP BY 1, 2
+    ),
+    gtot AS (
+      SELECT user_id, count(*) AS d, sum(cnt) AS s, sum(cnt * cnt) AS ss
+      FROM dowed GROUP BY 1
+    ),
+    folded AS (
+      SELECT user_id,
+             list_reduce(list((s_w * s_w) / n_w ORDER BY dow),
+                         (a, b) -> a + b) AS ssb_raw
+      FROM per_dow GROUP BY user_id
+    ),
+    peak AS (
+      SELECT user_id, dow AS peak_dow FROM (
+        SELECT user_id, dow,
+               row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY s_w / CAST(n_w AS DOUBLE) DESC, dow) AS rn
+        FROM per_dow
+      ) WHERE rn = 1
+    )
+    SELECT g.user_id, CAST(g.d AS BIGINT) AS n_days, p.peak_dow,
+           CASE WHEN (g.ss - (g.s * g.s) / g.d) > 0
+                THEN round((f.ssb_raw - (g.s * g.s) / g.d)
+                           / (g.ss - (g.s * g.s) / g.d), 6)
+                ELSE 0.0 END AS seasonality
+    FROM gtot g JOIN folded f USING (user_id) JOIN peak p USING (user_id)
+    WHERE g.d >= 7
+    """,
+)
+
+
 def _quality_lr_oracle() -> str:
     """Unroll LR_ITERATIONS gradient steps as chained CTEs (the
     kmeans/pagerank pattern): per-doc sigmoid scores under the previous
@@ -3252,6 +3333,8 @@ _DEMOTED_STABLE = [
     "dedup_embedding_lsh",
     "pack_sequences",
     "corpus_select",
+    "rev_snapshot_at",
+    "length_histogram",
 ]
 
 

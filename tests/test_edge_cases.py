@@ -75,6 +75,8 @@ def _empty_sf(spark, tmp_path):
         "pipeline_funnel",
         "dedup_semantic",
         "quality_classifier",
+        "anchor_triangles",
+        "pv_seasonality",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

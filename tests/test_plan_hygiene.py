@@ -48,6 +48,7 @@ ALLOWED_NESTED_LOOP = {
     "kmeans_embeddings",  # K-row centroid broadcast, like ann_ivf
     "anchor_cooccur",
     "anchor_cooccur_temporal",
+    "anchor_triangles",  # via _cooccur_tokens (1-row hot stop-token array)
     "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast
     "line_dedup",  # 1-row boilerplate-segment array broadcast
