@@ -380,3 +380,87 @@ def test_ann_pq_reconstruction_exact_for_codebook_vectors(spark):
         ranks.setdefault(r["q_id"], []).append(r["rk"])
     for q, rks in ranks.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_dedup_semantic_flags_planted_near_duplicates(spark, tmp_path):
+    """Planted near-identical vectors must land in one cluster and all
+    but the smallest id must be flagged; well-separated vectors stay
+    unflagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    # 3 copies of an identical vector (ids 100, 101, 102) + isolated
+    # orthogonal-ish vectors
+    base = [1.0] * 8 + [0.0] * 56
+    for vid in (100, 101, 102):
+        rows.append((vid, base, 0))
+    for i, vid in enumerate((0, 1, 2, 3, 4, 5, 6, 7)):
+        v = [0.0] * 64
+        v[8 * (i % 8) + 7] = 1.0
+        v[i] = -1.0
+        rows.append((vid, v, 1))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        str(sf / "embeddings.parquet"),
+    )
+
+    from hedera_spark.operators.kmeans import dedup_semantic
+
+    out = {r["vec_id"]: r for r in dedup_semantic(spark, str(sf)).collect()}
+    assert out[100]["is_semantic_dup"] == 0  # smallest id survives
+    assert out[101]["is_semantic_dup"] == 1
+    assert out[102]["is_semantic_dup"] == 1
+    assert out[101]["cluster_id"] == out[100]["cluster_id"]
+
+
+def test_pv_seasonality_detects_planted_weekly_pattern(spark, tmp_path):
+    """User A: strong weekend spike every week -> seasonality near 1.
+    User B: identical count every day -> seasonality 0 (SST > 0 fails,
+    zero-variance branch)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    eid = 0
+    for day in range(1, 29):  # 4 full weeks of January 2024
+        d = datetime.datetime(2024, 1, day, 10, 0, 0)
+        wk = d.weekday()  # Mon=0..Sun=6
+        n_a = 30 if wk >= 5 else 3
+        for _ in range(n_a):
+            rows.append((eid, d, 1)); eid += 1
+        for _ in range(5):
+            rows.append((eid, d, 2)); eid += 1
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(sf / "events.parquet"),
+    )
+
+    from hedera_spark.operators.timeseries import pv_seasonality
+
+    out = {r["user_id"]: r for r in pv_seasonality(spark, str(sf)).collect()}
+    assert out[1]["seasonality"] > 0.95, out[1]
+    assert out[1]["peak_dow"] in (0, 6)  # Sunday=0 or Saturday=6
+    assert out[2]["seasonality"] == 0.0
+    assert out[1]["n_days"] == 28 and out[2]["n_days"] == 28
