@@ -266,3 +266,37 @@ def anchor_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-mention graph — the first sanity
+    dashboard over any extracted entity graph (is it power-law? did the
+    df-cap actually bound the hubs?): per-node degree and co-mention
+    strength, rolled up into a (degree → node count, strength mass)
+    histogram.
+
+    Exact: degrees and strengths are integer counts off the capped edge
+    list; the histogram is a second integer partial agg. Scale: two
+    partial-agg shuffles, the first bounded by |V|, the second by
+    |distinct degrees| (≪ |V|); the edge list itself is df-capped
+    upstream (anchors.py), so no hub blow-up can reach this operator."""
+    from hedera_spark.operators.anchors import anchor_cooccur
+
+    e = anchor_cooccur(spark, sf_dir)
+    per_node = (
+        e.select(F.col("a1").alias("anchor"), "n_docs")
+        .union(e.select(F.col("a2").alias("anchor"), "n_docs"))
+        .groupBy("anchor")
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.sum("n_docs").alias("strength"),
+        )
+    )
+    return (
+        per_node.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("strength").cast("long").alias("total_strength"),
+        )
+        .select("degree", "n_nodes", "total_strength")
+    )

@@ -243,3 +243,47 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc.unpersist()
     labels.unpersist()
     return out
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration/reliability audit of the trained quality classifier
+    (the dashboard a filtering pipeline reviews before trusting a model
+    gate): the classifier's probabilities bucketed into 10 bins, and per
+    bin the doc count, positive-label count, agreement with the heuristic
+    label, label fraction, and mean predicted probability. A calibrated
+    model shows frac_keep ≈ mean_p per bin.
+
+    Determinism: p is already quantized to 6 decimals by
+    quality_classifier, so bin = floor(p·10) and the per-bin mean
+    computed from EXACT integer micro-units (Σ round(p·1e6) as BIGINT)
+    are bit-identical cross-engine; frac/mean are single divisions of
+    exact integers.
+
+    Scale: composes the classifier's 3 fixed training passes, then ONE
+    10-group partial agg over the scored docs — the audit itself adds a
+    single map-side bin column and a bounded shuffle of 10 groups."""
+    scored = quality_classifier(spark, sf_dir)
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("long"), F.lit(9)).alias("bin"),
+        "p",
+        "pred",
+        "y",
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").alias("n_keep_label"),
+        F.sum(
+            F.when(F.col("pred") == (F.col("y") == 1), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.sum(F.round(F.col("p") * 1e6).cast("long")).alias("sum_p6"),
+    )
+    return g.select(
+        "bin",
+        "n_docs",
+        "n_keep_label",
+        F.col("n_correct").cast("long").alias("n_correct"),
+        F.round(F.col("n_keep_label") / F.col("n_docs").cast("double"), 6).alias(
+            "frac_keep"
+        ),
+        F.round(F.col("sum_p6") / (F.col("n_docs") * F.lit(1e6)), 6).alias("mean_p"),
+    )

@@ -115,3 +115,76 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(_features_batches, schema=FEATURES_SCHEMA)
+
+
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable dedup over the opaque binary column: md5 of the
+    raw payload BYTES (no decode needed — byte-identical blobs are dups
+    regardless of format), duplicate groups with survivor + wasted-byte
+    accounting. The multimodal face of dedup_exact: a 100 TB image/video
+    lake dedups on payload digests exactly like this, and the digest is
+    computed where the bytes are (map-side), so the shuffle carries only
+    (digest, doc_id, n_bytes) — never the payloads.
+
+    Scale: one map-side md5 over the scanned blob + one partial-agg
+    shuffle bounded by |distinct digests|. Survivor = min(doc_id) keeps
+    selection deterministic.
+
+    Reference: the Hedera dedup story is split-boundary revision re-seek
+    (io/input/WikiRevisionPageInputFormat.java); this is its
+    content-digest counterpart for binary corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+    ).select(
+        "doc_id",
+        F.md5("payload").alias("fingerprint"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    groups = payloads.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("survivor_id"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("payload_bytes"),
+    )
+    return groups.where(F.col("n_copies") >= 2).select(
+        "fingerprint",
+        "n_copies",
+        "survivor_id",
+        (F.col("total_bytes") - F.col("payload_bytes")).alias("wasted_bytes"),
+    )
+
+
+FRAMES_SCHEMA = "doc_id long, n_frames long, n_sampled long, frame_indices array<long>"
+
+
+def _frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            # same decoder as multimodal_meta/_features — swapping the stub
+            # for a real container parser changes all three together
+            _n, _w, _h, n_frames, _fmt = _decode_stub(payload)
+            step = max(1, n_frames // N_SAMPLED_FRAMES)
+            frames = list(range(0, n_frames, step))[:N_SAMPLED_FRAMES]
+            rows.append((doc_id, n_frames, len(frames), frames))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_frames", "n_sampled", "frame_indices"]
+        )
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample planning over binary video payloads: uniform-stride
+    sampled frame indices (up to N_SAMPLED_FRAMES) per payload, through
+    the same Arrow mapInPandas plumbing as multimodal_meta. Because the
+    stub decoder's frame count is a deterministic function of the payload
+    bytes, this operator IS SQL-oracle-checkable — the driver verifies the
+    whole frame-sampling arithmetic value-exactly (unlike the rows-only
+    multimodal_features, which carries the float histogram).
+
+    Scale: embarrassingly-parallel map stage — partitioning inherited from
+    the scan, constant memory per Arrow batch, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(_frames_batches, schema=FRAMES_SCHEMA)

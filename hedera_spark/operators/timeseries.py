@@ -399,3 +399,93 @@ def pv_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality"
         ),
     )
+
+
+def pv_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each entity's daily count series (over
+    observed days, day-ordered): Pearson r between consecutive-day count
+    pairs — is today's traffic predictive of tomorrow's? The persistence
+    diagnostic of the short-term-series family
+    (mapreduce/BuildShortTermTS.java's series, summarized).
+
+    Determinism: the lag pairing and all six moments (n, Σx, Σy, Σxy,
+    Σx², Σy²) are EXACT-INTEGER aggregates of bit-identical daily counts;
+    r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²)) is a fixed
+    dag of integer-derived doubles — one sqrt, one division, no
+    accumulation-order exposure.
+
+    Scale: one shuffle to the daily aggregate (bounded |entities|×|days|),
+    one window over the same entity key (tiny per-entity series), one
+    partial-agg groupBy back to |entities| rows. Raw events are never
+    sorted."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    pairs = daily.select(
+        "user_id",
+        F.lag("cnt").over(w).alias("x"),
+        F.col("cnt").alias("y"),
+    ).where(F.col("x").isNotNull())
+    m = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.where(F.col("n") >= 7).select(
+        "user_id",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round(num / F.sqrt(denx.cast("double") * deny.cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("autocorr_1"),
+    )
+
+
+def pv_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week trending entities: per-(entity, week) event counts,
+    consecutive-week deltas via lag, global top-20 by absolute delta
+    (spikes AND crashes) — the "what moved this week" dashboard over the
+    pageview rollup (LocalEZPageviewDay.java's consumer view).
+
+    Determinism: weeks are date_trunc buckets, deltas are exact BIGINT
+    differences; ordering ties broken by (week, user_id) so the LIMIT cut
+    is total-ordered.
+
+    Scale: one partial-agg shuffle bounded |entities|×|weeks|, a keyed
+    window over tiny per-entity series, then a global top-k — Spark plans
+    LIMIT as per-partition TakeOrdered + a single-reducer merge of 20-row
+    heaps, never a global sort of the deltas."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy("week")
+    deltas = weekly.select(
+        "user_id",
+        "week",
+        F.col("cnt").alias("cur_cnt"),
+        F.lag("cnt").over(w).alias("prev_cnt"),
+    ).where(F.col("prev_cnt").isNotNull())
+    return (
+        deltas.select(
+            "user_id",
+            "week",
+            "prev_cnt",
+            "cur_cnt",
+            (F.col("cur_cnt") - F.col("prev_cnt")).alias("delta"),
+        )
+        .orderBy(
+            F.abs(F.col("delta")).desc(), F.col("week"), F.col("user_id")
+        )
+        .limit(20)
+    )

@@ -49,6 +49,7 @@ ALLOWED_NESTED_LOOP = {
     "anchor_cooccur",
     "anchor_cooccur_temporal",
     "anchor_triangles",  # via _cooccur_tokens (1-row hot stop-token array)
+    "graph_degree_stats",  # via _cooccur_tokens (1-row hot stop-token array)
     "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast
     "line_dedup",  # 1-row boilerplate-segment array broadcast
@@ -64,11 +65,12 @@ ALLOWED_NESTED_LOOP = {
     "hits_anchors",  # 1-row integer maxima broadcast
 }
 
-# the four designed Arrow escape hatches (mapInPandas / applyInPandas /
+# the designed Arrow escape hatches (mapInPandas / applyInPandas /
 # vectorized UDF) — semantics Spark's relational operators cannot express
 ALLOWED_PYTHON = {
     "multimodal_meta",
     "multimodal_features",
+    "multimodal_frames",  # same stub-decoder plumbing as multimodal_meta
     "rev_diff_chunks",
     "ann_topk_fast",
 }

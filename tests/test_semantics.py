@@ -464,3 +464,171 @@ def test_pv_seasonality_detects_planted_weekly_pattern(spark, tmp_path):
     assert out[1]["peak_dow"] in (0, 6)  # Sunday=0 or Saturday=6
     assert out[2]["seasonality"] == 0.0
     assert out[1]["n_days"] == 28 and out[2]["n_days"] == 28
+
+
+def test_pv_autocorr_planted_alternation(spark, tmp_path):
+    """An alternating two-value daily series is exactly linear
+    (y = 10 − x), so lag-1 r must be exactly −1.0; a constant series has
+    zero variance and must yield the 0.0 sentinel."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for day in range(1, 15):
+        # entity 1 alternates 1/9 events per day; entity 2 constant 3
+        for _ in range(9 if day % 2 == 0 else 1):
+            rows.append(
+                (eid, datetime.datetime(2024, 3, day, 8, 0, 0), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+        for _ in range(3):
+            rows.append(
+                (eid, datetime.datetime(2024, 3, day, 9, 0, 0), 2, "view", 1.0, "{}")
+            )
+            eid += 1
+    sf = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+
+    from hedera_spark.operators.timeseries import pv_autocorr
+
+    out = {r["user_id"]: r for r in pv_autocorr(spark, str(sf)).collect()}
+    assert out[1]["autocorr_1"] == -1.0 and out[1]["n_pairs"] == 13
+    assert out[2]["autocorr_1"] == 0.0
+
+
+def test_pv_trending_planted_spike_week(spark, tmp_path):
+    """One entity jumps 2→50 events between consecutive weeks; that delta
+    must rank first and carry exact integer counts."""
+    import datetime
+
+    rows = []
+    eid = 0
+    # entity 1: weeks of Mon 2024-01-01 and 2024-01-08: 2 then 50 events
+    for d, n in ((1, 2), (8, 50)):
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, d, 12, 0, 0), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    # entity 2: flat 5/5 across the same weeks
+    for d in (1, 8):
+        for _ in range(5):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, d, 12, 0, 0), 2, "view", 1.0, "{}")
+            )
+            eid += 1
+    sf = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+
+    from hedera_spark.operators.timeseries import pv_trending
+
+    out = pv_trending(spark, str(sf)).collect()
+    top = out[0]
+    assert top["user_id"] == 1 and top["prev_cnt"] == 2 and top["cur_cnt"] == 50
+    assert top["delta"] == 48
+    assert top["week"] == datetime.date(2024, 1, 8)
+    deltas = [abs(r["delta"]) for r in out]
+    assert deltas == sorted(deltas, reverse=True)
+
+
+def test_multimodal_dedup_groups_and_waste(spark, tmp_path):
+    """Byte-identical payloads form one group with min-id survivor and
+    (n−1)·payload_bytes wasted; unique payloads emit nothing."""
+    docs = spark.createDataFrame(
+        [
+            (7, "samesame", "p", "en", 8),
+            (3, "samesame", "q", "en", 8),
+            (9, "samesame", "r", "en", 8),
+            (4, "unique", "s", "en", 6),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    sf = tmp_path / "sf"
+    docs.write.parquet(str(sf / "documents.parquet"))
+
+    from hedera_spark.operators.multimodal import multimodal_dedup
+
+    out = multimodal_dedup(spark, str(sf)).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["n_copies"] == 3 and g["survivor_id"] == 3
+    assert g["wasted_bytes"] == 2 * 8
+    assert len(g["fingerprint"]) == 32
+
+
+def test_multimodal_frames_stride_sampling(spark, tmp_path):
+    """Frame sampling under the stub decoder: n_frames = 1 + n_bytes % 16,
+    stride = max(1, n_frames // 4), at most 4 indices."""
+    docs = spark.createDataFrame(
+        [(1, "abcd", "p", "en", 4), (2, "a" * 15, "q", "en", 15)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    sf = tmp_path / "sf"
+    docs.write.parquet(str(sf / "documents.parquet"))
+
+    from hedera_spark.operators.multimodal import multimodal_frames
+
+    out = {r["doc_id"]: r for r in multimodal_frames(spark, str(sf)).collect()}
+    # doc 1: 4 bytes -> 5 frames, stride 1 -> first four indices
+    assert out[1]["n_frames"] == 5 and out[1]["frame_indices"] == [0, 1, 2, 3]
+    # doc 2: 15 bytes -> 16 frames, stride 4 -> evenly spaced
+    assert out[2]["n_frames"] == 16 and out[2]["frame_indices"] == [0, 4, 8, 12]
+    assert all(r["n_sampled"] == 4 for r in out.values())
+
+
+def test_quality_calibration_rolls_up_classifier(spark):
+    """The calibration histogram must be exactly the pandas rollup of the
+    classifier's per-doc output: same bin totals, label counts, and
+    micro-unit mean probabilities."""
+    import math
+
+    from hedera_spark.operators.importance import (
+        quality_calibration,
+        quality_classifier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scored = quality_classifier(spark, sf).toPandas()
+    out = {int(r["bin"]): r for r in quality_calibration(spark, sf).collect()}
+
+    scored["bin"] = scored["p"].map(lambda p: min(int(math.floor(p * 10)), 9))
+    assert sum(r["n_docs"] for r in out.values()) == len(scored)
+    for b, grp in scored.groupby("bin"):
+        row = out[int(b)]
+        assert row["n_docs"] == len(grp)
+        assert row["n_keep_label"] == int(grp["y"].sum())
+        assert row["n_correct"] == int((grp["pred"] == (grp["y"] == 1)).sum())
+        micro = int(sum(round(p * 1e6) for p in grp["p"]))
+        assert row["mean_p"] == round(micro / (len(grp) * 1e6), 6)
+        assert 0.0 <= row["frac_keep"] <= 1.0
+
+
+def test_graph_degree_stats_matches_edge_list(spark):
+    """The degree histogram must be exactly the pandas rollup of the
+    df-capped co-mention edge list."""
+    from collections import Counter
+
+    from hedera_spark.operators.anchors import anchor_cooccur
+    from hedera_spark.operators.graph import graph_degree_stats
+
+    sf = "/root/testdata/sf0.001"
+    edges = anchor_cooccur(spark, sf).collect()
+    deg, strength = Counter(), Counter()
+    for r in edges:
+        for n in (r["a1"], r["a2"]):
+            deg[n] += 1
+            strength[n] += r["n_docs"]
+    hist = Counter(deg.values())
+    mass = Counter()
+    for n, d in deg.items():
+        mass[d] += strength[n]
+
+    out = {r["degree"]: r for r in graph_degree_stats(spark, sf).collect()}
+    assert {d: r["n_nodes"] for d, r in out.items()} == dict(hist)
+    assert {d: r["total_strength"] for d, r in out.items()} == dict(mass)
