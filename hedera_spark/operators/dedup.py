@@ -193,7 +193,13 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Kirsch-Mitzenmacher a + i*b) were tried and rejected: they are not
     min-wise independent, and the cross-seed correlation inflated band
     collisions ~50x on this corpus."""
-    sh = _shingles(spark, sf_dir)
+    return minhash_signatures_from(_shingles(spark, sf_dir))
+
+
+def minhash_signatures_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, sig) with the md5-chunk family above.
+    Public so incremental dedup can sign an arbitrary snapshot
+    (operators/delta.dedup_incremental)."""
     # 16 INDEPENDENT hash chunks as min-aggregate columns (no row
     # explode): partial aggregation shrinks the shuffle to |docs| x 16
     # regardless of shingle volume.

@@ -106,3 +106,92 @@ def index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s.w").cast("long").alias("df_delta"),
         )
     )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection between snapshots — the dedup a
+    production pipeline actually runs per crawl: MinHash-LSH candidate
+    pairs where AT LEAST ONE side is new-or-modified in snapshot v2,
+    computed WITHOUT ever pairing old×old (the quadratic bulk that was
+    already deduped last run). Output: (doc_a, doc_b, est_jaccard,
+    pair_kind ∈ {new_new, new_old}).
+
+    Plan (100 TB economics): the whole v2 corpus is signed (one
+    partial-agg shuffle, |docs|×16 — signing is linear and unavoidable),
+    but the band join's LEFT side is only the delta's band rows
+    (left-semi join against the changed-id set), so candidate fan-out is
+    |new bands| × bucket occupancy instead of |all bands|². The old×old
+    pairs never exist, which is the entire point of carrying
+    corpus_delta into the dedup stage.
+
+    Reference: split-boundary re-seek dedup of
+    io/input/WikiRevisionPageInputFormat.java, against a prior dump —
+    here at near-dup (MinHash) granularity rather than exact ids."""
+    from hedera_spark.operators.dedup import (
+        _SHINGLE_ARR,
+        N_BANDS,
+        N_MINHASH,
+        ROWS_PER_BAND,
+        minhash_signatures_from,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    v2 = _snapshot_v2(docs).repartition(spark.sparkContext.defaultParallelism)
+    sh2 = v2.select("doc_id", F.explode(F.expr(_SHINGLE_ARR)).alias("shingle"))
+    sigs = minhash_signatures_from(sh2)
+    changed = corpus_delta(spark, sf_dir).where(
+        F.col("change_type").isin("added", "modified")
+    ).select("doc_id")
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        "sig",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.expr(f"slice(sig, band * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})"),
+            )
+        ).alias("band_hash"),
+    )
+    flagged = bands.join(
+        changed.withColumn("is_new", F.lit(True)), "doc_id", "left"
+    ).withColumn("is_new", F.coalesce("is_new", F.lit(False)))
+    a = flagged.where(F.col("is_new")).select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    b = flagged.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("is_new").alias("new_b"),
+        "band",
+        "band_hash",
+    )
+    pairs = a.join(b, ["band", "band_hash"]).where(F.col("id_a") != F.col("id_b"))
+    est = F.round(
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(N_MINHASH)),
+        6,
+    )
+    return (
+        pairs.select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            est.alias("est_jaccard"),
+            F.when(F.col("new_b"), "new_new").otherwise("new_old").alias(
+                "pair_kind"
+            ),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("est_jaccard").alias("est_jaccard"),
+            F.min("pair_kind").alias("pair_kind"),
+        )
+    )

@@ -242,3 +242,49 @@ def rev_snapshot_at(
         .where(F.col("rn") == 1)
         .select("page_id", "rev_id", "ts", "kind", "value")
     )
+
+
+def rev_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-revision gap statistics per page: mean gap and the
+    coefficient of variation (CV = std/mean) of the gaps — CV ≈ 1 is a
+    memoryless (Poisson) edit stream, CV ≫ 1 is bursty editing. The
+    activity-shape diagnostic of the revision timeline family
+    (pig/preprocess/checkRevisions.pig walks exactly these per-page
+    timestamp sequences).
+
+    Determinism: gaps are EXACT integer microseconds (unix_micros of the
+    lag pair); n, Σg, Σg² accumulate in DECIMAL(38,0) (Σg² of month-long
+    µs gaps overflows BIGINT), so mean and the variance numerator
+    n·Σg² − (Σg)² are exact before the single double division/sqrt.
+
+    Scale: one window over the page key (same shuffle as rev_pairs),
+    one partial-agg groupBy down to |pages| rows."""
+    revs = load_revisions(spark, sf_dir)
+    w = Window.partitionBy("page_id").orderBy("ts", "rev_id")
+    gaps = (
+        revs.select(
+            "page_id",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            ).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+        .select("page_id", F.col("gap").cast("decimal(38,0)").alias("gap"))
+    )
+    m = gaps.groupBy("page_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+    )
+    var_num = (F.col("n") * F.col("sgg") - F.col("sg") * F.col("sg")).cast("double")
+    mean_us = F.col("sg").cast("double") / F.col("n")
+    std_us = F.sqrt(var_num / (F.col("n") * (F.col("n") - 1)))
+    return m.where(F.col("n") >= 5).select(
+        "page_id",
+        F.col("n").alias("n_gaps"),
+        F.round(mean_us / 1e6, 6).alias("mean_gap_s"),
+        F.when(F.col("sg") > 0, F.round(std_us / mean_us, 6))
+        .otherwise(F.lit(0.0))
+        .alias("cv_gap"),
+    )

@@ -615,3 +615,122 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cos",
         F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
+
+
+SQ_LEVELS = 255  # 8-bit codes
+SQ_TOPK = 3
+EMB_DIM = 64
+
+
+def _sq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantize the corpus to 8-bit per-dimension codes and return
+    the RECONSTRUCTED vectors (vec_id, remb, rnrm). Per-dimension min/max
+    come from one 64-group partial agg; the (mins, ranges) model is a
+    1-row broadcast, so encode+decode are map-side."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("vec_id", "embedding")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("i0", "x"))
+        .select((F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    dims = stats.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("i", (F.col("mx") - F.col("mn")).alias("r")))
+            ),
+            lambda s: s["r"],
+        ).alias("rngs"),
+    )
+
+    def recon_elem(i):
+        mn = F.element_at(F.col("mns"), i)
+        rng = F.element_at(F.col("rngs"), i)
+        xv = F.element_at(F.col("embedding"), i).cast("double")
+        code = F.when(
+            rng > 0, F.round(((xv - mn) / rng) * F.lit(255.0), 0)
+        ).otherwise(F.lit(0.0))
+        return mn + (code * rng) / F.lit(255.0)
+
+    recon = emb.crossJoin(F.broadcast(dims)).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)), recon_elem
+        ).alias("remb"),
+    )
+    return recon.select("vec_id", "remb", _norm(F.col("remb")).alias("rnrm"))
+
+
+def ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (the third compression path next to IVF
+    cells and PQ codes — the faiss SQ8 recipe): corpus vectors are
+    8-bit-per-dimension quantized against per-dimension global [min, max],
+    queries stay exact, and ranking is asymmetric cosine (exact query ×
+    reconstructed corpus). SQ trades 4x memory (64 B codes vs 256 B
+    floats) for quantization noise that sq_recall measures.
+
+    Determinism: per-dim min/max are exact (no summation); code =
+    round((x−mn)/rng·255) is HALF-UP on positive doubles in both
+    engines; reconstruction and the cosine folds are fixed-order dags.
+
+    Scale: the 64-entry (min, range) model is a 1-row broadcast (the
+    quantizer analog of the PQ codebook); encode/decode are map-side;
+    the probe itself is the labeled brute-force baseline shape (queries
+    broadcast, corpus scanned once)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    ).where(F.col("q_id") % QUERY_MOD == 0)
+    recon = _sq_recon(spark, sf_dir)
+    scored = recon.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("remb")) / (F.col("q_nrm") * F.col("rnrm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= SQ_TOPK
+    )
+
+
+def sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the scalar-quantized probe vs the exact top-3 —
+    isolates pure quantization loss (SQ scans the full corpus, so any
+    miss is the 8-bit rounding, not candidate pruning). Completes the
+    measured-dial set: LSH, IVF, PQ, SQ all report to the same scale."""
+    exact3 = (
+        ann_topk(spark, sf_dir)
+        .where(F.col("rk") <= SQ_TOPK)
+        .select("q_id", "neighbor_id")
+    )
+    approx = ann_sq(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = approx.join(exact3, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_approx = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        exact3.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(n_approx, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

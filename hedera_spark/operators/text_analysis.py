@@ -13,7 +13,7 @@ fingerprinting is fully shuffle-free (array-side rolling mins per row).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hedera_spark.sources.tables import load_table
@@ -708,4 +708,145 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.round(F.col("n_docs") / F.col("raw_docs"), 6).alias("pct_docs"),
         )
+    )
+
+
+def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats):
+    H = ln(n) − (1/n)·Σ_tok c·ln(c) — near-zero for degenerate repeated
+    text, ≈ln(n_distinct) for diverse text. The information-theoretic
+    twin of text_repetition's count gates and the entropy face of the
+    quality family (a CCNet-adjacent filtering signal).
+
+    Determinism: per-(doc, token) counts c are exact integers; the
+    Σ c·ln(c) reduction is a token-sorted left fold (the list_reduce
+    ORDER BY tok discipline), so both engines add the same libm doubles
+    in the same order; one division + round(6) at the end.
+
+    Scale: one explode + partial-agg shuffle bounded by Σ|doc vocab|
+    (the bow shape), then a per-doc fold over its own vocabulary — no
+    window, no self-join, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    folded = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("tok"),
+                        (F.col("c") * F.log(F.col("c"))).alias("cl"),
+                    )
+                )
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["cl"],
+        ).alias("scl"),
+    )
+    return folded.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.col("n").cast("double")) - F.col("scl") / F.col("n"), 6
+        ).alias("entropy"),
+    )
+
+
+ZIPF_TOP_TERMS = 1000
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus term distribution: least-squares
+    slope/intercept/R² of ln(freq) against ln(rank) for the top
+    ZIPF_TOP_TERMS terms — natural corpora fit slope ≈ −1; a corpus
+    whose slope drifts far from that (or whose R² collapses) signals
+    boilerplate flooding or template spam. Complements term_stats /
+    vocab_growth as the distribution-shape dashboard.
+
+    Determinism: term frequencies and ranks are exact integers with a
+    total (cf DESC, term) order; the six regression moments are
+    rank-ordered folds over exactly ZIPF_TOP_TERMS rows, so both
+    engines sum identical libm doubles in identical order.
+
+    Scale: the corpus is touched once by the term partial agg (bounded
+    by |vocab|); the top-N cut is TakeOrdered (per-partition N-row
+    heaps + one merge), and the regression runs over N ≤ 1000 rows —
+    the global sort never sees the full vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), "tok")
+        .limit(ZIPF_TOP_TERMS)
+    )
+    w = Window.orderBy(F.desc("cf"), "tok")
+    ranked = tf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cf").cast("double")).alias("y"),
+        F.row_number().over(w).alias("rank"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("rank", "x"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["x"],
+        ).alias("sx"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("rank", "y"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["y"],
+        ).alias("sy"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("rank", (F.col("x") * F.col("y")).alias("v")))
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["v"],
+        ).alias("sxy"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("rank", (F.col("x") * F.col("x")).alias("v")))
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["v"],
+        ).alias("sxx"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("rank", (F.col("y") * F.col("y")).alias("v")))
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["v"],
+        ).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round((r_num / r_den) * (r_num / r_den), 6).alias("r2"),
     )

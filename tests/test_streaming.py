@@ -722,3 +722,39 @@ def test_stream_pv_anomaly_state_survives_restart(spark, tmp_path):
             assert math.isnan(g["z_score"]), k
         else:
             assert abs(g["z_score"] - w["z_score"]) < 1e-6, k
+
+
+def test_stream_funnel_equals_batch(spark):
+    """The stateful online funnel after consuming the whole log must
+    reproduce the batch ordered-funnel exactly (same users, same gated
+    stage timestamps, NaT where batch has NULL)."""
+    import pandas as pd
+
+    from hedera_spark.operators.timeseries import funnel
+    from hedera_spark.streaming.stateful import stream_funnel
+
+    out = stream_funnel(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from funnel_stream").collect()
+    got = {}
+    for r in rows:  # keep the most-evolved emission per user
+        if r["user_id"] not in got or r["n_seen"] > got[r["user_id"]]["n_seen"]:
+            got[r["user_id"]] = r
+    want = {r["user_id"]: r for r in funnel(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        for col in ("t_view", "t_click_after_view", "t_purchase_after_click"):
+            wv, gv = w[col], g[col]
+            if wv is None:
+                assert gv is None or pd.isna(gv), (uid, col, gv)
+            else:
+                assert gv == wv, (uid, col, gv, wv)
