@@ -123,3 +123,26 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup components — the dedup
+    dashboard (how much of the corpus collapses, and into how many
+    groups): (cluster_size → n_clusters, n_docs). Singleton clusters are
+    the non-duplicated bulk; the tail of this histogram is what exact /
+    minhash dedup actually reclaims.
+
+    Scale: two integer partial aggs on top of dedup_clusters' audited
+    iteration — the first bounded by |clusters|, the second by |distinct
+    sizes| (≪ |clusters|)."""
+    comp = dedup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )

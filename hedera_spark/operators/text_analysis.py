@@ -850,3 +850,26 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("intercept"),
         F.round((r_num / r_den) * (r_num / r_den), 6).alias("r2"),
     )
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the labeled
+    lang — the measured dial for lang_id, exactly as the recall operators
+    are for the ANN probes: (label, prediction, doc count, fraction of
+    the label's docs). You tune LANG_MARKERS against THIS table.
+
+    Scale: composes lang_id's audited plan, then one partial agg bounded
+    by |langs|² and a broadcast-sized per-label total join."""
+    preds = lang_id(spark, sf_dir).select("doc_id", "lang", "pred_lang")
+    cells = preds.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return cells.join(totals, "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_lang").cast("double"), 6).alias(
+            "frac_of_lang"
+        ),
+    )

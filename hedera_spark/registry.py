@@ -880,6 +880,25 @@ register(
     """,
 )
 
+# lang_confusion wraps lang_id's oracle verbatim so the two can never
+# drift: the confusion matrix is defined over exactly the predictions
+# the driver verifies for lang_id.
+register(
+    "lang_confusion",
+    ta.lang_confusion,
+    f"""
+    WITH cells AS (
+      SELECT lang, pred_lang, count(*) AS n_docs
+      FROM ({ORACLE["lang_id"]}) q
+      GROUP BY lang, pred_lang
+    ),
+    totals AS (SELECT lang, sum(n_docs) AS n_lang FROM cells GROUP BY lang)
+    SELECT c.lang, c.pred_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+           round(c.n_docs / CAST(t.n_lang AS DOUBLE), 6) AS frac_of_lang
+    FROM cells c JOIN totals t USING (lang)
+    """,
+)
+
 register(
     "text_quality",
     ta.text_quality,
@@ -1173,6 +1192,24 @@ register(
     "dedup_clusters",
     cl.dedup_clusters,
     _CLUSTERS_CTES + "SELECT doc_id, cluster_id, is_survivor FROM clusters",
+)
+
+# dedup_cluster_stats wraps dedup_clusters' recursive-CTE oracle verbatim
+# (same no-drift argument as lang_confusion).
+register(
+    "dedup_cluster_stats",
+    cl.dedup_cluster_stats,
+    f"""
+    WITH sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM ({ORACLE["dedup_clusters"]}) q
+      GROUP BY cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
 )
 
 register(
@@ -3733,6 +3770,13 @@ _DEMOTED_STABLE = [
     # gate instead — it is r3-new but hypothesis-property-tested,
     # plan-shape-pinned, and driver_sim MATCHes at sf0.01 on record
     "chunk_documents",
+    # round 3 eighth wave: make room for lang_confusion /
+    # dedup_cluster_stats — two more r3-new-but-locally-hardened entries
+    # defer to the r4 gate (bm25: plan-pinned + unit-tested;
+    # corpus_delta: property-tested and embedded verbatim in
+    # dedup_incremental's checked oracle)
+    "bm25_topk",
+    "corpus_delta",
 ]
 
 

@@ -42,6 +42,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_keep_best",  # composes dedup_clusters (hot-shingle array)
+    "dedup_cluster_stats",  # composes dedup_clusters (hot-shingle array)
     "corpus_select",
     "bm25_topk",  # 1-row (N, avgdl) corpus-stats broadcast
     "doc_perplexity",  # 1-row vocabulary-size broadcast

@@ -732,3 +732,39 @@ def test_dedup_incremental_never_pairs_old_old(spark):
     # a 'modified' doc (text + ' v2') is a near-dup of ITS OWN unchanged
     # band-mates; at minimum the modified docs appear somewhere
     assert any(p["pair_kind"] == "new_old" for p in pairs)
+
+
+def test_lang_confusion_rolls_up_lang_id(spark):
+    """The confusion matrix must be exactly the pandas rollup of
+    lang_id's per-doc predictions, and per-label fractions must sum
+    to 1."""
+    from collections import Counter
+
+    from hedera_spark.operators.text_analysis import lang_confusion, lang_id
+
+    sf = "/root/testdata/sf0.001"
+    preds = lang_id(spark, sf).collect()
+    want = Counter((r["lang"], r["pred_lang"]) for r in preds)
+    out = lang_confusion(spark, sf).collect()
+    assert {(r["lang"], r["pred_lang"]): r["n_docs"] for r in out} == dict(want)
+    by_lang = Counter()
+    for r in out:
+        by_lang[r["lang"]] += r["frac_of_lang"]
+    for lang, total in by_lang.items():
+        assert abs(total - 1.0) < 1e-4, (lang, total)
+
+
+def test_dedup_cluster_stats_accounts_every_doc(spark):
+    """The size histogram must be the exact rollup of dedup_clusters:
+    Σ n_docs = clustered docs, Σ n_clusters = distinct clusters."""
+    from collections import Counter
+
+    from hedera_spark.operators.clusters import dedup_cluster_stats, dedup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    comp = dedup_clusters(spark, sf).collect()
+    sizes = Counter(r["cluster_id"] for r in comp)
+    hist = Counter(sizes.values())
+    out = {r["cluster_size"]: r for r in dedup_cluster_stats(spark, sf).collect()}
+    assert {s: r["n_clusters"] for s, r in out.items()} == dict(hist)
+    assert sum(r["n_docs"] for r in out.values()) == len(comp)
