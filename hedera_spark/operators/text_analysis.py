@@ -844,7 +844,9 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
-    return m.select(
+    # empty corpus: the grand agg still emits one (n=0) row — drop it so
+    # the operator vanishes on empty input like every other query
+    return m.where(F.col("n") > 0).select(
         F.col("n").alias("n_terms"),
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),

@@ -489,3 +489,48 @@ def pv_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+def pv_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per entity: each day's count is
+    predicted as the mean of all PRIOR same-weekday counts (expanding
+    window), and the operator reports the mean absolute error of that
+    forecast — the baseline any fancier traffic model must beat, run
+    entirely in-engine over the daily rollup.
+
+    Determinism: the expanding window sums are exact integers; each
+    day's |error| is one double division + subtraction, quantized to
+    integer micro-units before the per-entity sum, so the final MAE is a
+    single division of exact integers.
+
+    Scale: daily partial agg (|entities|×|days|), one window on the
+    (entity, dow) key over the tiny per-entity series, one partial agg
+    back to |entities| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    dowed = daily.withColumn("dow", F.dayofweek("day") - 1)
+    w = (
+        Window.partitionBy("user_id", "dow")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = dowed.select(
+        "user_id",
+        "cnt",
+        F.sum("cnt").over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    ).where(F.col("c") >= 1)
+    err6 = F.round(
+        F.abs(F.col("s") / F.col("c") - F.col("cnt")) * 1e6
+    ).cast("long")
+    m = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(err6).alias("se6"),
+    )
+    return m.where(F.col("n_scored") >= 7).select(
+        "user_id",
+        "n_scored",
+        F.round(F.col("se6") / (F.col("n_scored") * F.lit(1e6)), 6).alias("mae"),
+    )

@@ -2645,7 +2645,7 @@ register(
                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
                  * ((n * sxy - sx * sy)
                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))), 6) AS r2
-    FROM m
+    FROM m WHERE n > 0
     """,
 )
 
@@ -3313,6 +3313,35 @@ register(
     """,
 )
 
+register(
+    "pv_forecast_backtest",
+    ts.pv_forecast_backtest,
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    dowed AS (SELECT user_id, day, dayofweek(day) AS dow, cnt FROM daily),
+    scored AS (
+      SELECT user_id, cnt,
+             sum(cnt) OVER win AS s,
+             count(*) OVER win AS c
+      FROM dowed
+      WINDOW win AS (PARTITION BY user_id, dow ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    m AS (
+      SELECT user_id, count(*) AS n_scored,
+             sum(CAST(round(abs(s / CAST(c AS DOUBLE) - cnt) * 1e6) AS BIGINT))
+               AS se6
+      FROM scored WHERE c >= 1 GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_scored AS BIGINT) AS n_scored,
+           round(CAST(se6 AS DOUBLE) / (n_scored * 1e6), 6) AS mae
+    FROM m WHERE n_scored >= 7
+    """,
+)
+
 
 def _quality_lr_oracle() -> str:
     """Unroll LR_ITERATIONS gradient steps as chained CTEs (the
@@ -3777,6 +3806,9 @@ _DEMOTED_STABLE = [
     # dedup_incremental's checked oracle)
     "bm25_topk",
     "corpus_delta",
+    # ninth wave slot: kmeans_embeddings defers to r4 (unrolled-CTE
+    # oracle exercised verbatim inside the checked dedup_semantic)
+    "kmeans_embeddings",
 ]
 
 

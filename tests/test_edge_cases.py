@@ -77,6 +77,22 @@ def _empty_sf(spark, tmp_path):
         "quality_classifier",
         "anchor_triangles",
         "pv_seasonality",
+        # round-3 fourth-sweep operators
+        "pv_autocorr",
+        "pv_trending",
+        "multimodal_dedup",
+        "multimodal_frames",
+        "quality_calibration",
+        "graph_degree_stats",
+        "rev_burstiness",
+        "doc_entropy",
+        "zipf_fit",
+        "ann_sq",
+        "sq_recall",
+        "dedup_incremental",
+        "lang_confusion",
+        "dedup_cluster_stats",
+        "pv_forecast_backtest",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

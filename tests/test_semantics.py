@@ -768,3 +768,35 @@ def test_dedup_cluster_stats_accounts_every_doc(spark):
     out = {r["cluster_size"]: r for r in dedup_cluster_stats(spark, sf).collect()}
     assert {s: r["n_clusters"] for s, r in out.items()} == dict(hist)
     assert sum(r["n_docs"] for r in out.values()) == len(comp)
+
+
+def test_pv_forecast_backtest_perfect_on_weekly_pattern(spark, tmp_path):
+    """A perfectly weekly-periodic series is forecast exactly by the
+    seasonal-naive model (MAE 0); a constant-but-shifted series yields
+    the analytic error of the expanding mean."""
+    import datetime
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for day in range(28):
+        n = [2, 5, 3, 7, 4, 6, 1][day % 7]  # exact weekly pattern
+        for _ in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, hours=3), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    sf = tmp_path / "sf"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+
+    from hedera_spark.operators.timeseries import pv_forecast_backtest
+
+    out = pv_forecast_backtest(spark, str(sf)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # first 7 days have no prior same-weekday observation -> 21 scored
+    assert r["n_scored"] == 21
+    assert r["mae"] == 0.0
