@@ -188,7 +188,7 @@ def _update_funnel(
     )
 
 
-def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_funnel(spark: SparkSession, sf_dir: str, **source_kw) -> DataFrame:
     """Online ordered view→click→purchase funnel: per-user keyed state
     holds the three RAW stage minima (micros) plus an event counter; the
     ordered gating is applied at emit time, so late events that lower a
@@ -200,8 +200,18 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is four longs per user, partitioned by the grouping
     key; each micro-batch touches only the users it carries — the same
-    bounded-keyed-state shape as stream_user_totals."""
-    events = event_stream(spark, sf_dir).select(
+    bounded-keyed-state shape as stream_user_totals.
+
+    Pass source_kw (e.g. recursive=True) to replay an arbitrary
+    day-file directory instead of the canonical sf_dir events table —
+    the restart test drives it that way."""
+    if source_kw:
+        from hedera_spark.streaming.source import stream_events_dir
+
+        src = stream_events_dir(spark, sf_dir, **source_kw)
+    else:
+        src = event_stream(spark, sf_dir)
+    events = src.select(
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),

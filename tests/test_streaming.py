@@ -758,3 +758,70 @@ def test_stream_funnel_equals_batch(spark):
                 assert gv is None or pd.isna(gv), (uid, col, gv)
             else:
                 assert gv == wv, (uid, col, gv, wv)
+
+
+def test_stream_funnel_state_survives_restart(spark, tmp_path):
+    """Funnel state must survive a stream restart: replay the first half
+    of the days, stop, add the rest, restart with the SAME checkpoint —
+    final per-user funnels must still equal the batch operator (late
+    stages gated against minima accumulated before the restart)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.timeseries import funnel
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.stateful import stream_funnel
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    days = sorted(
+        r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    half = len(days) // 2
+
+    def write_days(day_list):
+        for d in day_list:
+            ev.where(F.to_date("ts") == F.lit(d)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"day={d}"))
+
+    out_dir = str(tmp_path / "funnels")
+
+    def run_once():
+        def _sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream_funnel(spark, str(src), recursive=True)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_days(days[:half])
+    run_once()
+    n_first = spark.read.parquet(out_dir).count()
+    write_days(days[half:])
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert 0 < n_first < len(rows)
+    got = {}
+    for r in rows:  # most-evolved emission per user
+        if r["user_id"] not in got or r["n_seen"] > got[r["user_id"]]["n_seen"]:
+            got[r["user_id"]] = r
+    want = {r["user_id"]: r for r in funnel(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        for col in ("t_view", "t_click_after_view", "t_purchase_after_click"):
+            wv, gv = w[col], g[col]
+            if wv is None:
+                assert gv is None or pd.isna(gv), (uid, col, gv)
+            else:
+                assert gv == wv, (uid, col, gv, wv)
