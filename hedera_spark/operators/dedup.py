@@ -415,3 +415,39 @@ def minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err"),
         )
     )
+
+
+def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of the MinHash-LSH pairing against the exact
+    Jaccard ground truth — the dedup counterpart of the ANN recall
+    dials (ann_recall / ivf_recall / pq_recall / sq_recall): what
+    fraction of true near-dup pairs (exact trigram Jaccard >= 0.2) does
+    the banded LSH candidate join surface, and how many of its
+    candidates are true? N_MINHASH / N_BANDS tune against THIS row.
+
+    Scale: both sides reuse audited plans; the comparison adds one
+    bounded pair-key join and three 1-row aggregates (broadcast
+    combine, the pipeline_funnel shape)."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    h = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .where(F.col("n_true") > 0)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true").cast("double"), 6).alias(
+                "recall"
+            ),
+            F.round(F.col("n_hit") / F.col("n_cand").cast("double"), 6).alias(
+                "candidate_precision"
+            ),
+        )
+    )

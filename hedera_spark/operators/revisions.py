@@ -288,3 +288,28 @@ def rev_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("cv_gap"),
     )
+
+
+def rev_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page lifetime summary: first/last revision timestamps, count,
+    span in days, and revisions per active day — the per-page roll-up of
+    the timeline checks (pig/preprocess/checkRevisions.pig walks exactly
+    these sequences; rev_max_ts is the max-only cousin).
+
+    Exact: span_days is an integer datediff; revs_per_day is one double
+    division of exact integers. One partial-agg shuffle to |pages|."""
+    revs = load_revisions(spark, sf_dir)
+    g = revs.groupBy("page_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_revs"),
+    )
+    span = F.datediff(F.to_date("last_ts"), F.to_date("first_ts")) + 1
+    return g.select(
+        "page_id",
+        "first_ts",
+        "last_ts",
+        "n_revs",
+        span.cast("long").alias("span_days"),
+        F.round(F.col("n_revs") / span.cast("double"), 6).alias("revs_per_day"),
+    )

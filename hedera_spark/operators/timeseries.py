@@ -534,3 +534,24 @@ def pv_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_scored",
         F.round(F.col("se6") / (F.col("n_scored") * F.lit(1e6)), 6).alias("mae"),
     )
+
+
+def pv_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day traffic profile per event type: exact counts and the
+    hour's share of the type's total — the diurnal-shape dashboard of
+    the pageview family (PreprocessEZPageviews' hourly buckets, folded
+    over days). Two bounded integer partial aggs (|types|×24, then
+    |types|); shares are single divisions of exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    totals = cells.groupBy("event_type").agg(F.sum("n_events").alias("total"))
+    return cells.join(totals, "event_type").select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(F.col("n_events") / F.col("total").cast("double"), 6).alias(
+            "share"
+        ),
+    )

@@ -662,6 +662,31 @@ register(
     """,
 )
 
+# dedup_recall wraps BOTH composed oracles verbatim (no-drift, as
+# lang_confusion / dedup_cluster_stats).
+register(
+    "dedup_recall",
+    dedup.dedup_recall,
+    f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b FROM ({ORACLE["dedup_ngram_jaccard"]}) t
+    ),
+    cand AS (
+      SELECT doc_a, doc_b FROM ({ORACLE["dedup_minhash"]}) c
+    ),
+    hit AS (SELECT count(*) AS n FROM truth JOIN cand USING (doc_a, doc_b))
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT n FROM hit) AS BIGINT) AS n_hit,
+           round((SELECT n FROM hit)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
+           round((SELECT n FROM hit)
+                 / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6)
+             AS candidate_precision
+    WHERE (SELECT count(*) FROM truth) > 0
+    """,
+)
+
 register(
     "dedup_simhash",
     dedup.dedup_simhash,
@@ -1883,6 +1908,25 @@ register(
                            / (CAST(sg AS DOUBLE) / n), 6)
                 ELSE 0.0 END AS cv_gap
     FROM m WHERE n >= 5
+    """,
+)
+
+register(
+    "rev_lifespan",
+    rev.rev_lifespan,
+    """
+    WITH g AS (
+      SELECT user_id AS page_id, min(ts) AS first_ts, max(ts) AS last_ts,
+             count(*) AS n_revs
+      FROM events GROUP BY user_id
+    )
+    SELECT page_id, first_ts, last_ts, CAST(n_revs AS BIGINT) AS n_revs,
+           CAST(datediff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+                + 1 AS BIGINT) AS span_days,
+           round(n_revs / CAST(datediff('day', CAST(first_ts AS DATE),
+                                        CAST(last_ts AS DATE)) + 1 AS DOUBLE), 6)
+             AS revs_per_day
+    FROM g
     """,
 )
 
@@ -3342,6 +3386,22 @@ register(
     """,
 )
 
+register(
+    "pv_hour_profile",
+    ts.pv_hour_profile,
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (SELECT event_type, sum(n_events) AS total FROM cells GROUP BY 1)
+    SELECT c.event_type, c.hour, CAST(c.n_events AS BIGINT) AS n_events,
+           round(c.n_events / CAST(t.total AS DOUBLE), 6) AS share
+    FROM cells c JOIN totals t USING (event_type)
+    """,
+)
+
 
 def _quality_lr_oracle() -> str:
     """Unroll LR_ITERATIONS gradient steps as chained CTEs (the
@@ -3809,6 +3869,14 @@ _DEMOTED_STABLE = [
     # ninth wave slot: kmeans_embeddings defers to r4 (unrolled-CTE
     # oracle exercised verbatim inside the checked dedup_semantic)
     "kmeans_embeddings",
+    # tenth wave slot: bpe_apply defers to r4 (lossless-reconstruction
+    # tested; bpe_train, whose merges it applies, stays in the gate)
+    "bpe_apply",
+    # eleventh wave: the two light roll-ups register straight into the
+    # r4 backlog — locally parity-tested (sf0.001) and driver_sim
+    # MATCHed (sf0.01), no front-50 displacement needed
+    "rev_lifespan",
+    "pv_hour_profile",
 ]
 
 

@@ -93,6 +93,9 @@ def _empty_sf(spark, tmp_path):
         "lang_confusion",
         "dedup_cluster_stats",
         "pv_forecast_backtest",
+        "dedup_recall",
+        "rev_lifespan",
+        "pv_hour_profile",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -66,6 +66,7 @@ ALLOWED_NESTED_LOOP = {
     "hits_anchors",  # 1-row integer maxima broadcast
     "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe
     "sq_recall",  # measures ann_sq AGAINST the ann_topk baseline
+    "dedup_recall",  # 1-row aggregate combine (pipeline_funnel shape)
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /

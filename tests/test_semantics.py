@@ -800,3 +800,24 @@ def test_pv_forecast_backtest_perfect_on_weekly_pattern(spark, tmp_path):
     # first 7 days have no prior same-weekday observation -> 21 scored
     assert r["n_scored"] == 21
     assert r["mae"] == 0.0
+
+
+def test_dedup_recall_counts_match_composed_operators(spark):
+    """The recall row must be the exact pandas intersection of the two
+    composed pair sets, and pigeonhole guarantees: identical docs (est
+    1.0 in every band) are always candidates."""
+    from hedera_spark.operators.dedup import (
+        dedup_minhash,
+        dedup_ngram_jaccard,
+        dedup_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    truth = {(r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, sf).collect()}
+    cand = {(r["doc_a"], r["doc_b"]) for r in dedup_minhash(spark, sf).collect()}
+    row = dedup_recall(spark, sf).first()
+    assert row["n_true"] == len(truth)
+    assert row["n_cand"] == len(cand)
+    assert row["n_hit"] == len(truth & cand)
+    assert row["recall"] == round(len(truth & cand) / len(truth), 6)
+    assert 0.0 <= row["candidate_precision"] <= 1.0
