@@ -825,3 +825,27 @@ def test_stream_funnel_state_survives_restart(spark, tmp_path):
                 assert gv is None or pd.isna(gv), (uid, col, gv)
             else:
                 assert gv == wv, (uid, col, gv, wv)
+
+
+def test_stream_multimodal_meta_equals_batch(spark):
+    """The streaming decode (mapInPandas per micro-batch) must produce
+    exactly the batch multimodal_meta rows after full replay — the
+    multimodal plumbing is source-agnostic."""
+    from hedera_spark.operators.multimodal import multimodal_meta
+    from hedera_spark.streaming.multimodal import stream_multimodal_meta
+
+    out = stream_multimodal_meta(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mm_meta_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: tuple(r) for r in spark.sql("select * from mm_meta_stream").collect()
+    }
+    want = {r["doc_id"]: tuple(r) for r in multimodal_meta(spark, SF_DIR).collect()}
+    assert got == want
