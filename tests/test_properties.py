@@ -315,3 +315,112 @@ def test_pv_autocorr_in_unit_interval(spark, tmp_path_factory, series):
     got = out[0]["autocorr_1"]
     assert -1.0 - 1e-9 <= got <= 1.0 + 1e-9
     assert abs(got - want) < 1e-5
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    gaps=st.lists(
+        st.integers(min_value=1, max_value=10**6), min_size=5, max_size=15
+    )
+)
+def test_rev_burstiness_matches_numpy(spark, tmp_path_factory, gaps):
+    """For any gap sequence (seconds): mean_gap_s and cv_gap match the
+    sample statistics computed directly, and CV >= 0."""
+    import datetime
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 1)
+    times, t = [base], base
+    for g in gaps:
+        t = t + datetime.timedelta(seconds=int(g))
+        times.append(t)
+    tmpdir = str(tmp_path_factory.mktemp("burst"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(times)), pa.int64()),
+                "ts": pa.array(times, pa.timestamp("us")),
+                "user_id": pa.array([3] * len(times), pa.int64()),
+                "event_type": pa.array(["edit"] * len(times)),
+                "value": pa.array([1.0] * len(times), pa.float64()),
+                "props": pa.array(["{}"] * len(times)),
+            }
+        ),
+        f"{tmpdir}/events.parquet",
+    )
+
+    from hedera_spark.operators.revisions import rev_burstiness
+
+    row = rev_burstiness(spark, tmpdir).first()
+    g = np.array(gaps, dtype=float)
+    assert row["n_gaps"] == len(gaps)
+    assert abs(row["mean_gap_s"] - g.mean()) < 1e-5
+    if len(set(gaps)) == 1:
+        assert row["cv_gap"] == 0.0
+    else:
+        want_cv = g.std(ddof=1) / g.mean()
+        assert abs(row["cv_gap"] - want_cv) < 1e-5
+    assert row["cv_gap"] >= 0.0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(st.integers(min_value=1, max_value=9), min_size=14, max_size=21)
+)
+def test_pv_forecast_backtest_matches_direct(spark, tmp_path_factory, series):
+    """For any daily series: the reported MAE equals the directly
+    computed expanding same-weekday-mean MAE."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows, eid = [], 0
+    for day_idx, n in enumerate(series):
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day_idx, hours=2), 11)
+            )
+            eid += 1
+    tmpdir = str(tmp_path_factory.mktemp("fc"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        f"{tmpdir}/events.parquet",
+    )
+
+    from hedera_spark.operators.timeseries import pv_forecast_backtest
+
+    out = pv_forecast_backtest(spark, tmpdir).collect()
+    errs = []
+    for i, cnt in enumerate(series):
+        prior = [series[j] for j in range(i % 7, i, 7)]
+        if prior:
+            errs.append(round(abs(sum(prior) / len(prior) - cnt) * 1e6))
+    if len(errs) < 7:
+        assert out == []
+        return
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_scored"] == len(errs)
+    assert r["mae"] == round(sum(int(e) for e in errs) / (len(errs) * 1e6), 6)
