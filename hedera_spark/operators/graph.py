@@ -300,3 +300,61 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("degree", "n_nodes", "total_strength")
     )
+
+
+LPA_ITERATIONS = 3
+
+
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-mention graph — weighted label
+    propagation (LPA), the linear-time community algorithm that
+    complements the rankings (pagerank/HITS) and cohesion stats
+    (triangles/components): each node starts as its own label and
+    repeatedly adopts the label with the highest incident co-mention
+    weight, smallest-label tie-break, for a FIXED LPA_ITERATIONS rounds.
+
+    Determinism: votes are exact integer sums of edge weights; the
+    winner is min_by over (−weight, label), a total order, so every
+    round is reproducible and the DuckDB oracle replays the identical
+    rounds as unrolled CTEs (the pagerank discipline).
+
+    Scale: per round, one equality join (labels ⋈ edges on dst) + two
+    partial-agg shuffles bounded by |E| votes → |V| labels; frontier
+    persisted and the parent unpersisted per round, lineage O(1)."""
+    edges = anchor_cooccur(spark, sf_dir).select("a1", "a2", "n_docs")
+    sym = edges.union(
+        edges.select(
+            F.col("a2").alias("a1"), F.col("a1").alias("a2"), "n_docs"
+        )
+    ).select(
+        F.col("a1").alias("src"), F.col("a2").alias("dst"), F.col("n_docs").alias("w")
+    ).persist()
+    nodes = sym.select(F.col("src").alias("anchor")).distinct().persist()
+    if nodes.count() == 0:
+        sym.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "anchor string, community string")
+    labels = nodes.withColumn("label", F.col("anchor")).persist()
+    for _ in range(LPA_ITERATIONS):
+        votes = (
+            sym.join(labels, sym["dst"] == labels["anchor"])
+            .groupBy(F.col("src"), F.col("label"))
+            .agg(F.sum("w").alias("sum_w"))
+        )
+        new_labels = (
+            votes.groupBy(F.col("src").alias("anchor"))
+            .agg(
+                F.min_by(
+                    "label",
+                    F.struct((-F.col("sum_w")).alias("nw"), F.col("label")),
+                ).alias("label")
+            )
+            .persist()
+        )
+        new_labels.count()  # materialize before dropping the parent
+        labels.unpersist()
+        labels = new_labels
+    out = labels.select("anchor", F.col("label").alias("community"))
+    sym.unpersist()
+    nodes.unpersist()
+    return out

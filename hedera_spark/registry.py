@@ -3265,6 +3265,50 @@ register(
     """,
 )
 
+
+def _lpa_oracle() -> str:
+    """Unroll LPA_ITERATIONS weighted label-propagation rounds as chained
+    CTEs (the pagerank/kmeans discipline): integer vote sums, smallest-
+    label tie-break via the (sum_w DESC, label) row_number order."""
+    steps = []
+    prev = "l0"
+    for k in range(1, gr.LPA_ITERATIONS + 1):
+        steps.append(f"""
+    v{k} AS (
+      SELECT s.src, l.label, sum(s.w) AS sum_w
+      FROM sym s JOIN {prev} l ON s.dst = l.anchor
+      GROUP BY 1, 2
+    ),
+    l{k} AS (
+      SELECT src AS anchor, label FROM (
+        SELECT src, label,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY sum_w DESC, label) AS rn
+        FROM v{k}
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{k}"
+    return f"""
+    WITH {_CTOKS},
+    e AS (
+      SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
+      FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    sym AS (
+      SELECT a1 AS src, a2 AS dst, n_docs AS w FROM e
+      UNION ALL
+      SELECT a2 AS src, a1 AS dst, n_docs AS w FROM e
+    ),
+    l0 AS (SELECT DISTINCT src AS anchor, src AS label FROM sym),
+    {",".join(steps)}
+    SELECT anchor, label AS community FROM {prev}
+    """
+
+
+register("graph_communities", gr.graph_communities, _lpa_oracle())
+
 register(
     "pv_seasonality",
     ts.pv_seasonality,
@@ -3877,6 +3921,9 @@ _DEMOTED_STABLE = [
     # MATCHed (sf0.01), no front-50 displacement needed
     "rev_lifespan",
     "pv_hour_profile",
+    # twelfth wave: LPA communities joins the same backlog (planted-
+    # two-cluster semantics test + local parity + driver_sim MATCH)
+    "graph_communities",
 ]
 
 

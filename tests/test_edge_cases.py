@@ -96,6 +96,7 @@ def _empty_sf(spark, tmp_path):
         "dedup_recall",
         "rev_lifespan",
         "pv_hour_profile",
+        "graph_communities",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -51,6 +51,7 @@ ALLOWED_NESTED_LOOP = {
     "anchor_cooccur_temporal",
     "anchor_triangles",  # via _cooccur_tokens (1-row hot stop-token array)
     "graph_degree_stats",  # via _cooccur_tokens (1-row hot stop-token array)
+    "graph_communities",  # via _cooccur_tokens (1-row hot stop-token array)
     "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast
     "line_dedup",  # 1-row boilerplate-segment array broadcast

@@ -821,3 +821,30 @@ def test_dedup_recall_counts_match_composed_operators(spark):
     assert row["n_hit"] == len(truth & cand)
     assert row["recall"] == round(len(truth & cand) / len(truth), 6)
     assert 0.0 <= row["candidate_precision"] <= 1.0
+
+
+def test_graph_communities_planted_two_clusters(spark, tmp_path):
+    """Two dense planted cliques joined by nothing must converge to two
+    communities; each community's label is one of its member anchors."""
+    rows = []
+    # clique A: tokens p q r co-occur in 8 docs; clique B: x y z in 8
+    for i in range(8):
+        rows.append((i, "p q r", "s", "en", 5))
+    for i in range(8, 16):
+        rows.append((i, "x y z", "s", "en", 5))
+    # filler so no token trips the 90% stop-token df cap
+    for i in range(16, 20):
+        rows.append((i, "f%d g%d" % (i, i), "s", "en", 5))
+    sf = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    from hedera_spark.operators.graph import graph_communities
+
+    out = {r["anchor"]: r["community"] for r in graph_communities(spark, str(sf)).collect()}
+    a = {out[t] for t in ("p", "q", "r")}
+    b = {out[t] for t in ("x", "y", "z")}
+    assert len(a) == 1 and len(b) == 1, (a, b)
+    assert a != b
+    assert a.pop() in ("p", "q", "r") and b.pop() in ("x", "y", "z")
