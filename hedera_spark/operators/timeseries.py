@@ -555,3 +555,69 @@ def pv_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+SKEW_RANGE_PARTITIONS = 8
+
+
+def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for the entity key — the dashboard that
+    measures the exact thing AQE's skew-join fights: number of keys,
+    top-1/top-10 traffic shares, and the Gini coefficient of the
+    per-key event distribution (0 = uniform, →1 = one hot key). Run
+    this BEFORE choosing salting/bucketing for a 100 TB shuffle.
+
+    Gini needs the global rank of every key by count — a single-reducer
+    sort at scale — so the rank is computed with the range-partitioned
+    local-rank + broadcast-offset pattern (the dictionary/pack_sequences
+    discipline): Σ rank·x decomposes into per-partition Σ local_rank·x
+    plus offset·Σx, and no partition ever sees another's rows.
+
+    Determinism: every moment (n, Σx, Σ rank·x, top shares) is an exact
+    integer; the final Gini is a fixed dag of two divisions."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    parted = (
+        counts.repartitionByRange(SKEW_RANGE_PARTITIONS, "x", "user_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = Window.partitionBy("pid").orderBy("x", "user_id")
+    local = parted.withColumn("lr", F.row_number().over(w_local))
+    per_part = local.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum("x").alias("sx_p"),
+        F.sum(F.col("lr") * F.col("x")).alias("slx_p"),
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_part.withColumn(
+        "off", F.coalesce(F.sum("n_p").over(w_off), F.lit(0))
+    )
+    moments = offs.agg(
+        F.sum("n_p").alias("n_keys"),
+        F.sum("sx_p").alias("total"),
+        F.sum(F.col("slx_p") + F.col("off") * F.col("sx_p")).alias("srx"),
+    )
+    top = (
+        counts.orderBy(F.desc("x"), "user_id")
+        .limit(10)
+        .agg(F.max("x").alias("top1"), F.sum("x").alias("top10"))
+    )
+    n = F.col("n_keys")
+    t = F.col("total").cast("double")
+    out = (
+        moments.crossJoin(top)
+        .where(n > 0)
+        .select(
+            "n_keys",
+            F.col("total").alias("n_events"),
+            F.round(F.col("top1") / t, 6).alias("top1_share"),
+            F.round(F.col("top10") / t, 6).alias("top10_share"),
+            F.round(
+                (F.lit(2.0) * F.col("srx")) / (n * t)
+                - (n + 1) / n.cast("double"),
+                6,
+            ).alias("gini"),
+        )
+    )
+    return out

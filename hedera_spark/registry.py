@@ -3446,6 +3446,31 @@ register(
     """,
 )
 
+register(
+    "key_skew_stats",
+    ts.key_skew_stats,
+    """
+    WITH counts AS (
+      SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS r FROM counts
+    ),
+    s AS (SELECT count(*) AS n, sum(x) AS t, sum(r * x) AS srx FROM ranked),
+    top AS (
+      SELECT max(x) AS top1, sum(x) AS top10 FROM (
+        SELECT x FROM counts ORDER BY x DESC, user_id LIMIT 10
+      )
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys, CAST(t AS BIGINT) AS n_events,
+           round(top1 / CAST(t AS DOUBLE), 6) AS top1_share,
+           round(top10 / CAST(t AS DOUBLE), 6) AS top10_share,
+           round(2.0 * srx / (n * CAST(t AS DOUBLE))
+                 - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+    FROM s CROSS JOIN top WHERE n > 0
+    """,
+)
+
 
 def _quality_lr_oracle() -> str:
     """Unroll LR_ITERATIONS gradient steps as chained CTEs (the
@@ -3924,6 +3949,7 @@ _DEMOTED_STABLE = [
     # twelfth wave: LPA communities joins the same backlog (planted-
     # two-cluster semantics test + local parity + driver_sim MATCH)
     "graph_communities",
+    "key_skew_stats",
 ]
 
 

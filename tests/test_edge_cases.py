@@ -97,6 +97,7 @@ def _empty_sf(spark, tmp_path):
         "rev_lifespan",
         "pv_hour_profile",
         "graph_communities",
+        "key_skew_stats",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -68,6 +68,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe
     "sq_recall",  # measures ann_sq AGAINST the ann_topk baseline
     "dedup_recall",  # 1-row aggregate combine (pipeline_funnel shape)
+    "key_skew_stats",  # 1-row moments × 1-row top-shares combine
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /

@@ -848,3 +848,43 @@ def test_graph_communities_planted_two_clusters(spark, tmp_path):
     assert len(a) == 1 and len(b) == 1, (a, b)
     assert a != b
     assert a.pop() in ("p", "q", "r") and b.pop() in ("x", "y", "z")
+
+
+def test_key_skew_stats_uniform_vs_hot_key(spark, tmp_path):
+    """A perfectly uniform key distribution has Gini 0; one hot key
+    carrying ~all traffic pushes Gini and top1_share toward 1. The
+    range-partitioned rank must agree with a direct computation."""
+    import datetime
+
+    def write(counts, d):
+        rows, eid = [], 0
+        for uid, n in counts.items():
+            for _ in range(n):
+                rows.append(
+                    (eid, datetime.datetime(2024, 1, 1 + eid % 20), uid, "view", 1.0, "{}")
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).write.parquet(str(d / "events.parquet"))
+
+    from hedera_spark.operators.timeseries import key_skew_stats
+
+    d1 = tmp_path / "uniform"
+    write({u: 5 for u in range(40)}, d1)
+    r = key_skew_stats(spark, str(d1)).first()
+    assert r["n_keys"] == 40 and r["n_events"] == 200
+    assert r["gini"] == 0.0
+    assert r["top1_share"] == round(5 / 200, 6)
+
+    d2 = tmp_path / "hot"
+    write({0: 1000, **{u: 1 for u in range(1, 21)}}, d2)
+    r2 = key_skew_stats(spark, str(d2)).first()
+    # direct Gini over the sorted counts
+    xs = sorted([1000] + [1] * 20)
+    n, t = len(xs), sum(xs)
+    srx = sum((i + 1) * x for i, x in enumerate(xs))
+    want = round(2.0 * srx / (n * t) - (n + 1) / n, 6)
+    assert r2["gini"] == want and r2["gini"] > 0.85
+    assert r2["top1_share"] == round(1000 / t, 6)
