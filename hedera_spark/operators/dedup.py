@@ -451,3 +451,37 @@ def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall/precision of the SimHash hamming pairing against
+    the exact trigram-Jaccard ground truth — the SimHash twin of
+    dedup_recall, completing the measured-dial set for BOTH near-dup
+    sketches (MinHash-LSH and SimHash tune against their own row on the
+    same truth set, so the sketches are comparable head-to-head).
+
+    Scale: both sides reuse audited plans; the comparison adds one
+    bounded pair-key join and three 1-row aggregates."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    h = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .where(F.col("n_true") > 0)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true").cast("double"), 6).alias(
+                "recall"
+            ),
+            F.round(F.col("n_hit") / F.col("n_cand").cast("double"), 6).alias(
+                "candidate_precision"
+            ),
+        )
+    )

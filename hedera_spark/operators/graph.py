@@ -358,3 +358,59 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym.unpersist()
     nodes.unpersist()
     return out
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling of the co-mention graph: repeatedly remove nodes
+    with degree < K (K=3, 4 fixed rounds) and report the surviving
+    nodes with their degree inside the peeled subgraph — the standard
+    dense-subgraph / spam-tail filter over entity graphs
+    (entityrelation.pig's edge list, peeled). A fixed round count keeps
+    the computation exactly reproducible cross-engine (the oracle
+    unrolls the same four peels as CTEs); on graphs whose peeling
+    converges earlier, extra rounds are no-ops by construction.
+
+    Scale: per round one partial-aggregated degree count (shuffle
+    bounded by |V|) and two semi-join filters against the surviving
+    node set — broadcast-sized for anchor vocabularies, and a keyed
+    equality join in general. Edges persist per round with the previous
+    frontier unpersisted (clusters.py's iteration discipline), so
+    lineage depth stays O(1) in the round count."""
+    e0 = anchor_cooccur(spark, sf_dir).select(
+        F.col("a1").alias("src"), F.col("a2").alias("dst")
+    )
+    # the co-mention edge list is |V|-bounded and tiny next to the corpus:
+    # compact it so the peeling rounds don't inherit the corpus scan's
+    # task count (same rationale as dedup._shingles' rebalance, inverted)
+    edges = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    for _ in range(KCORE_ROUNDS):
+        # no broadcast hint: the surviving-node set shrinks every round
+        # and AQE picks broadcast when it fits — a forced driver-side
+        # broadcast of a mid-lineage frame is the fragile choice under
+        # session-wide memory pressure
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        nxt = (
+            edges.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .persist()
+        )
+        nxt.count()  # materialize before releasing the parent
+        edges.unpersist()
+        edges = nxt
+    return edges.groupBy(F.col("src").alias("anchor")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

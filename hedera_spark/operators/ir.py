@@ -333,3 +333,94 @@ def doc_vectors_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio", F.round(F.col("vbyte_bytes") / F.col("raw_bytes"), 6)
         )
     )
+
+
+def _token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, pos) token stream with 1-based token positions —
+    the positional counterpart of anchors._doc_tokens. posexplode keeps
+    the position computation entirely map-side (no window, no shuffle);
+    empty tokens are dropped AFTER positioning so adjacency (pos+1)
+    reflects the original token slots."""
+    from hedera_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+        )
+        .where(F.col("term") != "")
+        .select("doc_id", "term", (F.col("pos0") + 1).cast("long").alias("pos"))
+    )
+
+
+def positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index: (term, doc_id) → occurrence count +
+    sorted comma-joined 1-based positions — the index structure phrase
+    and proximity queries run on. Reference: experiments/.../
+    InvertedIndexByBOW.java extended with in-document offsets (the
+    reference's BOW reader keeps offsets in RevisionBOW.java; its index
+    discards them — this keeps both).
+
+    Scale: one map-side posexplode + one partial-aggregated shuffle on
+    (term, doc_id); positions-per-posting is bounded by document length,
+    so no posting-list hot key beyond what the plain inverted index
+    already has. collect_list order is shuffle-dependent — array_sort
+    before the join makes the surface deterministic."""
+    return (
+        _token_positions(spark, sf_dir)
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("pos")),
+                    lambda p: p.cast("string"),
+                ),
+                ",",
+            ).alias("positions"),
+        )
+    )
+
+
+# literal two-word phrases resolved by the positional join; chosen from
+# the synthetic corpus vocabulary so every phrase has hits at all SFs
+PHRASE_QUERIES = [("hash", "join"), ("table", "scan"), ("batch", "batch")]
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over the positional token stream: for each
+    query phrase (w1 w2), the documents containing the words ADJACENTLY
+    (pos2 = pos1 + 1) and the occurrence count — the classic two-term
+    positional-index merge. Reference: the retrieval family
+    (experiments/.../WikiRevIndex4NonTemporalSearch.java) over the
+    positional structure above.
+
+    Scale: the token stream is first cut to the phrase vocabulary (a
+    broadcast isin over a handful of literals — map-side, prunes ~|V|/k
+    of the corpus before any exchange), then one equality join on
+    (doc_id, term, pos+1). Catalyst extracts pos+1 as an equi-join key,
+    so this is a shuffled hash/sort-merge join, never a nested loop."""
+    words = sorted({w for p in PHRASE_QUERIES for w in p})
+    tp = _token_positions(spark, sf_dir).where(F.col("term").isin(words))
+    phrases = spark.createDataFrame(
+        [(w1, w2, f"{w1} {w2}") for w1, w2 in PHRASE_QUERIES],
+        "w1 string, w2 string, phrase string",
+    )
+    t1 = tp.select("doc_id", F.col("term").alias("w1"), F.col("pos").alias("p1"))
+    t2 = tp.select(
+        F.col("doc_id").alias("doc_r"),
+        F.col("term").alias("w2_r"),
+        F.col("pos").alias("p2"),
+    )
+    return (
+        t1.join(F.broadcast(phrases), "w1")
+        .join(
+            t2,
+            (F.col("doc_id") == F.col("doc_r"))
+            & (F.col("w2_r") == F.col("w2"))
+            & (F.col("p2") == F.col("p1") + 1),
+        )
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )

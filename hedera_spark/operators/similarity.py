@@ -734,3 +734,88 @@ def sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+EMB_MICRO = 1_000_000
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier flags: distance of every vector to its
+    label centroid, z-scored against the label's own distance
+    distribution (flag at z >= 2) — the embedding-space quality gate a
+    training pipeline runs before trusting labels or clustering output
+    (mislabeled / off-manifold vectors surface as outliers).
+
+    Cross-engine determinism: embeddings are first quantized to integer
+    micro-units, so the per-(label, dim) centroid sums are EXACT
+    integers (no float-accumulation order exposure); each vector's
+    distance is a per-row sequential fold over the integer-derived
+    centroid, rounded to 6 dp; and the z-score statistics (n, Σd, Σd²)
+    aggregate the micro-unit distances as exact integers again. Every
+    double in the output is a fixed dag of integers.
+
+    Scale: two bounded partial-agg shuffles (|labels|×dims centroid sums,
+    |labels| distance stats) + two broadcast joins; the corpus itself is
+    touched map-side twice and never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vint = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(x * {EMB_MICRO}) AS BIGINT))"
+        ).alias("v"),
+    )
+    dims = (
+        vint.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cent = (
+        dims.withColumn("cmean", F.col("s").cast("double") / F.col("n"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cmean))),"
+                " s -> s.cmean)"
+            ).alias("c")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    di = (
+        vint.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.sqrt(d2) / EMB_MICRO, 6).alias("dist"),
+        )
+        .withColumn(
+            "d_int", F.expr(f"CAST(round(dist * {EMB_MICRO}) AS BIGINT)")
+        )
+    )
+    st = di.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d_int").alias("sd"),
+        F.sum(F.col("d_int") * F.col("d_int")).alias("sdd"),
+    )
+    var = (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")).cast(
+        "double"
+    ) / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    mean = F.col("sd").cast("double") / F.col("n")
+    z = F.when(
+        (F.col("n") > 1) & (var > 0),
+        F.round((F.col("d_int") - mean) / F.sqrt(var), 4),
+    ).otherwise(F.lit(0.0))
+    return (
+        di.join(F.broadcast(st), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist",
+            z.alias("z_score"),
+            (z >= 2.0).alias("is_outlier"),
+        )
+    )

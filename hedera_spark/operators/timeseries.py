@@ -621,3 +621,66 @@ def key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def pv_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single change-point of each entity's daily count series:
+    the split day maximizing the between-segment sum-of-squares gain
+    (the k=2 step of binary-segmentation change-point detection) —
+    "when did this page's traffic regime shift?" over the short-term
+    series of mapreduce/BuildShortTermTS.java.
+
+    For a split after the i-th observed day with prefix sum S_L of the
+    total S over n days, the variance-reduction objective reduces to
+    maximizing S_L²/i + (S−S_L)²/(n−i) − S²/n. All sums/counts are
+    exact integers; the objective is a fixed dag of integer-derived
+    doubles (two divisions, rounded to 6 dp), and ties break on the
+    earliest day — bit-reproducible cross-engine.
+
+    Scale: one shuffle to the daily aggregate (bounded
+    |entities|×|days|), then two windows and one rank over the SAME
+    user_id partitioning — a single exchange; per-entity series are
+    tiny, so no skew exposure. Raw events are never globally sorted."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    tot = Window.partitionBy("user_id")
+    d = daily.select(
+        "user_id",
+        "day",
+        F.sum("cnt").over(w).alias("s_l"),
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("cnt").over(tot).alias("s"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+    ).where((F.col("i") < F.col("n")) & (F.col("n") >= 14))
+    sl = F.col("s_l").cast("double")
+    sr = (F.col("s") - F.col("s_l")).cast("double")
+    nl = F.col("i").cast("double")
+    nr = (F.col("n") - F.col("i")).cast("double")
+    st = F.col("s").cast("double")
+    gain = F.round(
+        sl * sl / nl + sr * sr / nr - st * st / F.col("n").cast("double"), 6
+    )
+    scored = d.select(
+        "user_id",
+        "day",
+        "n",
+        gain.alias("gain"),
+        F.round(sl / nl, 4).alias("mean_before"),
+        F.round(sr / nr, 4).alias("mean_after"),
+    )
+    rw = Window.partitionBy("user_id").orderBy(F.desc("gain"), F.col("day"))
+    return (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("day").alias("split_day"),
+            F.col("n").alias("n_days"),
+            "gain",
+            "mean_before",
+            "mean_after",
+        )
+    )

@@ -3794,6 +3794,193 @@ register(
     """,
 )
 
+# --- Round-3 continuation: positional IR ------------------------------------
+
+# positional token stream: 1-based token slots, empties dropped AFTER
+# positioning (mirrors ir._token_positions exactly)
+_TPOS = """
+    tp AS (
+      SELECT doc_id, toks[i] AS term, CAST(i AS BIGINT) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, len(toks))) AS t(i)
+      WHERE toks[i] <> ''
+    )
+"""
+
+register(
+    "positional_index",
+    ir.positional_index,
+    f"""
+    WITH {_TPOS}
+    SELECT term, doc_id, count(*) AS n_pos,
+           string_agg(pos, ',' ORDER BY pos) AS positions
+    FROM tp GROUP BY term, doc_id
+    """,
+)
+
+_PHRASE_VALUES = ", ".join(
+    f"('{w1}', '{w2}', '{w1} {w2}')" for w1, w2 in ir.PHRASE_QUERIES
+)
+
+register(
+    "phrase_search",
+    ir.phrase_search,
+    f"""
+    WITH {_TPOS},
+    ph AS (SELECT * FROM (VALUES {_PHRASE_VALUES}) v(w1, w2, phrase))
+    SELECT ph.phrase, a.doc_id, count(*) AS n_occurrences
+    FROM tp a
+    JOIN ph ON a.term = ph.w1
+    JOIN tp b ON b.doc_id = a.doc_id AND b.term = ph.w2 AND b.pos = a.pos + 1
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "graph_kcore",
+    gr.graph_kcore,
+    f"""
+    WITH {_CTOKS},
+    pairs AS (
+      SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
+      FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    e0 AS (
+      SELECT a1 AS src, a2 AS dst FROM pairs
+      UNION ALL SELECT a2, a1 FROM pairs
+    ),
+    k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= {gr.KCORE_K}),
+    e1 AS (SELECT e.src, e.dst FROM e0 e
+           JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+    k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= {gr.KCORE_K}),
+    e2 AS (SELECT e.src, e.dst FROM e1 e
+           JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+    k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= {gr.KCORE_K}),
+    e3 AS (SELECT e.src, e.dst FROM e2 e
+           JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src),
+    k4 AS (SELECT src FROM e3 GROUP BY src HAVING count(*) >= {gr.KCORE_K}),
+    e4 AS (SELECT e.src, e.dst FROM e3 e
+           JOIN k4 a ON e.src = a.src JOIN k4 b ON e.dst = b.src)
+    SELECT src AS anchor, count(*) AS degree FROM e4 GROUP BY src
+    """,
+)
+
+register(
+    "pv_changepoint",
+    ts.pv_changepoint,
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT user_id, day,
+             sum(cnt) OVER (PARTITION BY user_id ORDER BY day) AS s_l,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS i,
+             sum(cnt) OVER (PARTITION BY user_id) AS s,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM daily
+    ),
+    scored AS (
+      SELECT user_id, day, CAST(n AS BIGINT) AS n,
+             round(CAST(s_l AS DOUBLE) * s_l / i
+                   + CAST(s - s_l AS DOUBLE) * (s - s_l) / (n - i)
+                   - CAST(s AS DOUBLE) * s / n, 6) AS gain,
+             round(CAST(s_l AS DOUBLE) / i, 4) AS mean_before,
+             round(CAST(s - s_l AS DOUBLE) / (n - i), 4) AS mean_after
+      FROM pre WHERE i < n AND n >= 14
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY gain DESC, day) AS rn
+      FROM scored
+    )
+    SELECT user_id, day AS split_day, n AS n_days, gain,
+           mean_before, mean_after
+    FROM ranked WHERE rn = 1
+    """,
+)
+
+# simhash_recall wraps BOTH composed oracles verbatim (no-drift, as
+# dedup_recall).
+register(
+    "simhash_recall",
+    dedup.simhash_recall,
+    f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b FROM ({ORACLE["dedup_ngram_jaccard"]}) t
+    ),
+    cand AS (
+      SELECT doc_a, doc_b FROM ({ORACLE["dedup_simhash"]}) c
+    ),
+    hit AS (SELECT count(*) AS n FROM truth JOIN cand USING (doc_a, doc_b))
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT n FROM hit) AS BIGINT) AS n_hit,
+           round((SELECT n FROM hit)
+                 / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
+           round((SELECT n FROM hit)
+                 / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6)
+             AS candidate_precision
+    WHERE (SELECT count(*) FROM truth) > 0
+    """,
+)
+
+register(
+    "embedding_outliers",
+    sim.embedding_outliers,
+    f"""
+    WITH vi AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(round(x::DOUBLE * {sim.EMB_MICRO}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT label, i AS dim, sum(v[i]) AS s, count(*) AS n
+      FROM vi, unnest(generate_series(1, len(v))) t(i)
+      GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS c
+      FROM dims GROUP BY label
+    ),
+    d AS (
+      SELECT vec_id, vi.label AS label,
+             round(sqrt(list_reduce(list_transform(list_zip(v, c),
+                   x -> (x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2])),
+                   (a, b) -> a + b)) / {sim.EMB_MICRO}, 6) AS dist
+      FROM vi JOIN cent ON vi.label = cent.label
+    ),
+    di AS (
+      SELECT vec_id, label, dist,
+             CAST(round(dist * {sim.EMB_MICRO}) AS BIGINT) AS d_int
+      FROM d
+    ),
+    st AS (
+      SELECT label, count(*) AS n, sum(d_int) AS sd,
+             sum(d_int * d_int) AS sdd
+      FROM di GROUP BY label
+    )
+    SELECT vec_id, di.label AS label, dist,
+           CASE WHEN n > 1 AND CAST(n * sdd - sd * sd AS DOUBLE)
+                               / CAST(n * (n - 1) AS DOUBLE) > 0
+                THEN round((d_int - CAST(sd AS DOUBLE) / n)
+                           / sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+                                  / CAST(n * (n - 1) AS DOUBLE)), 4)
+                ELSE 0.0 END AS z_score,
+           coalesce(CASE WHEN n > 1 AND CAST(n * sdd - sd * sd AS DOUBLE)
+                                        / CAST(n * (n - 1) AS DOUBLE) > 0
+                         THEN round((d_int - CAST(sd AS DOUBLE) / n)
+                                    / sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+                                           / CAST(n * (n - 1) AS DOUBLE)), 4)
+                         ELSE 0.0 END >= 2.0, FALSE) AS is_outlier
+    FROM di JOIN st ON di.label = st.label
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -3950,6 +4137,14 @@ _DEMOTED_STABLE = [
     # two-cluster semantics test + local parity + driver_sim MATCH)
     "graph_communities",
     "key_skew_stats",
+    # thirteenth wave (this session): positional IR joins the r4 backlog
+    # (local parity at sf0.001 + driver_sim MATCH at sf0.01 on record)
+    "positional_index",
+    "phrase_search",
+    "graph_kcore",
+    "pv_changepoint",
+    "simhash_recall",
+    "embedding_outliers",
 ]
 
 

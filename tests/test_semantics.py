@@ -888,3 +888,117 @@ def test_key_skew_stats_uniform_vs_hot_key(spark, tmp_path):
     want = round(2.0 * srx / (n * t) - (n + 1) / n, 6)
     assert r2["gini"] == want and r2["gini"] > 0.85
     assert r2["top1_share"] == round(1000 / t, 6)
+
+
+def test_positional_index_exact_positions(spark, tmp_path):
+    """'a b a c' -> a at 1,3; b at 2; c at 4 (1-based original slots)."""
+    docs = spark.createDataFrame(
+        [(1, "a b a c", "p", "en", 7)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.ir import positional_index
+
+    rows = {r["term"]: r for r in positional_index(spark, str(out)).collect()}
+    assert rows["a"]["positions"] == "1,3" and rows["a"]["n_pos"] == 2
+    assert rows["b"]["positions"] == "2"
+    assert rows["c"]["positions"] == "4"
+
+
+def test_phrase_search_requires_adjacency(spark, tmp_path):
+    """'hash join' matches only adjacent occurrences: doc 1 has the
+    phrase twice, doc 2 has both words but never adjacent, doc 3 has a
+    'batch batch' run of 3 tokens = 2 overlapping occurrences."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join x hash join", "p", "en", 1),
+            (2, "hash x join hash", "p", "en", 1),
+            (3, "batch batch batch", "p", "en", 1),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.ir import phrase_search
+
+    rows = {
+        (r["phrase"], r["doc_id"]): r["n_occurrences"]
+        for r in phrase_search(spark, str(out)).collect()
+    }
+    assert rows[("hash join", 1)] == 2
+    assert ("hash join", 2) not in rows
+    assert rows[("batch batch", 3)] == 2
+
+
+def test_graph_kcore_peels_tails_keeps_clique(spark, tmp_path):
+    """Planted graph: a 4-clique (a b c d, 5 co-mention docs), a pendant
+    pair (e f hanging off a), and a separate triangle (x y z). K=3
+    peeling removes the pendant pair and the triangle (degree 2) but
+    keeps the clique, where every node retains degree 3."""
+    rows = []
+    for i in range(5):
+        rows.append((i, "a b c d", "p", "en", 1))
+    for i in range(5, 10):
+        rows.append((i, "a e f", "p", "en", 1))
+    for i in range(10, 15):
+        rows.append((i, "x y z", "p", "en", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.graph import graph_kcore
+
+    got = {r["anchor"]: r["degree"] for r in graph_kcore(spark, str(out)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_pv_changepoint_finds_planted_step(spark, tmp_path):
+    """User with 10 days of 2 events/day then 10 days of 8 events/day:
+    the argmax split is exactly the last low day, with the segment
+    means recovered."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        day = datetime.datetime(2024, 1, 1 + d)
+        per = 2 if d < 10 else 8
+        for k in range(per):
+            rows.append(
+                (eid, day + datetime.timedelta(minutes=k), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.timeseries import pv_changepoint
+
+    got = pv_changepoint(spark, str(out)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert str(r["split_day"]) == "2024-01-10"
+    assert r["mean_before"] == 2.0 and r["mean_after"] == 8.0
+
+
+def test_embedding_outliers_flags_planted_vector(spark, tmp_path):
+    """30 tight vectors around (1,0,0,0) plus one at (-1,0,0,0): only
+    the planted far vector is flagged, with the largest z-score."""
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0], 0) for i in range(30)]
+    rows.append((99, [-1.0, 0.0, 0.0, 0.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = tmp_path / "mini"
+    emb.write.parquet(str(out / "embeddings.parquet"))
+    from hedera_spark.operators.similarity import embedding_outliers
+
+    got = {r["vec_id"]: r for r in embedding_outliers(spark, str(out)).collect()}
+    assert got[99]["is_outlier"]
+    assert not any(got[i]["is_outlier"] for i in range(30))
+    assert got[99]["z_score"] == max(r["z_score"] for r in got.values())
