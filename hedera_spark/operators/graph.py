@@ -414,3 +414,55 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("src").alias("anchor")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+BFS_ROUNDS = 3
+BFS_SEEDS = 3
+
+
+def graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-mention graph: hop distance from the
+    BFS_SEEDS strongest nodes (by total co-mention weight, deterministic
+    name tie-break), BFS_ROUNDS fixed frontier expansions — "how far is
+    every entity from the hubs?", the reachability companion to the
+    ranking operators on entityrelation.pig's edge list. Nodes beyond
+    BFS_ROUNDS hops are absent (unreached).
+
+    Scale: per round one equality join of the current distance table
+    against the edge list (keyed on the source node) + one min partial
+    agg bounded by |V|; the distance frontier persists per round with
+    the previous one unpersisted (O(1) lineage, the pagerank
+    discipline). Seed selection is a TakeOrdered LIMIT over |V| strength
+    rows, never a full sort."""
+    e0 = anchor_cooccur(spark, sf_dir).select(
+        F.col("a1").alias("src"), F.col("a2").alias("dst"), "n_docs"
+    )
+    sym = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "n_docs")
+    )
+    edges = (
+        sym.select("src", "dst")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    strength = sym.groupBy("src").agg(F.sum("n_docs").alias("s"))
+    dists = (
+        strength.orderBy(F.desc("s"), "src")
+        .limit(BFS_SEEDS)
+        .select(F.col("src").alias("anchor"), F.lit(0).cast("long").alias("dist"))
+        .persist()
+    )
+    for _ in range(BFS_ROUNDS):
+        cand = dists.join(
+            edges, dists["anchor"] == edges["src"]
+        ).select(F.col("dst").alias("anchor"), (F.col("dist") + 1).alias("dist"))
+        nxt = (
+            dists.union(cand)
+            .groupBy("anchor")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        nxt.count()  # materialize before releasing the parent frontier
+        dists.unpersist()
+        dists = nxt
+    return dists

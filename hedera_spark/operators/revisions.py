@@ -313,3 +313,106 @@ def rev_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         span.cast("long").alias("span_days"),
         F.round(F.col("n_revs") / span.cast("double"), 6).alias("revs_per_day"),
     )
+
+
+REVERT_JACCARD = 0.6
+
+
+def rev_reverts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-revert detection over the snapshot history: a revision whose
+    trigram-shingle Jaccard similarity to some NON-ADJACENT earlier
+    revision of the same page reaches REVERT_JACCARD — a restore of
+    prior content modulo small edits, the building block of Wikipedia
+    edit-war analysis. (Byte-identical restores are the jaccard=1.0
+    special case; the adjacency exclusion e < rev−1 keeps ordinary
+    incremental edits — always similar to their immediate predecessor —
+    out.) Reference: the revision-pair/diff family (io/input/
+    WikiRevisionPairInputFormat.java, RevisionDiff.java) whose diffs
+    exist precisely to surface this class of edit; the reference leaves
+    revert classification to downstream consumers — here it is
+    first-class. Output: (page_id, rev_seq, reverted_to = the most
+    similar earlier revision, latest-wins tie-break, jaccard, gap).
+
+    Scale: shingle hashes are computed array-side per row (the text is
+    never shuffled); the candidate join is keyed on (page, shingle) —
+    fan-out bounded WITHIN each page, the same blocking grain as
+    dedup_ngram_jaccard's corpus-wide join but restricted to the page
+    key; then one partial-agg per candidate pair and one max_by argmax
+    per reverting revision."""
+    snaps = load_snapshots(spark, sf_dir)
+    sh = snaps.select(
+        "page_id",
+        "rev_seq",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                " array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+                " j -> md5(concat_ws(' ', slice(split(text, ' '), j, 3)))))"
+                " ELSE array() END"
+            )
+        ).alias("s"),
+    )
+    n = sh.groupBy("rev_seq").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select("page_id", F.col("rev_seq").alias("e_seq"), "s")
+    b = sh.select("page_id", F.col("rev_seq").alias("rev_seq"), "s")
+    inter = (
+        a.join(b, ["page_id", "s"])
+        .where(F.col("e_seq") < F.col("rev_seq") - 1)
+        .groupBy("page_id", "e_seq", "rev_seq")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = (
+        inter.join(n.select(F.col("rev_seq").alias("e_seq"), F.col("n").alias("na")), "e_seq")
+        .join(n.select("rev_seq", F.col("n").alias("nb")), "rev_seq")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= REVERT_JACCARD)
+    )
+    return (
+        jac.groupBy("page_id", "rev_seq")
+        .agg(
+            F.max_by(
+                "e_seq",
+                F.struct(F.col("jaccard").alias("j"), F.col("e_seq").alias("e")),
+            ).alias("reverted_to"),
+            F.max(F.struct(F.col("jaccard").alias("j"), F.col("e_seq").alias("e")))[
+                "j"
+            ].alias("jaccard"),
+        )
+        .withColumn("gap", F.col("rev_seq") - F.col("reverted_to"))
+    )
+
+
+def page_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level conflict dashboard: revisions, reverts, and the revert
+    fraction per page — which pages are edit-warred? Composes
+    rev_reverts (oracle wraps its SQL verbatim); pages with zero reverts
+    are kept at score 0 via the left join.
+
+    Scale: two partial aggs bounded by |pages| over already-audited
+    plans."""
+    snaps = load_snapshots(spark, sf_dir)
+    nr = snaps.groupBy("page_id").agg(F.count(F.lit(1)).alias("n_revs"))
+    rv = (
+        rev_reverts(spark, sf_dir)
+        .groupBy("page_id")
+        .agg(F.count(F.lit(1)).alias("n_reverts"))
+    )
+    return (
+        nr.join(rv, "page_id", "left")
+        .select(
+            "page_id",
+            "n_revs",
+            F.coalesce(F.col("n_reverts"), F.lit(0)).alias("n_reverts"),
+            F.round(
+                F.coalesce(F.col("n_reverts"), F.lit(0))
+                / F.col("n_revs").cast("double"),
+                6,
+            ).alias("conflict_score"),
+        )
+    )

@@ -1002,3 +1002,61 @@ def test_embedding_outliers_flags_planted_vector(spark, tmp_path):
     assert got[99]["is_outlier"]
     assert not any(got[i]["is_outlier"] for i in range(30))
     assert got[99]["z_score"] == max(r["z_score"] for r in got.values())
+
+
+def test_rev_reverts_planted_restore(spark, tmp_path):
+    """Page p: rev 1 = original, rev 2 = vandalism (disjoint text),
+    rev 3 = restore of rev 1. rev 3 is flagged as reverting to rev 1;
+    rev 2 (similar to nothing) and adjacent-edit-only page q are not."""
+    orig = "alpha beta gamma delta epsilon zeta eta theta"
+    vandal = "one two three four five six seven eight"
+    near_orig = "alpha beta gamma delta epsilon zeta eta iota"
+    docs = spark.createDataFrame(
+        [
+            (1, orig, "p", "en", 1),
+            (2, vandal, "p", "en", 1),
+            (3, near_orig, "p", "en", 1),
+            (4, orig, "q", "en", 1),
+            (5, near_orig, "q", "en", 1),  # adjacent edit: excluded
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.revisions import page_conflict, rev_reverts
+
+    got = rev_reverts(spark, str(out)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["page_id"], r["rev_seq"], r["reverted_to"], r["gap"]) == ("p", 3, 1, 2)
+    assert r["jaccard"] >= 0.6
+
+    conf = {c["page_id"]: c for c in page_conflict(spark, str(out)).collect()}
+    assert conf["p"]["n_reverts"] == 1 and conf["p"]["n_revs"] == 3
+    assert conf["q"]["n_reverts"] == 0 and conf["q"]["conflict_score"] == 0.0
+
+
+def test_graph_distances_planted_path(spark, tmp_path):
+    """Hub clique (a b c, heavily co-mentioned, the 3 strongest nodes =
+    seeds at dist 0) with a chain a—d—e: d is 1 hop, e is 2 hops."""
+    rows = []
+    i = 0
+    for _ in range(8):
+        rows.append((i, "a b c", "p", "en", 1)); i += 1
+    for _ in range(5):
+        rows.append((i, "a d", "p", "en", 1)); i += 1
+    for _ in range(5):
+        rows.append((i, "d e", "p", "en", 1)); i += 1
+    for _ in range(10):
+        rows.append((i, "x y", "p", "en", 1)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.graph import graph_distances
+
+    got = {r["anchor"]: r["dist"] for r in graph_distances(spark, str(out)).collect()}
+    assert got["a"] == 0 and got["b"] == 0 and got["c"] == 0
+    assert got["d"] == 1 and got["e"] == 2
+    assert "x" not in got and "y" not in got  # disconnected component
