@@ -424,3 +424,33 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+ROCCHIO_TOPK = 20
+
+
+def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio): take the
+    BM25 top-10 for the fixed query as the relevant set, aggregate term
+    frequencies across it, drop the original query terms, and emit the
+    top-20 expansion candidates by relevant-set tf (ties
+    lexicographic). The classic second pass of the retrieval stack over
+    the same index (experiments/.../WikiRevIndex4NonTemporalSearch.java
+    feeds exactly this loop). Weights stay EXACT integers (Σtf and df
+    within the relevant set) so the ranking is bit-reproducible.
+
+    Scale: the relevant set is 10 rows — broadcast; the expansion agg
+    runs on the bow rows of ten documents (a sliver), and the final
+    cut is a TakeOrdered LIMIT, never a vocab sort."""
+    rel = bm25_topk(spark, sf_dir).select("doc_id")
+    terms = (
+        bow(spark, sf_dir)
+        .join(F.broadcast(rel), "doc_id")
+        .where(~F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("term")
+        .agg(
+            F.sum("tf").alias("rel_tf"),
+            F.count(F.lit(1)).alias("rel_df"),
+        )
+    )
+    return terms.orderBy(F.desc("rel_tf"), "term").limit(ROCCHIO_TOPK)

@@ -875,3 +875,69 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_lang"
         ),
     )
+
+
+NGRAM_LID_TOP = 5
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID — the second LID heuristic next to
+    the marker-overlap lang_id: build a per-language profile of the
+    NGRAM_LID_TOP most frequent char trigrams from the labeled corpus
+    itself (count desc, trigram asc ties), then classify each doc by
+    |distinct doc trigrams ∩ profile(lang)| with the same lexicographic
+    argmax tie-break as lang_id. Two independent heuristics over the
+    same labels let lang_confusion-style audits separate marker drift
+    from script drift.
+
+    Scale: trigram extraction is array-side per row (substr sliding
+    window, ~3× text bytes, map-only); the profile is a (|langs| ×
+    NGRAM_LID_TOP)-row broadcast; scoring is one broadcast join over
+    per-doc DISTINCT trigrams + a conditional-sum partial agg keyed on
+    doc_id. The corpus text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tris = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN"
+                " transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+                " ELSE array() END"
+            )
+        ).alias("tri"),
+    )
+    langs = sorted(LANG_MARKERS)
+    prof_w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "tri")
+    profile = (
+        tris.where(F.col("lang").isin(langs))
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(prof_w))
+        .where(F.col("rk") <= NGRAM_LID_TOP)
+        .select(F.col("lang").alias("plang"), "tri")
+    )
+    dtris = tris.select("doc_id", "tri").distinct()
+    matched = dtris.join(F.broadcast(profile), "tri").groupBy("doc_id").agg(
+        *[
+            F.sum((F.col("plang") == lang).cast("int")).alias(f"score_{lang}")
+            for lang in langs
+        ]
+    )
+    scored = docs.select("doc_id", "lang").join(matched, "doc_id", "left")
+    cols = {
+        lang: F.coalesce(F.col(f"score_{lang}"), F.lit(0)).alias(f"score_{lang}")
+        for lang in langs
+    }
+    scored = scored.select("doc_id", "lang", *cols.values())
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        best.cast("long").alias("best_score"),
+    )

@@ -4089,6 +4089,79 @@ register(
     """,
 )
 
+# rocchio_expansion wraps the bm25 oracle verbatim as its relevant set
+register(
+    "rocchio_expansion",
+    ir.rocchio_expansion,
+    f"""
+    WITH rel AS (
+      SELECT doc_id FROM ({ORACLE["bm25_topk"]}) r
+    ),
+    tf2 AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    )
+    SELECT term, CAST(sum(tf) AS BIGINT) AS rel_tf, count(*) AS rel_df
+    FROM tf2 JOIN rel USING (doc_id)
+    WHERE term NOT IN ({", ".join(repr(t) for t in ir.BM25_QUERY_TERMS)})
+    GROUP BY term
+    ORDER BY rel_tf DESC, term
+    LIMIT {ir.ROCCHIO_TOPK}
+    """,
+)
+
+_LID_LANGS = ", ".join(repr(lang) for lang in sorted(ta.LANG_MARKERS))
+
+register(
+    "lang_id_ngram",
+    ta.lang_id_ngram,
+    f"""
+    WITH tris AS (
+      SELECT doc_id, lang, substr(text, i, 3) AS tri
+      FROM documents,
+           unnest(generate_series(1, greatest(length(text) - 2, 0))) AS t(i)
+    ),
+    profile AS (
+      SELECT lang AS plang, tri FROM (
+        SELECT lang, tri, count(*) AS cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, tri) AS rk
+        FROM tris WHERE lang IN ({_LID_LANGS})
+        GROUP BY lang, tri
+      ) WHERE rk <= {ta.NGRAM_LID_TOP}
+    ),
+    dtris AS (SELECT DISTINCT doc_id, tri FROM tris),
+    matched AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN plang = '{lang}' THEN 1 ELSE 0 END)"
+                 f" AS score_{lang}"
+                 for lang in sorted(ta.LANG_MARKERS)
+             )}
+      FROM dtris JOIN profile USING (tri)
+      GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             {", ".join(
+                 f"coalesce(m.score_{lang}, 0) AS score_{lang}"
+                 for lang in sorted(ta.LANG_MARKERS)
+             )}
+      FROM documents d LEFT JOIN matched m ON d.doc_id = m.doc_id
+    )
+    SELECT doc_id, lang,
+           CASE {" ".join(
+               f"WHEN score_{lang} = greatest({', '.join('score_' + x for x in sorted(ta.LANG_MARKERS))}) THEN '{lang}'"
+               for lang in sorted(ta.LANG_MARKERS)
+           )} END AS pred_lang,
+           CAST(greatest({", ".join("score_" + x for x in sorted(ta.LANG_MARKERS))}) AS BIGINT)
+             AS best_score
+    FROM scored
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -4256,6 +4329,8 @@ _DEMOTED_STABLE = [
     "rev_reverts",
     "page_conflict",
     "graph_distances",
+    "rocchio_expansion",
+    "lang_id_ngram",
 ]
 
 

@@ -1060,3 +1060,37 @@ def test_graph_distances_planted_path(spark, tmp_path):
     assert got["a"] == 0 and got["b"] == 0 and got["c"] == 0
     assert got["d"] == 1 and got["e"] == 2
     assert "x" not in got and "y" not in got  # disconnected component
+
+
+def test_rocchio_excludes_query_terms_and_ranks_by_tf(spark):
+    """Expansion terms never contain the original query terms, and the
+    list is ordered by relevant-set tf (desc, term asc)."""
+    from tests.conftest import SF_DIR
+    from hedera_spark.operators.ir import BM25_QUERY_TERMS, rocchio_expansion
+
+    rows = rocchio_expansion(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    assert not any(r["term"] in BM25_QUERY_TERMS for r in rows)
+    keys = [(-r["rel_tf"], r["term"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_lang_id_ngram_recovers_planted_scripts(spark, tmp_path):
+    """Two 'languages' with disjoint character inventories: the trigram
+    profile classifies every doc back to its own label."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "aaa bbb aaa bbb aaa", "p", "en", 1))
+    for i in range(10, 20):
+        rows.append((i, "zzz yyy zzz yyy zzz", "p", "fr", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import lang_id_ngram
+
+    got = {r["doc_id"]: r for r in lang_id_ngram(spark, str(out)).collect()}
+    assert all(got[i]["pred_lang"] == "en" for i in range(10))
+    assert all(got[i]["pred_lang"] == "fr" for i in range(10, 20))
+    assert all(r["best_score"] > 0 for r in got.values())
