@@ -466,3 +466,55 @@ def graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         dists.unpersist()
         dists = nxt
     return dists
+
+
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity for every co-mention edge — the
+    classic link-prediction / edge-strength baseline on entity graphs
+    (entityrelation.pig's edges, scored structurally): two anchors
+    whose neighborhoods overlap are related even where their direct
+    co-mention count is modest. Output: (a1, a2, common_neighbors,
+    jaccard = |N(a)∩N(b)| / |N(a)∪N(b)|), exact integers under a
+    rounded division.
+
+    Scale: the common-neighbor join is the triangle-enumeration shape
+    (sym ⋈ sym on the shared endpoint) — Σdeg² bounded, which the
+    co-occurrence family's df-cap keeps polynomial by capping hub
+    degrees (same budget as anchor_triangles); then one |E|-bounded
+    count agg, one semi-filter to existing edges, two |V|-bounded
+    degree joins."""
+    e = anchor_cooccur(spark, sf_dir).select("a1", "a2")
+    sym = e.union(e.select(F.col("a2").alias("a1"), F.col("a1").alias("a2")))
+    deg = sym.groupBy("a1").agg(F.count(F.lit(1)).alias("deg"))
+    left = sym.select(F.col("a1").alias("a"), F.col("a2").alias("c"))
+    right = sym.select(F.col("a1").alias("b"), F.col("a2").alias("c"))
+    common = (
+        left.join(right, "c")
+        .where(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("a1"), F.col("b").alias("a2"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    return (
+        e.join(common, ["a1", "a2"], "left")
+        .join(deg.select(F.col("a1"), F.col("deg").alias("deg_a")), "a1")
+        .join(
+            deg.select(F.col("a1").alias("a2"), F.col("deg").alias("deg_b")),
+            "a2",
+        )
+        .select(
+            "a1",
+            "a2",
+            F.coalesce(F.col("common_neighbors"), F.lit(0)).alias(
+                "common_neighbors"
+            ),
+            F.round(
+                F.coalesce(F.col("common_neighbors"), F.lit(0))
+                / (
+                    F.col("deg_a")
+                    + F.col("deg_b")
+                    - F.coalesce(F.col("common_neighbors"), F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

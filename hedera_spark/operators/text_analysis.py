@@ -941,3 +941,71 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("pred_lang"),
         best.cast("long").alias("best_score"),
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 50
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token bigrams, PMI = ln(p(ab) / (p(a)·p(b))) with p(ab) over total
+    bigram occurrences and p(a) over total tokens — the adjacency-level
+    companion to anchor_lift's document-level lift. Bigrams below
+    PMI_MIN_COUNT occurrences are cut (PMI is noise at tiny counts);
+    output is the top-PMI_TOPK by (pmi desc, w1, w2). All probability
+    numerators/denominators are exact integers; pmi is one ln of an
+    integer-derived ratio, rounded to 6 dp.
+
+    Scale: bigram extraction is array-side per row (map-only); the
+    bigram agg is one partial-agg shuffle bounded by the observed
+    bigram vocabulary; unigram counts are a |V|-row join; the final cut
+    is a TakeOrdered LIMIT, never a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " filter(transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                "             element_at(split(text, ' '), i + 1) AS w2)),"
+                " p -> p.w1 != '' AND p.w2 != '')"
+                " ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cab = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    cab = cab.where(F.col("c_ab") >= PMI_MIN_COUNT)
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_uni")
+    ).crossJoin(bi.agg(F.count(F.lit(1)).alias("n_bi")))
+    scored = (
+        cab.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_uni").cast("double")
+                    * F.col("n_uni").cast("double")
+                    / (
+                        F.col("n_bi").cast("double")
+                        * F.col("c_a").cast("double")
+                        * F.col("c_b").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOPK)

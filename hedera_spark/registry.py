@@ -4162,6 +4162,75 @@ register(
     """,
 )
 
+register(
+    "graph_neighbor_jaccard",
+    gr.graph_neighbor_jaccard,
+    f"""
+    WITH {_CTOKS},
+    pairs AS (
+      SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
+      FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    sym AS (
+      SELECT a1, a2 FROM pairs UNION ALL SELECT a2, a1 FROM pairs
+    ),
+    deg AS (SELECT a1, count(*) AS deg FROM sym GROUP BY a1),
+    common AS (
+      SELECT l.a1 AS a1, r.a1 AS a2, count(*) AS cn
+      FROM sym l JOIN sym r ON l.a2 = r.a2 AND l.a1 < r.a1
+      GROUP BY 1, 2
+    )
+    SELECT p.a1, p.a2,
+           coalesce(c.cn, 0) AS common_neighbors,
+           round(coalesce(c.cn, 0)
+                 / CAST(da.deg + db.deg - coalesce(c.cn, 0) AS DOUBLE), 6)
+             AS jaccard
+    FROM pairs p
+    LEFT JOIN common c ON p.a1 = c.a1 AND p.a2 = c.a2
+    JOIN deg da ON p.a1 = da.a1
+    JOIN deg db ON p.a2 = db.a1
+    """,
+)
+
+register(
+    "bigram_pmi",
+    ta.bigram_pmi,
+    f"""
+    WITH bi AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+      WHERE toks[i] <> '' AND toks[i+1] <> ''
+    ),
+    cab AS (
+      SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2
+      HAVING count(*) >= {ta.PMI_MIN_COUNT}
+    ),
+    uni AS (
+      SELECT tok AS w, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni,
+             (SELECT count(*) FROM bi) AS n_bi
+    )
+    SELECT w1, w2, c_ab,
+           round(ln(CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                    * CAST(n_uni AS DOUBLE)
+                    / (CAST(n_bi AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                       * CAST(ub.c AS DOUBLE))), 6) AS pmi
+    FROM cab
+    JOIN uni ua ON cab.w1 = ua.w
+    JOIN uni ub ON cab.w2 = ub.w, tot
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {ta.PMI_TOPK}
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -4331,6 +4400,8 @@ _DEMOTED_STABLE = [
     "graph_distances",
     "rocchio_expansion",
     "lang_id_ngram",
+    "graph_neighbor_jaccard",
+    "bigram_pmi",
 ]
 
 

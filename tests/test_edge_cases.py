@@ -98,6 +98,20 @@ def _empty_sf(spark, tmp_path):
         "pv_hour_profile",
         "graph_communities",
         "key_skew_stats",
+        # round-3 seventh-to-ninth-wave operators
+        "positional_index",
+        "phrase_search",
+        "graph_kcore",
+        "pv_changepoint",
+        "simhash_recall",
+        "embedding_outliers",
+        "rev_reverts",
+        "page_conflict",
+        "graph_distances",
+        "rocchio_expansion",
+        "lang_id_ngram",
+        "graph_neighbor_jaccard",
+        "bigram_pmi",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -1094,3 +1094,52 @@ def test_lang_id_ngram_recovers_planted_scripts(spark, tmp_path):
     assert all(got[i]["pred_lang"] == "en" for i in range(10))
     assert all(got[i]["pred_lang"] == "fr" for i in range(10, 20))
     assert all(r["best_score"] > 0 for r in got.values())
+
+
+def test_graph_neighbor_jaccard_planted_structure(spark, tmp_path):
+    """Clique a-b-c plus pendant d on a: edge (b,c) has common neighbor
+    a only, N(b)={a,c}, N(c)={a,b} -> jaccard 1/3; edge (a,d): d's only
+    neighbor is a, no common neighbors -> jaccard 0."""
+    rows = []
+    i = 0
+    for _ in range(6):
+        rows.append((i, "a b c", "p", "en", 1)); i += 1
+    for _ in range(6):
+        rows.append((i, "a d", "p", "en", 1)); i += 1
+    for _ in range(6):
+        rows.append((i, "x y", "p", "en", 1)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.graph import graph_neighbor_jaccard
+
+    got = {(r["a1"], r["a2"]): r for r in graph_neighbor_jaccard(spark, str(out)).collect()}
+    assert got[("b", "c")]["common_neighbors"] == 1
+    assert abs(got[("b", "c")]["jaccard"] - round(1 / 3, 6)) < 1e-9
+    assert got[("a", "d")]["common_neighbors"] == 0
+    assert got[("a", "d")]["jaccard"] == 0.0
+
+
+def test_bigram_pmi_prefers_exclusive_pair(spark, tmp_path):
+    """'p q' always co-occur exclusively; 'r' pairs with many partners.
+    The exclusive bigram gets the highest PMI."""
+    rows = []
+    i = 0
+    for _ in range(10):
+        rows.append((i, "p q p q p q", "s", "en", 1)); i += 1
+    for part in ["r s", "r t", "r u", "r v"]:
+        for _ in range(5):
+            rows.append((i, part + " " + part, "s", "en", 1)); i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import bigram_pmi
+
+    got = bigram_pmi(spark, str(out)).collect()
+    assert got[0]["w1"] == "p" and got[0]["w2"] == "q"
+    keys = [(-r["pmi"], r["w1"], r["w2"]) for r in got]
+    assert keys == sorted(keys)
