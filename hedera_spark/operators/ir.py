@@ -454,3 +454,84 @@ def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return terms.orderBy(F.desc("rel_tf"), "term").limit(ROCCHIO_TOPK)
+
+
+SPARSE_QUERY_MOD = 25
+SPARSE_TOPK = 3
+SPARSE_SCALE = 1_000_000
+
+
+def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine top-3 neighbors for the query-doc subset
+    (doc_id % 25 == 0) via the term-partitioned inverted-index join —
+    the pre-embedding document-similarity search (the IR-side companion
+    to ann_topk, over the index of InvertedIndexByBOW.java): two docs
+    meet ONLY on the terms they share, so the join is keyed on term and
+    the work scales with posting-list sizes, not |docs|².
+
+    Determinism: tf-idf weights are quantized to integer micro-units,
+    so every dot product is an EXACT integer sum (Σ w_a·w_b over shared
+    terms survives any shuffle order); norms are sqrt of exact integer
+    Σw², and the final cosine is one rounded division.
+
+    Scale: weight computation rides the bow agg; the query side is
+    |docs|/25 and filtered map-side before the term join; per-term
+    fan-out is |q postings(t)| × |postings(t)| — on a natural-language
+    vocabulary the posting lists are Zipf-bounded and hot stop-terms
+    carry near-zero idf weight (and can be df-capped exactly like the
+    co-occurrence family if needed). Top-3 is a per-query window over
+    the pair scores."""
+    tf_ = bow(spark, sf_dir)
+    # |docs| as a 1-row broadcast aggregate (bm25's stats pattern) — no
+    # driver-side count action in the plan-build path
+    stats = tf_.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    df_ = tf_.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf_.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                f"CAST(round(tf * ln(n_docs / CAST(df AS DOUBLE))"
+                f" * {SPARSE_SCALE}) AS BIGINT)"
+            ).alias("w"),
+        )
+        .where(F.col("w") != 0)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    q = w.where(F.col("doc_id") % SPARSE_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("q_id"), "term", F.col("w").alias("qw")
+    )
+    dots = (
+        q.join(w, "term")
+        .where(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("q_id"), F.col("nrm").alias("q_nrm")),
+            "q_id",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("neighbor_id"), "nrm"),
+            "neighbor_id",
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                F.col("dot").cast("double") / (F.col("q_nrm") * F.col("nrm")), 6
+            ).alias("cos"),
+        )
+    )
+    win = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .where(F.col("rk") <= SPARSE_TOPK)
+    )

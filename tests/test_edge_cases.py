@@ -112,6 +112,7 @@ def _empty_sf(spark, tmp_path):
         "lang_id_ngram",
         "graph_neighbor_jaccard",
         "bigram_pmi",
+        "sparse_cosine_topk",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -69,6 +69,13 @@ ALLOWED_NESTED_LOOP = {
     "sq_recall",  # measures ann_sq AGAINST the ann_topk baseline
     "dedup_recall",  # 1-row aggregate combine (pipeline_funnel shape)
     "key_skew_stats",  # 1-row moments × 1-row top-shares combine
+    "simhash_recall",  # 1-row aggregate combine (dedup_recall shape)
+    "graph_kcore",  # via _cooccur_tokens (1-row hot stop-token array)
+    "graph_distances",  # via _cooccur_tokens (1-row hot stop-token array)
+    "graph_neighbor_jaccard",  # via _cooccur_tokens (same array)
+    "rocchio_expansion",  # composes bm25_topk (1-row corpus stats)
+    "bigram_pmi",  # 1-row (n_uni, n_bi) totals broadcast
+    "sparse_cosine_topk",  # 1-row |docs| aggregate broadcast
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /

@@ -1143,3 +1143,29 @@ def test_bigram_pmi_prefers_exclusive_pair(spark, tmp_path):
     assert got[0]["w1"] == "p" and got[0]["w2"] == "q"
     keys = [(-r["pmi"], r["w1"], r["w2"]) for r in got]
     assert keys == sorted(keys)
+
+
+def test_sparse_cosine_identical_docs_score_one(spark, tmp_path):
+    """A query doc with an identical twin ranks the twin first with
+    cosine 1.0; an orthogonal-vocabulary doc never outranks it."""
+    same = "alpha beta gamma delta alpha beta"
+    other = "zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [
+            (0, same, "p", "en", 1),     # query (0 % 25 == 0)
+            (1, same, "p", "en", 1),     # identical twin
+            (2, other, "p", "en", 1),    # disjoint vocabulary
+            (3, "alpha beta zeta eta xx yy", "p", "en", 1),  # partial
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.ir import sparse_cosine_topk
+
+    got = {r["rk"]: r for r in sparse_cosine_topk(spark, str(out)).collect()
+           if r["q_id"] == 0}
+    assert got[1]["neighbor_id"] == 1 and got[1]["cos"] == 1.0
+    # disjoint-vocab doc shares no weighted term: absent or last
+    ids = [got[k]["neighbor_id"] for k in sorted(got)]
+    assert 2 not in ids or ids[-1] == 2
