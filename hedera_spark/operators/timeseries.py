@@ -684,3 +684,36 @@ def pv_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_after",
         )
     )
+
+
+HOTKEY_MIN_EXP = 3  # smallest emitted threshold = 2^3 = 8 events
+HOTKEY_MAX_EXP = 30
+
+
+def user_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key threshold crossings: for every entity, each power-of-two
+    event-count threshold (2^3 … 2^30) its lifetime total reaches —
+    the batch ground truth of the streaming hot-key detector
+    (streaming/stateful.stream_hot_keys emits the same (user,
+    threshold) set incrementally regardless of micro-batch
+    boundaries). Exponential thresholds bound the output to
+    O(|users|·log(max count)).
+
+    Scale: one partial-agg count to |users|, then an explode over ≤28
+    literals — map-side, no further shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        totals.select(
+            "user_id",
+            "total",
+            F.explode(
+                F.expr(f"sequence({HOTKEY_MIN_EXP}, {HOTKEY_MAX_EXP})")
+            ).alias("exp"),
+        )
+        .where(F.expr("shiftleft(CAST(1 AS BIGINT), exp) <= total"))
+        .select(
+            "user_id",
+            F.expr("shiftleft(CAST(1 AS BIGINT), exp)").alias("threshold"),
+        )
+    )

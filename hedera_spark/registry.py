@@ -4276,6 +4276,20 @@ register(
     """,
 )
 
+register(
+    "user_thresholds",
+    ts.user_thresholds,
+    f"""
+    WITH totals AS (
+      SELECT user_id, count(*) AS total FROM events GROUP BY user_id
+    )
+    SELECT user_id, (CAST(1 AS BIGINT) << e) AS threshold
+    FROM totals,
+         unnest(generate_series({ts.HOTKEY_MIN_EXP}, {ts.HOTKEY_MAX_EXP})) t(e)
+    WHERE (CAST(1 AS BIGINT) << e) <= total
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -4448,6 +4462,7 @@ _DEMOTED_STABLE = [
     "graph_neighbor_jaccard",
     "bigram_pmi",
     "sparse_cosine_topk",
+    "user_thresholds",
 ]
 
 

@@ -223,3 +223,52 @@ def stream_funnel(spark: SparkSession, sf_dir: str, **source_kw) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOTKEY_OUTPUT_SCHEMA = "user_id long, threshold long, total_at_emit long"
+HOTKEY_STATE_SCHEMA = "total long, emitted_below long"
+HOTKEY_MIN_EXP = 3
+HOTKEY_MAX_EXP = 30
+
+
+def _update_hot_keys(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Online hot-key detector: per-user state is (lifetime total,
+    highest threshold already emitted). When the total crosses new
+    power-of-two thresholds, one row per crossed threshold is emitted.
+    The emitted (user, threshold) SET depends only on the final totals
+    — identical for any micro-batch slicing, which is what the
+    replay-equals-batch test pins against operators/timeseries.
+    user_thresholds."""
+    total, emitted = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        total += len(pdf)
+    rows = []
+    for exp in range(HOTKEY_MIN_EXP, HOTKEY_MAX_EXP + 1):
+        thr = 1 << exp
+        if emitted < thr <= total:
+            rows.append((key[0], thr, total))
+            emitted = thr
+    state.update((total, emitted))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["user_id", "threshold", "total_at_emit"]
+        )
+
+
+def stream_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hot-key detection with exponential emission: state is
+    two longs per user (bounded regardless of stream length), and output
+    volume is O(|users|·log total) — the pattern for surfacing skewed
+    keys from an unbounded stream without ever materializing per-key
+    event history. BuildShortTermTS's accumulating reducer, specialized
+    to threshold alerts."""
+    events = event_stream(spark, sf_dir).select("user_id")
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_hot_keys,
+        outputStructType=HOTKEY_OUTPUT_SCHEMA,
+        stateStructType=HOTKEY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

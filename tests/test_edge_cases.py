@@ -113,6 +113,7 @@ def _empty_sf(spark, tmp_path):
         "graph_neighbor_jaccard",
         "bigram_pmi",
         "sparse_cosine_topk",
+        "user_thresholds",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

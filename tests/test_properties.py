@@ -424,3 +424,73 @@ def test_pv_forecast_backtest_matches_direct(spark, tmp_path_factory, series):
     r = out[0]
     assert r["n_scored"] == len(errs)
     assert r["mae"] == round(sum(int(e) for e in errs) / (len(errs) * 1e6), 6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=6), min_size=14, max_size=25
+    )
+)
+def test_pv_changepoint_matches_bruteforce(spark, tmp_path_factory, counts):
+    """For any daily series (n >= 14): the selected split maximizes the
+    between-segment SS gain computed independently by brute force, with
+    the earliest-day tie-break, and the reported segment means match."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmpdir = str(tmp_path_factory.mktemp("cpprop"))
+    rows = []
+    eid = 0
+    for day_idx, n in enumerate(counts):
+        for _ in range(n):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, 1, 8, 0, 0)
+                    + datetime.timedelta(days=day_idx),
+                    7,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/events.parquet")
+
+    from hedera_spark.operators.timeseries import pv_changepoint
+
+    got = pv_changepoint(spark, tmpdir).collect()
+    assert len(got) == 1
+    r = got[0]
+    n = len(counts)
+    s = sum(counts)
+    best = None
+    for i in range(1, n):
+        sl = sum(counts[:i])
+        gain = round(sl * sl / i + (s - sl) ** 2 / (n - i) - s * s / n, 6)
+        if best is None or gain > best[0]:
+            best = (gain, i)
+    gain, i = best
+    assert abs(r["gain"] - gain) < 1e-6
+    assert r["split_day"] == (
+        datetime.date(2024, 1, 1) + datetime.timedelta(days=i - 1)
+    )
+    assert abs(r["mean_before"] - round(sum(counts[:i]) / i, 4)) < 1e-9
+    assert abs(r["mean_after"] - round(sum(counts[i:]) / (n - i), 4)) < 1e-9

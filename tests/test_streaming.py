@@ -849,3 +849,31 @@ def test_stream_multimodal_meta_equals_batch(spark):
     }
     want = {r["doc_id"]: tuple(r) for r in multimodal_meta(spark, SF_DIR).collect()}
     assert got == want
+
+
+def test_stream_hot_keys_equals_batch_thresholds(spark):
+    """The stateful hot-key detector's emitted (user, threshold) set
+    after consuming the whole log equals the batch power-of-two
+    crossings — independent of micro-batch slicing by construction."""
+    from hedera_spark.operators.timeseries import user_thresholds
+    from hedera_spark.streaming.stateful import stream_hot_keys
+
+    out = stream_hot_keys(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hot_keys_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["threshold"])
+        for r in spark.sql("select * from hot_keys_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["threshold"])
+        for r in user_thresholds(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
