@@ -188,3 +188,61 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(_frames_batches, schema=FRAMES_SCHEMA)
+
+
+RESAMPLE_SCHEMA = (
+    "doc_id long, n_bytes int, src_rate int, n_samples bigint,"
+    " duration_ms bigint, tgt_rate int, out_samples bigint, chunks int"
+)
+
+TARGET_RATE = 16_000
+CHUNK_SAMPLES = 160_000  # 10 s at the target rate
+
+
+def _audio_stub(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake audio header probe (the _decode_stub of the
+    audio modality): derives (src_rate, n_samples, n_bytes) from the
+    payload alone. A real deployment replaces this with soundfile /
+    av.open — codecs are not in the container (module docstring)."""
+    n = len(payload)
+    src_rate = (8_000, 16_000, 22_050, 44_100, 48_000)[n % 5]
+    n_samples = n * 37 + (n % 11) * 1_000
+    return src_rate, n_samples, n
+
+
+def _resample_batches(batches):
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            src_rate, n_samples, n = _audio_stub(payload)
+            # integer resample plan: output length under exact integer
+            # floor division, then fixed-size chunking for the training
+            # loader — the arithmetic a resampler executes, value-oracled
+            # because the stub is deterministic
+            duration_ms = n_samples * 1000 // src_rate
+            out_samples = n_samples * TARGET_RATE // src_rate
+            chunks = int((out_samples + CHUNK_SAMPLES - 1) // CHUNK_SAMPLES)
+            rows.append(
+                (doc_id, n, src_rate, n_samples, duration_ms,
+                 TARGET_RATE, out_samples, chunks)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_bytes", "src_rate", "n_samples",
+                "duration_ms", "tgt_rate", "out_samples", "chunks",
+            ],
+        )
+
+
+def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plan operator: probe each binary payload's (stub)
+    header, compute the 16 kHz resample plan — exact-integer output
+    length, duration, and fixed-size training-chunk count — through the
+    same Arrow mapInPandas plumbing as the image/video operators. The
+    whole sampling arithmetic is value-oracled because the stub probe is
+    deterministic; swapping _audio_stub for a real header parser leaves
+    the plan shape untouched (scan → mapInPandas → relational ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(_resample_batches, schema=RESAMPLE_SCHEMA)

@@ -4290,6 +4290,34 @@ register(
     """,
 )
 
+register(
+    "multimodal_resample",
+    mm.multimodal_resample,
+    f"""
+    WITH p AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n
+      FROM documents
+    ),
+    hdr AS (
+      SELECT doc_id, n,
+             CASE n % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                        ELSE 48000 END AS src_rate,
+             CAST(n AS BIGINT) * 37 + (n % 11) * 1000 AS n_samples
+      FROM p
+    )
+    SELECT doc_id, n AS n_bytes, CAST(src_rate AS INT) AS src_rate,
+           n_samples,
+           n_samples * 1000 // src_rate AS duration_ms,
+           {mm.TARGET_RATE} AS tgt_rate,
+           n_samples * {mm.TARGET_RATE} // src_rate AS out_samples,
+           CAST((n_samples * {mm.TARGET_RATE} // src_rate
+                 + {mm.CHUNK_SAMPLES} - 1) // {mm.CHUNK_SAMPLES} AS INT)
+             AS chunks
+    FROM hdr
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -4463,6 +4491,7 @@ _DEMOTED_STABLE = [
     "bigram_pmi",
     "sparse_cosine_topk",
     "user_thresholds",
+    "multimodal_resample",
 ]
 
 

@@ -114,6 +114,7 @@ def _empty_sf(spark, tmp_path):
         "bigram_pmi",
         "sparse_cosine_topk",
         "user_thresholds",
+        "multimodal_resample",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

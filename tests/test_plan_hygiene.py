@@ -84,6 +84,7 @@ ALLOWED_PYTHON = {
     "multimodal_meta",
     "multimodal_features",
     "multimodal_frames",  # same stub-decoder plumbing as multimodal_meta
+    "multimodal_resample",  # same stub plumbing, audio modality
     "rev_diff_chunks",
     "ann_topk_fast",
 }

@@ -1169,3 +1169,30 @@ def test_sparse_cosine_identical_docs_score_one(spark, tmp_path):
     # disjoint-vocab doc shares no weighted term: absent or last
     ids = [got[k]["neighbor_id"] for k in sorted(got)]
     assert 2 not in ids or ids[-1] == 2
+
+
+def test_multimodal_resample_integer_plan(spark, tmp_path):
+    """The resample plan is exact integer arithmetic on the stub header:
+    out_samples = n_samples * 16000 // src_rate, chunk count is ceil
+    division, duration follows the source rate."""
+    docs = spark.createDataFrame(
+        [(1, "x" * 10, "p", "en", 10), (2, "y" * 23, "p", "en", 23)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.multimodal import (
+        CHUNK_SAMPLES,
+        TARGET_RATE,
+        _audio_stub,
+        multimodal_resample,
+    )
+
+    got = {r["doc_id"]: r for r in multimodal_resample(spark, str(out)).collect()}
+    for doc_id, text in [(1, "x" * 10), (2, "y" * 23)]:
+        src_rate, n_samples, n = _audio_stub(text.encode())
+        r = got[doc_id]
+        assert r["src_rate"] == src_rate and r["n_samples"] == n_samples
+        assert r["out_samples"] == n_samples * TARGET_RATE // src_rate
+        assert r["duration_ms"] == n_samples * 1000 // src_rate
+        assert r["chunks"] == (r["out_samples"] + CHUNK_SAMPLES - 1) // CHUNK_SAMPLES
