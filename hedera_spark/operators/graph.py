@@ -391,6 +391,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
+    n_edges = edges.count()
     for _ in range(KCORE_ROUNDS):
         # no broadcast hint: the surviving-node set shrinks every round
         # and AQE picks broadcast when it fits — a forced driver-side
@@ -408,9 +409,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst")
             .persist()
         )
-        nxt.count()  # materialize before releasing the parent
+        n_nxt = nxt.count()  # materialize before releasing the parent
         edges.unpersist()
         edges = nxt
+        # peeling is monotone: a round that removes nothing makes every
+        # later round a no-op, so stopping early is result-identical to
+        # the oracle's full unroll (count-only guard, no data collect)
+        if n_nxt == n_edges:
+            break
+        n_edges = n_nxt
     return edges.groupBy(F.col("src").alias("anchor")).agg(
         F.count(F.lit(1)).alias("degree")
     )

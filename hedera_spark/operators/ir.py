@@ -500,6 +500,10 @@ def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
         .where(F.col("w") != 0)
+        # four downstream references (norms ×2, query side, corpus side):
+        # persist so the bow + idf subtree is computed once, not four
+        # times (hits_anchors' persisted-edges discipline)
+        .persist()
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")

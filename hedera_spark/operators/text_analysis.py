@@ -368,8 +368,15 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-token fraction, and the composite keep/drop flag. The
     per-doc top-n-gram count is a sorted-array run fold
     (_max_multiplicity), not an explode+groupBy — the oracle states the
-    same semantics relationally."""
-    docs = load_table(spark, sf_dir, "documents")
+    same semantics relationally.
+
+    The scan is rebalanced to full parallelism first: the two run folds
+    are CPU-dense per row, and a compact parquet input would pin them to
+    one core per row group (fingerprint's rationale; measured 53s at
+    sf0.1 without it)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     grams = toks.select(
         "doc_id",

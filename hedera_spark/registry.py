@@ -3992,11 +3992,22 @@ register(
             FROM documents),
            unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
     ),
-    rn AS (SELECT rev_seq, count(*) AS n FROM rsh GROUP BY rev_seq),
+    -- identical page-local hot-shingle cut as the Spark side: similarity
+    -- is defined over the capped universe
+    rkept AS (
+      SELECT r.* FROM rsh r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rsh h
+        WHERE h.page_id = r.page_id AND h.s = r.s
+        GROUP BY h.page_id, h.s
+        HAVING count(*) > {rev.REVERT_DF_CAP}
+      )
+    ),
+    rn AS (SELECT rev_seq, count(*) AS n FROM rkept GROUP BY rev_seq),
     inter AS (
       SELECT a.page_id, a.rev_seq AS e_seq, b.rev_seq AS rev_seq,
              count(*) AS c
-      FROM rsh a JOIN rsh b
+      FROM rkept a JOIN rkept b
         ON a.s = b.s AND a.page_id = b.page_id
        AND a.rev_seq < b.rev_seq - 1
       GROUP BY 1, 2, 3

@@ -257,14 +257,20 @@ def _update_hot_keys(
         )
 
 
-def stream_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_hot_keys(spark: SparkSession, sf_dir: str, **source_kw) -> DataFrame:
     """Streaming hot-key detection with exponential emission: state is
     two longs per user (bounded regardless of stream length), and output
     volume is O(|users|·log total) — the pattern for surfacing skewed
     keys from an unbounded stream without ever materializing per-key
     event history. BuildShortTermTS's accumulating reducer, specialized
-    to threshold alerts."""
-    events = event_stream(spark, sf_dir).select("user_id")
+    to threshold alerts. Extra source_kw route to stream_events_dir
+    (restart tests feed a growing directory)."""
+    if source_kw:
+        from hedera_spark.streaming.source import stream_events_dir
+
+        events = stream_events_dir(spark, sf_dir, **source_kw).select("user_id")
+    else:
+        events = event_stream(spark, sf_dir).select("user_id")
     return events.groupBy("user_id").applyInPandasWithState(
         _update_hot_keys,
         outputStructType=HOTKEY_OUTPUT_SCHEMA,

@@ -214,3 +214,45 @@ def test_pv_anomaly_single_window_over_daily_agg(spark):
     # the window's input is the aggregated (user_id, day) stream: the
     # hash aggregate must appear below the window in the plan
     assert "HashAggregate" in plan
+
+
+def test_positional_index_prunes_scan_columns(spark):
+    """The positional index needs only (doc_id, text): the parquet scan
+    must not read lang/source/n_chars."""
+    from hedera_spark.operators.ir import positional_index
+
+    plan = formatted_plan(positional_index(spark, SF_DIR))
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and all(
+        "lang" not in l and "source" not in l and "n_chars" not in l
+        for l in scan
+    )
+
+
+def test_phrase_search_extracts_equi_join_key(spark):
+    """pos2 = pos1 + 1 must plan as a hash/sort-merge equality join —
+    Catalyst extracts pos+1 as a join key, never a nested loop."""
+    from hedera_spark.operators.ir import phrase_search
+
+    plan = formatted_plan(phrase_search(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_sparse_cosine_term_join_is_equality(spark):
+    """The document-similarity join must be keyed on term (equality) and
+    the weight table must be cached: four downstream references (norms
+    ×2, query, corpus) may compute the bow+idf subtree only once. The
+    only nested loops are the 1-row |docs| stats broadcasts
+    (hygiene-allowlisted bounded-build class)."""
+    from hedera_spark.operators.ir import sparse_cosine_topk
+
+    plan = formatted_plan(sparse_cosine_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # weight table computed once
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

@@ -877,3 +877,68 @@ def test_stream_hot_keys_equals_batch_thresholds(spark):
         for r in user_thresholds(spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_hot_keys_state_survives_restart(spark, tmp_path):
+    """Keyed totals must survive a restart: replay half the days, stop,
+    add the rest, restart with the SAME checkpoint — the final emitted
+    (user, threshold) set equals the batch crossings, and thresholds
+    crossed only by the COMBINED halves prove post-restart batches saw
+    pre-restart state."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.timeseries import user_thresholds
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.stateful import stream_hot_keys
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    days = sorted(
+        r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    half = len(days) // 2
+
+    def write_days(day_list):
+        for d in day_list:
+            ev.where(F.to_date("ts") == F.lit(d)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"day={d}"))
+
+    out_dir = str(tmp_path / "alerts")
+
+    def run_once():
+        def _sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream_hot_keys(spark, str(src), recursive=True)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_days(days[:half])
+    run_once()
+    first = {
+        (r["user_id"], r["threshold"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    write_days(days[half:])
+    run_once()
+
+    got = {
+        (r["user_id"], r["threshold"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["threshold"])
+        for r in user_thresholds(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # restart must have added crossings on top of pre-restart state
+    assert first and first < got
