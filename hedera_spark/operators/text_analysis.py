@@ -1016,3 +1016,81 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOPK)
+
+
+SKIPGRAM_WINDOW = 3
+SKIPGRAM_MIN_COUNT = 5
+SKIPGRAM_TOPK = 100
+
+
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence pair counts — the training-pair extraction
+    of word2vec/GloVe-style embedding pipelines: for every token, its
+    forward neighbors within SKIPGRAM_WINDOW positions, counted over the
+    corpus with a min-count cut and PMI weighting (the PPMI-matrix
+    input of count-based embeddings). Forward-only pairing counts each
+    unordered pair once; output is the top-SKIPGRAM_TOPK by (count
+    desc, w1, w2).
+
+    Scale: pair extraction is array-side per row (window × tokens
+    structs, map-only); the pair agg is one partial-agg shuffle bounded
+    by the observed pair vocabulary; unigram totals are a |V|-row
+    broadcast; final cut TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                f"""
+                CASE WHEN size(split(text, ' ')) >= 2 THEN
+                  filter(
+                    flatten(transform(sequence(1, size(split(text, ' ')) - 1),
+                      i -> transform(
+                        sequence(i + 1,
+                                 least(i + {SKIPGRAM_WINDOW},
+                                       size(split(text, ' ')))),
+                        j -> struct(element_at(split(text, ' '), i) AS w1,
+                                    element_at(split(text, ' '), j) AS w2)))),
+                    p -> p.w1 != '' AND p.w2 != '')
+                ELSE array() END
+                """
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .where(F.col("n_pairs") >= SKIPGRAM_MIN_COUNT)
+    )
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).alias("n_pp"))
+    )
+    scored = (
+        cnt.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pairs",
+            F.round(
+                F.log(
+                    F.col("n_pairs").cast("double")
+                    * F.col("n_uni").cast("double")
+                    * F.col("n_uni").cast("double")
+                    / (
+                        F.col("n_pp").cast("double")
+                        * F.col("c_a").cast("double")
+                        * F.col("c_b").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("n_pairs"), "w1", "w2").limit(SKIPGRAM_TOPK)

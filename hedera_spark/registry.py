@@ -4329,6 +4329,45 @@ register(
     """,
 )
 
+register(
+    "skipgram_pairs",
+    ta.skipgram_pairs,
+    f"""
+    WITH sp AS (
+      SELECT toks[i] AS w1, toks[j] AS w2
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i),
+           unnest(generate_series(i + 1,
+                    least(i + {ta.SKIPGRAM_WINDOW}, len(toks)))) AS u(j)
+      WHERE toks[i] <> '' AND toks[j] <> ''
+    ),
+    cnt AS (
+      SELECT w1, w2, count(*) AS n_pairs FROM sp GROUP BY 1, 2
+      HAVING count(*) >= {ta.SKIPGRAM_MIN_COUNT}
+    ),
+    uni AS (
+      SELECT tok AS w, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni,
+             (SELECT count(*) FROM sp) AS n_pp
+    )
+    SELECT w1, w2, n_pairs,
+           round(ln(CAST(n_pairs AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                    * CAST(n_uni AS DOUBLE)
+                    / (CAST(n_pp AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                       * CAST(ub.c AS DOUBLE))), 6) AS pmi
+    FROM cnt
+    JOIN uni ua ON cnt.w1 = ua.w
+    JOIN uni ub ON cnt.w2 = ub.w, tot
+    ORDER BY n_pairs DESC, w1, w2
+    LIMIT {ta.SKIPGRAM_TOPK}
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -4503,6 +4542,7 @@ _DEMOTED_STABLE = [
     "sparse_cosine_topk",
     "user_thresholds",
     "multimodal_resample",
+    "skipgram_pairs",
 ]
 
 

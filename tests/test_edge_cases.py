@@ -115,6 +115,7 @@ def _empty_sf(spark, tmp_path):
         "sparse_cosine_topk",
         "user_thresholds",
         "multimodal_resample",
+        "skipgram_pairs",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -76,6 +76,7 @@ ALLOWED_NESTED_LOOP = {
     "rocchio_expansion",  # composes bm25_topk (1-row corpus stats)
     "bigram_pmi",  # 1-row (n_uni, n_bi) totals broadcast
     "sparse_cosine_topk",  # 1-row |docs| aggregate broadcast
+    "skipgram_pairs",  # 1-row (n_uni, n_pp) totals broadcast
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /

@@ -1196,3 +1196,21 @@ def test_multimodal_resample_integer_plan(spark, tmp_path):
         assert r["out_samples"] == n_samples * TARGET_RATE // src_rate
         assert r["duration_ms"] == n_samples * 1000 // src_rate
         assert r["chunks"] == (r["out_samples"] + CHUNK_SAMPLES - 1) // CHUNK_SAMPLES
+
+
+def test_skipgram_pairs_window_and_counts(spark, tmp_path):
+    """'a b c d' with window 3 yields forward pairs (a,b) (a,c) (a,d)
+    (b,c) (b,d) (c,d); repeated 5 times all clear the min-count cut
+    with count 5, and a pair beyond the window never appears."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d e", "p", "en", 1) for i in range(5)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import skipgram_pairs
+
+    got = {(r["w1"], r["w2"]): r["n_pairs"] for r in skipgram_pairs(spark, str(out)).collect()}
+    assert got[("a", "b")] == 5 and got[("a", "d")] == 5
+    assert ("a", "e") not in got  # distance 4 > window 3
+    assert got[("b", "e")] == 5
