@@ -1094,3 +1094,52 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("n_pairs"), "w1", "w2").limit(SKIPGRAM_TOPK)
+
+
+SAMPLE_K_PER_GROUP = 10
+
+
+def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample: the K docs with the smallest
+    md5(doc_id) per language — the distributed 'reservoir' for building
+    fixed-size dev/eval sets (sample_stratified gives a fixed RATE; this
+    gives a fixed COUNT per stratum, stable across runs and engines
+    because the order is a content-free hash, not a scan order).
+
+    Scale: one rank window per language over (hash, doc_id). At 100 TB
+    the per-stratum TopK would use the range-partitioned local-rank
+    pattern (dictionary's) or a partial TakeOrdered per partition; for
+    k ≪ partition counts Spark's window with a running rank ≤ K
+    prune-early is adequate, and K rows per group is the output bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= SAMPLE_K_PER_GROUP)
+    )
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pass accounting: lowercase, strip digits/punctuation
+    to spaces, collapse whitespace runs, trim — the canonicalization
+    every dedup/tokenization stage assumes — and report per doc the
+    normalized-content hash, whether normalization changed anything, and
+    the exact char delta. Map-only (the 100 TB shape: zero shuffles);
+    downstream exact-dedup on norm_hash instead of md5(text) catches
+    case/punctuation-variant duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        (norm != F.col("text")).alias("changed"),
+        (F.length("text") - F.length(norm)).cast("long").alias("chars_removed"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )

@@ -4368,6 +4368,38 @@ register(
     """,
 )
 
+register(
+    "sample_fixed_k",
+    ta.sample_fixed_k,
+    f"""
+    SELECT doc_id, lang, n_chars, rk FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= {ta.SAMPLE_K_PER_GROUP}
+    """,
+)
+
+register(
+    "text_normalize",
+    ta.text_normalize,
+    """
+    WITH n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id, md5(norm) AS norm_hash,
+           norm <> text AS changed,
+           CAST(length(text) - length(norm) AS BIGINT) AS chars_removed,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm
+    FROM n
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -4543,6 +4575,8 @@ _DEMOTED_STABLE = [
     "user_thresholds",
     "multimodal_resample",
     "skipgram_pairs",
+    "sample_fixed_k",
+    "text_normalize",
 ]
 
 

@@ -116,6 +116,8 @@ def _empty_sf(spark, tmp_path):
         "user_thresholds",
         "multimodal_resample",
         "skipgram_pairs",
+        "sample_fixed_k",
+        "text_normalize",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -1214,3 +1214,45 @@ def test_skipgram_pairs_window_and_counts(spark, tmp_path):
     assert got[("a", "b")] == 5 and got[("a", "d")] == 5
     assert ("a", "e") not in got  # distance 4 > window 3
     assert got[("b", "e")] == 5
+
+
+def test_sample_fixed_k_is_exact_and_stable(spark, tmp_path):
+    """Exactly K docs per language, and the selection is identical
+    across two runs (hash-ordered, not scan-ordered)."""
+    rows = [(i, f"text {i}", "p", "en" if i % 2 else "fr", 1) for i in range(60)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import (
+        SAMPLE_K_PER_GROUP,
+        sample_fixed_k,
+    )
+
+    a = {(r["lang"], r["doc_id"]) for r in sample_fixed_k(spark, str(out)).collect()}
+    b = {(r["lang"], r["doc_id"]) for r in sample_fixed_k(spark, str(out)).collect()}
+    assert a == b
+    for lang in ("en", "fr"):
+        assert sum(1 for l, _ in a if l == lang) == SAMPLE_K_PER_GROUP
+
+
+def test_text_normalize_detects_variants(spark, tmp_path):
+    """Case/punctuation variants normalize to the SAME hash; an already
+    clean doc is unchanged with zero chars removed."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,  World! 42", "p", "en", 1),
+            (2, "hello world", "p", "en", 1),
+            (3, "clean text here", "p", "en", 1),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import text_normalize
+
+    got = {r["doc_id"]: r for r in text_normalize(spark, str(out)).collect()}
+    assert got[1]["norm_hash"] == got[2]["norm_hash"]
+    assert got[1]["changed"] and not got[3]["changed"]
+    assert got[3]["chars_removed"] == 0
