@@ -525,3 +525,52 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-mention graph: the Pearson
+    correlation between the degrees at the two ends of every edge
+    (Newman's r) — do hubs attach to hubs (r > 0, social-network shape)
+    or to leaves (r < 0, star/hub-and-spoke shape)? The one-number
+    companion to graph_degree_stats' histogram; together they say
+    whether the df-cap left a graph whose joins will skew.
+
+    Determinism: all six moments (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    integer aggregates over the symmetrized edge list (each unordered
+    edge contributes both orientations, the standard undirected
+    convention), so r is one fixed dag of integer-derived doubles.
+
+    Scale: one |V|-bounded degree agg, two broadcast-size degree joins
+    onto the edge list, one 1-row moment aggregate."""
+    e = anchor_cooccur(spark, sf_dir).select("a1", "a2")
+    sym = e.union(e.select(F.col("a2").alias("a1"), F.col("a1").alias("a2")))
+    deg = sym.groupBy("a1").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = sym.join(
+        deg.select("a1", F.col("deg").alias("x")), "a1"
+    ).join(
+        deg.select(F.col("a1").alias("a2"), F.col("deg").alias("y")), "a2"
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.where(F.col("n_edges") > 0).select(
+        F.col("n_edges"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round(
+                num.cast("double")
+                / F.sqrt(denx.cast("double") * deny.cast("double")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("assortativity"),
+    )

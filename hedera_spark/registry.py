@@ -4400,6 +4400,39 @@ register(
     """,
 )
 
+register(
+    "graph_assortativity",
+    gr.graph_assortativity,
+    f"""
+    WITH {_CTOKS},
+    pairs AS (
+      SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
+      FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    sym AS (SELECT a1, a2 FROM pairs UNION ALL SELECT a2, a1 FROM pairs),
+    deg AS (SELECT a1, count(*) AS deg FROM sym GROUP BY a1),
+    ep AS (
+      SELECT dx.deg AS x, dy.deg AS y
+      FROM sym JOIN deg dx ON sym.a1 = dx.a1 JOIN deg dy ON sym.a2 = dy.a1
+    ),
+    m AS (
+      SELECT count(*) AS n_edges, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM ep
+    )
+    SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           CASE WHEN (n_edges * sxx - sx * sx) > 0
+                 AND (n_edges * syy - sy * sy) > 0
+                THEN round((n_edges * sxy - sx * sy)
+                           / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n_edges * syy - sy * sy AS DOUBLE)), 6)
+                ELSE 0.0 END AS assortativity
+    FROM m WHERE n_edges > 0
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -4577,6 +4610,7 @@ _DEMOTED_STABLE = [
     "skipgram_pairs",
     "sample_fixed_k",
     "text_normalize",
+    "graph_assortativity",
 ]
 
 

@@ -118,6 +118,7 @@ def _empty_sf(spark, tmp_path):
         "skipgram_pairs",
         "sample_fixed_k",
         "text_normalize",
+        "graph_assortativity",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -77,6 +77,7 @@ ALLOWED_NESTED_LOOP = {
     "bigram_pmi",  # 1-row (n_uni, n_bi) totals broadcast
     "sparse_cosine_topk",  # 1-row |docs| aggregate broadcast
     "skipgram_pairs",  # 1-row (n_uni, n_pp) totals broadcast
+    "graph_assortativity",  # via _cooccur_tokens (1-row hot stop-token array)
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /

@@ -1256,3 +1256,27 @@ def test_text_normalize_detects_variants(spark, tmp_path):
     assert got[1]["norm_hash"] == got[2]["norm_hash"]
     assert got[1]["changed"] and not got[3]["changed"]
     assert got[3]["chars_removed"] == 0
+
+
+def test_graph_assortativity_star_is_negative(spark, tmp_path):
+    """A star (hub h with 4 leaves) is maximally disassortative: every
+    edge connects degree-4 to degree-1, r = -1."""
+    rows = []
+    i = 0
+    for leaf in ["l1", "l2", "l3", "l4"]:
+        for _ in range(5):
+            rows.append((i, f"h {leaf}", "p", "en", 1)); i += 1
+    for _ in range(10):
+        rows.append((i, "x y", "p", "en", 1)); i += 1  # df-cap ballast
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.graph import graph_assortativity
+
+    got = graph_assortativity(spark, str(out)).collect()
+    assert len(got) == 1
+    # star edges: (4,1)×4 and (1,4)×4 plus the x-y pair (1,1)×2 pulls r
+    # off exactly -1 but keeps it strongly negative
+    assert got[0]["assortativity"] < -0.5
