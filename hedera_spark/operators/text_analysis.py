@@ -1143,3 +1143,87 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") - F.length(norm)).cast("long").alias("chars_removed"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+VOCAB_SIZES = [100, 1000, 10000]
+VOCAB_RANGE_PARTITIONS = 32
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary-size dial: what share of all corpus token
+    occurrences is covered by the top-K most frequent terms, for each
+    candidate K in VOCAB_SIZES — the coverage/OOV curve a tokenizer or
+    embedding-table budget is chosen from (the complement of zipf_fit's
+    shape statistic). Output: (vocab_size, covered_tokens, total_tokens,
+    coverage).
+
+    The global frequency rank is computed with the range-partitioned
+    local-rank + broadcast-offset pattern (the key_skew_stats/dictionary
+    discipline) — never a single-reducer sort: terms are range-
+    partitioned by (count desc, term), ranked locally, and each
+    partition's rank offset is the broadcast count of terms in the
+    partitions before it.
+
+    Determinism: counts and ranks are exact integers; coverage is one
+    rounded division. Scale: one vocab-bounded agg shuffle, one range
+    repartition of |V| rows, a broadcast offsets join, one 1-row
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    parted = (
+        counts.repartitionByRange(
+            VOCAB_RANGE_PARTITIONS, F.col("x").desc(), F.col("w")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = Window.partitionBy("pid").orderBy(F.desc("x"), "w")
+    local = parted.withColumn("lr", F.row_number().over(w_local))
+    per_part = parted.groupBy("pid").agg(F.count(F.lit(1)).alias("n_p"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_part.withColumn(
+        "off", F.coalesce(F.sum("n_p").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    ranked = local.join(F.broadcast(offs), "pid").withColumn(
+        "r", F.col("off") + F.col("lr")
+    )
+    agg = ranked.agg(
+        F.sum("x").alias("total"),
+        *[
+            F.sum(F.when(F.col("r") <= k, F.col("x")).otherwise(F.lit(0))).alias(
+                f"c{k}"
+            )
+            for k in VOCAB_SIZES
+        ],
+    )
+    return (
+        agg.where(F.col("total").isNotNull() & (F.col("total") > 0))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("vocab_size"),
+                            F.col(f"c{k}").alias("covered_tokens"),
+                        )
+                        for k in VOCAB_SIZES
+                    ]
+                )
+            ).alias("s"),
+            F.col("total").alias("total_tokens"),
+        )
+        .select(
+            F.col("s.vocab_size").alias("vocab_size"),
+            F.col("s.covered_tokens").alias("covered_tokens"),
+            "total_tokens",
+            F.round(
+                F.col("s.covered_tokens") / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

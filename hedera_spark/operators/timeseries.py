@@ -717,3 +717,85 @@ def user_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("shiftleft(CAST(1 AS BIGINT), exp)").alias("threshold"),
         )
     )
+
+
+# Out-of-orderness buckets for late_events: upper bounds in microseconds
+# (exclusive), labeled by the watermark delay that would have accepted
+# the event. The labels sort lexically in severity order on purpose.
+LATE_BUCKETS = [
+    (0, "0_in_order"),
+    (1_000_000, "1_lt_1s"),
+    (60_000_000, "2_lt_1m"),
+    (600_000_000, "3_lt_10m"),
+    (3_600_000_000, "4_lt_1h"),
+]
+LATE_OVER_LABEL = "5_ge_1h"
+
+
+def _late_bucket(disorder_col):
+    """CASE-chain bucket label for a disorder-in-micros column — shared
+    by the batch operator and the replay-equals-batch streaming test."""
+    expr = F.lit(LATE_OVER_LABEL)
+    for bound, label in reversed(LATE_BUCKETS[1:]):
+        expr = F.when(disorder_col < F.lit(bound), F.lit(label)).otherwise(expr)
+    return F.when(disorder_col == 0, F.lit(LATE_BUCKETS[0][1])).otherwise(expr)
+
+
+def _late_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, bucket, n): per-user out-of-orderness counts. An event
+    is `disordered` by the gap between the running max event-time among
+    its arrival-order predecessors and its own event-time. This is
+    exactly the statistic that picks a Structured Streaming watermark
+    delay: a `withWatermark` of X would drop every event in buckets
+    beyond X.
+
+    Arrival order: the log's write order (event_id) — but the synthetic
+    log is written perfectly time-ordered, which would make the
+    accounting vacuous, so the replay applies a DETERMINISTIC arrival
+    permutation (every 8th event is displaced 5 positions; clearly a
+    test fixture, not product logic — same convention as pii_redact's
+    planted suffix). With a real log the arrival key is event_id
+    unmodified and the permutation drops out."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+    ).withColumn(
+        "arr_key",
+        F.col("event_id")
+        + F.when(F.col("event_id") % 8 == 0, F.lit(5)).otherwise(F.lit(0)),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arr_key", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = ev.select(
+        "user_id",
+        F.greatest(
+            F.coalesce(F.max("tsu").over(w), F.col("tsu")) - F.col("tsu"),
+            F.lit(0),
+        ).alias("disorder_us"),
+    )
+    return (
+        d.select("user_id", _late_bucket(F.col("disorder_us")).alias("bucket"))
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-design dashboard: how out-of-order is the event log?
+    Output: (bucket, n_events, n_users) — event counts and affected-user
+    counts per disorder bucket. A pipeline chooses its watermark delay as
+    the smallest bucket bound that keeps the dropped-event share
+    acceptable.
+
+    Scale: ONE shuffle on user_id for the arrival-order window (the
+    session_stats shape), then a (user, bucket)-keyed partial agg and a
+    6-group rollup — never a global sort, never per-event state."""
+    per_user = _late_events_per_user(spark, sf_dir)
+    return per_user.groupBy("bucket").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+    )

@@ -4433,6 +4433,177 @@ register(
     """,
 )
 
+from hedera_spark.operators import pca as pc  # noqa: E402
+
+
+def _pca_oracle() -> str:
+    """Unroll PCA_ITERATIONS power-iteration steps as chained CTEs (the
+    _kmeans_oracle pattern). Mirrors pca.embedding_pca step for step:
+    rounded means, integer micro-unit centering, exact HUGEINT product
+    sums, per-step rounded normalization. Dims are 0-based on output
+    (Spark's posexplode convention)."""
+    steps = []
+    prev_v = "v0"
+    for i in range(1, pc.PCA_ITERATIONS + 1):
+        steps.append(f"""
+    w{i} AS (
+      SELECT cov.i AS i, sum(cov.cu * v.vu) AS wu
+      FROM cov JOIN {prev_v} v ON cov.j = v.j GROUP BY 1
+    ),
+    v{i} AS (
+      SELECT i AS j,
+             CAST(round(wu / (SELECT sqrt(CAST(sum(CAST(wu AS HUGEINT) * wu)
+                                              AS DOUBLE)) FROM w{i})
+                        * 1000000, 0) AS BIGINT) AS vu
+      FROM w{i}
+    )""")
+        prev_v = f"v{i}"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+    ),
+    mn AS (
+      SELECT t.i AS pos, round(avg(emb[t.i]), 6) AS m
+      FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1
+    ),
+    nn AS (SELECT count(*) AS n FROM e),
+    cq AS (
+      SELECT e.vec_id, mn.pos AS i,
+             CAST(round((e.emb[mn.pos] - mn.m) * 1000000, 0) AS BIGINT) AS xq
+      FROM e CROSS JOIN mn
+    ),
+    cov AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(round(CAST(sum(a.xq * b.xq) AS DOUBLE) / nn.n / 1e6, 0)
+                  AS BIGINT) AS cu
+      FROM cq a JOIN cq b ON a.vec_id = b.vec_id, nn
+      GROUP BY a.i, b.i, nn.n
+    ),
+    v0 AS (
+      SELECT pos AS j,
+             (SELECT CAST(round(1e6 / sqrt(CAST(count(*) AS DOUBLE)), 0)
+                          AS BIGINT) FROM mn) AS vu
+      FROM mn
+    ),
+    {",".join(steps)},
+    lam AS (
+      SELECT round(CAST(sum(CAST(vi.vu AS HUGEINT) * cov.cu * vj.vu)
+                        AS DOUBLE) / 1e18, 6) AS eigenvalue
+      FROM cov JOIN {prev_v} vi ON cov.i = vi.j
+               JOIN {prev_v} vj ON cov.j = vj.j
+    ),
+    tr AS (
+      SELECT round(CAST(sum(cu) AS DOUBLE) / 1e6, 6) AS trace
+      FROM cov WHERE i = j
+    )
+    SELECT CAST(fv.j - 1 AS BIGINT) AS dim,
+           round(CAST(fv.vu AS DOUBLE) / 1e6, 6) AS loading,
+           lam.eigenvalue AS eigenvalue,
+           round(lam.eigenvalue / tr.trace, 6) AS explained_share
+    FROM {prev_v} fv, lam, tr
+    """
+
+
+register("embedding_pca", pc.embedding_pca, _pca_oracle())
+
+register(
+    "late_events",
+    ts.late_events,
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tsu,
+             event_id + CASE WHEN event_id % 8 = 0 THEN 5 ELSE 0 END
+               AS arr_key
+      FROM events
+    ),
+    d AS (
+      SELECT user_id,
+             greatest(coalesce(max(tsu) OVER (PARTITION BY user_id
+                        ORDER BY arr_key, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      tsu) - tsu, 0) AS dis
+      FROM ev
+    ),
+    b AS (
+      SELECT user_id,
+             CASE WHEN dis = 0 THEN '0_in_order'
+                  WHEN dis < 1000000 THEN '1_lt_1s'
+                  WHEN dis < 60000000 THEN '2_lt_1m'
+                  WHEN dis < 600000000 THEN '3_lt_10m'
+                  WHEN dis < 3600000000 THEN '4_lt_1h'
+                  ELSE '5_ge_1h' END AS bucket
+      FROM d
+    ),
+    g AS (SELECT bucket, user_id, count(*) AS n FROM b GROUP BY 1, 2)
+    SELECT bucket, CAST(sum(n) AS BIGINT) AS n_events,
+           count(*) AS n_users
+    FROM g GROUP BY 1
+    """,
+)
+
+register(
+    "vocab_coverage",
+    ta.vocab_coverage,
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (
+      SELECT w, count(*) AS x FROM toks WHERE w <> '' GROUP BY 1
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x DESC, w) AS r FROM counts
+    ),
+    tot AS (SELECT CAST(sum(x) AS BIGINT) AS total FROM counts)
+    SELECT CAST(k.vocab_size AS BIGINT) AS vocab_size,
+           CAST(coalesce(sum(CASE WHEN r <= k.vocab_size THEN x END), 0)
+                AS BIGINT) AS covered_tokens,
+           tot.total AS total_tokens,
+           round(coalesce(sum(CASE WHEN r <= k.vocab_size THEN x END), 0)
+                 / CAST(tot.total AS DOUBLE), 6) AS coverage
+    FROM (VALUES {", ".join(f"({k})" for k in ta.VOCAB_SIZES)})
+         k(vocab_size)
+         CROSS JOIN ranked, tot
+    GROUP BY 1, tot.total
+    """,
+)
+
+from hedera_spark.operators import lm  # noqa: E402
+
+register(
+    "kn_bigram_lm",
+    lm.kn_bigram_lm,
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT pr.w1 AS w1, pr.w2 AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS pr
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    cab AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    fw AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1fw, count(*) AS n1fw
+      FROM cab GROUP BY 1
+    ),
+    bw AS (SELECT w2, count(*) AS n1bw FROM cab GROUP BY 1),
+    tot AS (SELECT count(*) AS n1tot FROM cab)
+    SELECT cab.w1 AS w1, cab.w2 AS w2, CAST(cab.c12 AS BIGINT) AS c12,
+           round((greatest(cab.c12 - {lm.KN_DISCOUNT}, 0.0)
+                  + {lm.KN_DISCOUNT} * fw.n1fw
+                    * (bw.n1bw / CAST(tot.n1tot AS DOUBLE))) / fw.c1fw,
+                 6) AS p_kn
+    FROM cab JOIN fw USING (w1) JOIN bw USING (w2), tot
+    WHERE cab.c12 >= {lm.KN_MIN_COUNT}
+    ORDER BY c12 DESC, w1, w2 LIMIT {lm.KN_TOPK}
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -4611,6 +4782,10 @@ _DEMOTED_STABLE = [
     "sample_fixed_k",
     "text_normalize",
     "graph_assortativity",
+    "embedding_pca",
+    "kn_bigram_lm",
+    "late_events",
+    "vocab_coverage",
 ]
 
 

@@ -278,3 +278,94 @@ def stream_hot_keys(spark: SparkSession, sf_dir: str, **source_kw) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LATE_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, c_in_order long, c_lt_1s long,"
+    " c_lt_1m long, c_lt_10m long, c_lt_1h long, c_ge_1h long"
+)
+LATE_STATE_SCHEMA = "runmax long, counts array<long>"
+_LATE_BOUNDS_US = (1_000_000, 60_000_000, 600_000_000, 3_600_000_000)
+
+
+def _late_bucket_idx(disorder_us: int) -> int:
+    if disorder_us == 0:
+        return 0
+    for k, bound in enumerate(_LATE_BOUNDS_US):
+        if disorder_us < bound:
+            return k + 1
+    return 5
+
+
+def _update_late_events(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: "GroupState"
+) -> "Iterator[pd.DataFrame]":
+    """Online out-of-orderness accounting (the streaming twin of
+    operators/timeseries.late_events): per-user state is the running max
+    event-time plus six cumulative disorder-bucket counters. Rows are
+    folded in event_id order within each batch; under the file-replay
+    contract (the log is written in event_id order) the cumulative
+    counters after the last batch equal the batch operator's per-user
+    rollup regardless of micro-batch slicing (tested)."""
+    runmax, counts = state.get if state.exists else (-1, [0] * 6)
+    counts = list(counts)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["arr_key", "event_id"])
+        for us in pdf["tsu"].astype("int64"):
+            us = int(us)
+            disorder = max(runmax - us, 0) if runmax >= 0 else 0
+            counts[_late_bucket_idx(disorder)] += 1
+            runmax = max(runmax, us)
+    state.update((runmax, counts))
+    yield pd.DataFrame(
+        [(key[0], sum(counts), *counts)],
+        columns=[
+            "user_id",
+            "n_events",
+            "c_in_order",
+            "c_lt_1s",
+            "c_lt_1m",
+            "c_lt_10m",
+            "c_lt_1h",
+            "c_ge_1h",
+        ],
+    )
+
+
+def stream_late_events(spark: SparkSession, sf_dir: str, **source_kw) -> DataFrame:
+    """Streaming watermark-design dial: per-user running max event-time
+    + six bucket counters (state = two longs and a fixed-6 array per
+    user, bounded regardless of stream length). The live version of the
+    question `what watermark delay would drop how much?` — run it
+    against production traffic before committing a withWatermark value.
+    Extra source_kw route to stream_events_dir (restart tests feed a
+    growing directory)."""
+    if source_kw:
+        from hedera_spark.streaming.source import stream_events_dir
+
+        src = stream_events_dir(spark, sf_dir, **source_kw)
+    else:
+        src = event_stream(spark, sf_dir)
+    events = src.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        # the same deterministic arrival permutation as the batch
+        # operator (see _late_events_per_user — test fixture, drops out
+        # on a real log); equality with batch holds when permuted blocks
+        # do not straddle a micro-batch boundary, which the canonical
+        # single-file replay guarantees
+        (
+            F.col("event_id")
+            + F.when(F.col("event_id") % 8 == 0, F.lit(5)).otherwise(F.lit(0))
+        ).alias("arr_key"),
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_late_events,
+        outputStructType=LATE_OUTPUT_SCHEMA,
+        stateStructType=LATE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -119,6 +119,10 @@ def _empty_sf(spark, tmp_path):
         "sample_fixed_k",
         "text_normalize",
         "graph_assortativity",
+        "embedding_pca",
+        "kn_bigram_lm",
+        "late_events",
+        "vocab_coverage",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

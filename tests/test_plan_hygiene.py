@@ -78,6 +78,8 @@ ALLOWED_NESTED_LOOP = {
     "sparse_cosine_topk",  # 1-row |docs| aggregate broadcast
     "skipgram_pairs",  # 1-row (n_uni, n_pp) totals broadcast
     "graph_assortativity",  # via _cooccur_tokens (1-row hot stop-token array)
+    "embedding_pca",  # 1-row means/norm/eigenvalue broadcasts
+    "kn_bigram_lm",  # 1-row bigram-type-total broadcast
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /

@@ -1280,3 +1280,115 @@ def test_graph_assortativity_star_is_negative(spark, tmp_path):
     # star edges: (4,1)×4 and (1,4)×4 plus the x-y pair (1,1)×2 pulls r
     # off exactly -1 but keeps it strongly negative
     assert got[0]["assortativity"] < -0.5
+
+
+def test_embedding_pca_recovers_planted_axis(spark, tmp_path):
+    """A cloud whose only variance lies along dimension 0 (all other
+    coordinates constant) has top principal component e0 with
+    explained share 1; the uniform power-iteration start has a positive
+    projection on e0, so the loading converges to +1."""
+    rows = [
+        (i, [float(i)] + [0.5] * 63, 0)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = tmp_path / "mini"
+    emb.write.parquet(str(out / "embeddings.parquet"))
+    from hedera_spark.operators.pca import embedding_pca
+
+    got = {r["dim"]: r for r in embedding_pca(spark, str(out)).collect()}
+    assert len(got) == 64
+    assert got[0]["loading"] > 0.999
+    assert got[0]["explained_share"] > 0.999
+    assert all(abs(got[d]["loading"]) < 1e-3 for d in range(1, 64))
+
+
+def test_kn_bigram_lm_hand_computed(spark, tmp_path):
+    """Interpolated Kneser-Ney on a corpus small enough to smooth by
+    hand: bigram types (a,b):5 (a,c):3 (d,b):4, so N1+(a,.)=2,
+    N1+(.,b)=2, N1+(.,.)=3, c(a,.)=8, c(d,.)=4, D=0.75:
+      P(b|a) = (4.25 + 0.75*2*(2/3)) / 8 = 0.65625
+      P(c|a) = (2.25 + 0.75*2*(1/3)) / 8 = 0.34375
+      P(b|d) = (3.25 + 0.75*1*(2/3)) / 4 = 0.9375
+    """
+    rows = (
+        [(i, "a b", "p", "en", 3) for i in range(5)]
+        + [(i + 10, "a c", "p", "en", 3) for i in range(3)]
+        + [(i + 20, "d b", "p", "en", 3) for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.lm import kn_bigram_lm
+
+    got = {(r["w1"], r["w2"]): r for r in kn_bigram_lm(spark, str(out)).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("d", "b")}
+    assert got[("a", "b")]["c12"] == 5
+    assert got[("a", "b")]["p_kn"] == 0.65625
+    assert got[("a", "c")]["p_kn"] == 0.34375
+    assert got[("d", "b")]["p_kn"] == 0.9375
+
+
+def test_late_events_bucket_boundaries_and_permutation(spark, tmp_path):
+    """Planted disorder hits every bucket once (user 1: 0.5 s, 30 s,
+    300 s, 3000 s, 7200 s behind the running max), and the deterministic
+    arrival permutation (id % 8 == 0 displaced 5 positions) turns user
+    2's perfectly time-ordered block into one ge_1h late event."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        (1, t(1000.0), 1), (2, t(999.5), 1), (3, t(2000.0), 1),
+        (4, t(1970.0), 1), (5, t(3000.0), 1), (6, t(2700.0), 1),
+        (7, t(4000.0), 1), (9, t(1000.0 + 0), 1), (10, t(10000.0), 1),
+        (11, t(2800.0), 1),
+        # user 2: ids 16..20 time-ordered, but 16 arrives after 20
+        (16, t(0.0), 2), (17, t(3600.0), 2), (18, t(7200.0), 2),
+        (19, t(10800.0), 2), (20, t(14400.0), 2),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.timeseries import late_events
+
+    got = {r["bucket"]: (r["n_events"], r["n_users"]) for r in late_events(spark, str(out)).collect()}
+    assert got["0_in_order"] == (9, 2)  # 5 of user 1, 4 of user 2
+    assert got["1_lt_1s"] == (1, 1)     # id2: 0.5 s behind id1
+    assert got["2_lt_1m"] == (1, 1)     # id4: 30 s behind id3
+    assert got["3_lt_10m"] == (1, 1)    # id6: 300 s behind id5
+    assert got["4_lt_1h"] == (1, 1)     # id9: 3000 s behind id7
+    assert got["5_ge_1h"] == (2, 2)     # id11 (7200 s) + permuted id16
+
+
+def test_vocab_coverage_known_frequencies(spark, tmp_path):
+    """150 terms with frequencies 150..1 (term w_i appears 151-i times):
+    the top-100 vocabulary covers sum(51..150) = 10050 of 11325
+    occurrences; 1000 and 10000 saturate at full coverage."""
+    rows = [
+        (i, " ".join([f"w{i:03d}"] * (151 - i)), "p", "en", 1)
+        for i in range(1, 151)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import vocab_coverage
+
+    got = {r["vocab_size"]: r for r in vocab_coverage(spark, str(out)).collect()}
+    assert set(got) == {100, 1000, 10000}
+    assert got[100]["total_tokens"] == 11325
+    assert got[100]["covered_tokens"] == 10050
+    assert got[100]["coverage"] == round(10050 / 11325, 6)
+    assert got[1000]["covered_tokens"] == 11325
+    assert got[1000]["coverage"] == 1.0
+    assert got[10000]["coverage"] == 1.0

@@ -942,3 +942,63 @@ def test_stream_hot_keys_state_survives_restart(spark, tmp_path):
     assert got == want
     # restart must have added crossings on top of pre-restart state
     assert first and first < got
+
+
+def test_stream_late_events_equals_batch(spark):
+    """The stateful lateness counter's final cumulative per-user bucket
+    counts equal the batch arrival-order window computation — the
+    update-mode emits are monotone in n_events, so the max-n_events row
+    per user is the final state."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.timeseries import _late_events_per_user
+    from hedera_spark.streaming.stateful import stream_late_events
+
+    out = stream_late_events(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_events_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emits = spark.sql("select * from late_events_stream")
+    final = emits.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                "n_events",
+                "c_in_order",
+                "c_lt_1s",
+                "c_lt_1m",
+                "c_lt_10m",
+                "c_lt_1h",
+                "c_ge_1h",
+            )
+        ).alias("s")
+    )
+    got = {
+        r["user_id"]: (
+            r["s"]["c_in_order"],
+            r["s"]["c_lt_1s"],
+            r["s"]["c_lt_1m"],
+            r["s"]["c_lt_10m"],
+            r["s"]["c_lt_1h"],
+            r["s"]["c_ge_1h"],
+        )
+        for r in final.collect()
+    }
+    labels = [
+        "0_in_order",
+        "1_lt_1s",
+        "2_lt_1m",
+        "3_lt_10m",
+        "4_lt_1h",
+        "5_ge_1h",
+    ]
+    want = {}
+    for r in _late_events_per_user(spark, SF_DIR).collect():
+        want.setdefault(r["user_id"], [0] * 6)[labels.index(r["bucket"])] = r["n"]
+    want = {u: tuple(v) for u, v in want.items()}
+    assert got == want and len(want) > 0
