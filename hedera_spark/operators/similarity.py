@@ -819,3 +819,64 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (z >= 2.0).alias("is_outlier"),
         )
     )
+
+
+SWEEP_THRESHOLDS = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-threshold sensitivity curve for embedding dedup: for each
+    candidate threshold, how many near-dup pairs fire and how many
+    vectors the greedy keep-smallest-id policy would drop. The dial that
+    chooses COS_THRESHOLD before committing a corpus-wide dedup run —
+    pairs with dedup_recall/simhash_recall as the evaluation loop for
+    the embedding path.
+
+    Candidates come from the SAME 8-bit sign-LSH bucket join as
+    dedup_embedding_lsh (equality join, ~1/256 of all pairs, never
+    all-pairs); each candidate is tagged with every threshold it clears
+    via an array filter + explode (map-side), and both statistics are
+    bounded by |candidates|·|thresholds|. The drop count is a distinct
+    per threshold — computed as a two-level aggregate, no Expand."""
+    emb = _with_bucket(
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding")
+    ).select(
+        "vec_id", "embedding", "bucket", _norm(F.col("embedding")).alias("nrm")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
+    )
+    pairs = (
+        emb.join(b, "bucket")
+        .where(F.col("vec_id") < F.col("vec_b"))
+        .select(
+            "vec_b",
+            F.round(
+                _dot(F.col("embedding"), F.col("emb_b"))
+                / (F.col("nrm") * F.col("nrm_b")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    t_arr = F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+    tagged = pairs.select(
+        "vec_b",
+        F.explode(F.filter(t_arr, lambda t: F.col("cos") >= t)).alias(
+            "threshold"
+        ),
+    ).persist()
+    n_pairs = tagged.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    dropped = (
+        tagged.select("threshold", "vec_b")
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return n_pairs.join(dropped, "threshold").select(
+        "threshold", "n_pairs", "n_dropped"
+    )

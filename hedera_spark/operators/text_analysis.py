@@ -1227,3 +1227,127 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+PACK_SEQ_LENS = [512, 1024, 2048, 4096]
+
+
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence-length dial: for each candidate context length,
+    the padding waste of per-document chopping (each doc yields
+    ceil(tokens/L) sequences; the last one is padded). The curve that
+    picks L before a pack_sequences run — short L wastes nothing but
+    fragments long docs, long L pads short docs. Output: (seq_len,
+    n_docs, total_tokens, n_sequences, padded_tokens, padding_share).
+
+    All counts are exact integers (integer ceil-div); entirely map-side
+    per row with a 4-group partial-agg rollup — no shuffle grows with
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast(
+            "long"
+        ).alias("nt")
+    ).where(F.col("nt") > 0)
+    per_len = t.select(
+        "nt",
+        F.explode(
+            F.array(*[F.lit(length).cast("long") for length in PACK_SEQ_LENS])
+        ).alias("seq_len"),
+    ).withColumn(
+        "ns",
+        F.expr("(nt + seq_len - 1) div seq_len"),
+    )
+    return per_len.groupBy("seq_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.sum("ns").alias("n_sequences"),
+        F.sum(F.col("ns") * F.col("seq_len") - F.col("nt")).alias(
+            "padded_tokens"
+        ),
+        F.round(
+            F.sum(F.col("ns") * F.col("seq_len") - F.col("nt"))
+            / F.sum(F.col("ns") * F.col("seq_len")).cast("double"),
+            6,
+        ).alias("padding_share"),
+    )
+
+
+QUALITY_CUTOFFS = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate sensitivity curve: for each candidate cutoff, how
+    many documents and tokens survive `quality >= cutoff` and what
+    corpus share that is — the dial that chooses corpus_select's gate
+    before committing a cleaning run (the text_quality companion to
+    dedup_threshold_sweep's cosine curve). Output: (cutoff, n_docs,
+    n_tokens, doc_share, token_share).
+
+    Composes text_quality (map-side features), tags each doc with every
+    cutoff it clears via array filter + explode (map-side), aggregates
+    |docs|·|cutoffs| rows into 6 groups, and joins the 1-row corpus
+    totals broadcast for the shares."""
+    q = text_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    totals = q.agg(
+        F.count(F.lit(1)).alias("tot_docs"),
+        F.sum("n_tokens").alias("tot_tokens"),
+    )
+    c_arr = F.array(*[F.lit(float(c)) for c in QUALITY_CUTOFFS])
+    tagged = q.select(
+        "n_tokens",
+        F.explode(F.filter(c_arr, lambda c: F.col("quality") >= c)).alias(
+            "cutoff"
+        ),
+    )
+    surv = tagged.groupBy("cutoff").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return surv.crossJoin(F.broadcast(totals)).select(
+        "cutoff",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("tot_docs").cast("double"), 6).alias(
+            "doc_share"
+        ),
+        F.round(
+            F.col("n_tokens") / F.col("tot_tokens").cast("double"), 6
+        ).alias("token_share"),
+    )
+
+
+MIX_TEMPERATURES = [0.5, 0.7, 1.0]
+
+
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per language (the multilingual
+    sampling recipe of mBERT/XLM-R: sample language l with probability
+    proportional to p_l^tau) for each candidate temperature — tau = 1 is
+    the natural mixture, tau -> 0 approaches uniform; mix_weights'
+    uniform_weight is the tau = 0 endpoint. Output: (tau, lang,
+    total_tokens, mix_weight).
+
+    The powers are computed on the exact integer per-language token
+    totals (share normalization cancels), so each weight is one pow +
+    one division over a |langs|-row frame; the per-tau normalizer is a
+    |langs|-bounded agg broadcast back."""
+    per_lang = token_count_by_lang(spark, sf_dir).select("lang", "total_tokens")
+    t_arr = F.array(*[F.lit(float(t)) for t in MIX_TEMPERATURES])
+    powed = per_lang.select(
+        "lang",
+        "total_tokens",
+        F.explode(t_arr).alias("tau"),
+    ).withColumn(
+        "pw", F.pow(F.col("total_tokens").cast("double"), F.col("tau"))
+    )
+    norm = powed.groupBy("tau").agg(F.sum("pw").alias("z"))
+    return (
+        powed.join(F.broadcast(norm), "tau")
+        .select(
+            "tau",
+            "lang",
+            "total_tokens",
+            F.round(F.col("pw") / F.col("z"), 6).alias("mix_weight"),
+        )
+    )

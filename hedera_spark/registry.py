@@ -4569,6 +4569,125 @@ register(
     """,
 )
 
+register(
+    "dedup_threshold_sweep",
+    sim.dedup_threshold_sweep,
+    f"""
+    WITH raw AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, embedding, bucket,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS nrm
+      FROM raw
+    ),
+    cand AS (
+      SELECT b.vec_id AS vec_b,
+             {_COS.format(A='a.embedding', B='b.embedding', NA='a.nrm', NB='b.nrm')} AS cos
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    tagged AS (
+      SELECT t.threshold, cand.vec_b
+      FROM cand JOIN (VALUES {", ".join(f"({t})" for t in sim.SWEEP_THRESHOLDS)})
+                     t(threshold)
+             ON cand.cos >= t.threshold
+    )
+    SELECT threshold, count(*) AS n_pairs,
+           count(DISTINCT vec_b) AS n_dropped
+    FROM tagged GROUP BY 1
+    """,
+)
+
+register(
+    "pack_efficiency",
+    ta.pack_efficiency,
+    f"""
+    WITH t AS (
+      SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS nt
+      FROM documents
+    ),
+    x AS (
+      SELECT CAST(L.seq_len AS BIGINT) AS seq_len, nt,
+             (nt + L.seq_len - 1) // L.seq_len AS ns
+      FROM t CROSS JOIN (VALUES {", ".join(f"({k})" for k in ta.PACK_SEQ_LENS)})
+                        L(seq_len)
+      WHERE nt > 0
+    )
+    SELECT seq_len, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(sum(ns) AS BIGINT) AS n_sequences,
+           CAST(sum(ns * seq_len - nt) AS BIGINT) AS padded_tokens,
+           round(CAST(sum(ns * seq_len - nt) AS DOUBLE)
+                 / CAST(sum(ns * seq_len) AS DOUBLE), 6) AS padding_share
+    FROM x GROUP BY 1
+    """,
+)
+
+register(
+    "quality_threshold_sweep",
+    ta.quality_threshold_sweep,
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             round(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the', 'a', 'data', 'value', 'row'], t)))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+               AS stopword_ratio
+      FROM documents
+    ),
+    q AS (
+      SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+             round(least(n_tokens / 50.0, 1.0) * 0.5
+                   + (n_distinct / CAST(n_tokens AS DOUBLE)) * 0.3
+                   + (1 - stopword_ratio) * 0.2, 6) AS quality
+      FROM feats
+    ),
+    tot AS (
+      SELECT count(*) AS tot_docs, CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+      FROM q
+    ),
+    tagged AS (
+      SELECT c.cutoff, q.n_tokens
+      FROM q JOIN (VALUES {", ".join(f"({c})" for c in ta.QUALITY_CUTOFFS)})
+                  c(cutoff)
+          ON q.quality >= c.cutoff
+    )
+    SELECT cutoff, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(count(*) / CAST(tot.tot_docs AS DOUBLE), 6) AS doc_share,
+           round(CAST(sum(n_tokens) AS DOUBLE)
+                 / CAST(tot.tot_tokens AS DOUBLE), 6) AS token_share
+    FROM tagged, tot GROUP BY cutoff, tot.tot_docs, tot.tot_tokens
+    """,
+)
+
+register(
+    "mix_temperature",
+    ta.mix_temperature,
+    f"""
+    WITH per_lang AS (
+      SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY lang
+    ),
+    powed AS (
+      SELECT t.tau, lang, total_tokens,
+             pow(CAST(total_tokens AS DOUBLE), t.tau) AS pw
+      FROM per_lang
+      CROSS JOIN (VALUES {", ".join(f"({t})" for t in ta.MIX_TEMPERATURES)})
+                 t(tau)
+    ),
+    norm AS (SELECT tau, sum(pw) AS z FROM powed GROUP BY 1)
+    SELECT powed.tau AS tau, lang, total_tokens,
+           round(pw / z, 6) AS mix_weight
+    FROM powed JOIN norm ON powed.tau = norm.tau
+    """,
+)
+
 from hedera_spark.operators import lm  # noqa: E402
 
 register(
@@ -4786,6 +4905,10 @@ _DEMOTED_STABLE = [
     "kn_bigram_lm",
     "late_events",
     "vocab_coverage",
+    "dedup_threshold_sweep",
+    "pack_efficiency",
+    "quality_threshold_sweep",
+    "mix_temperature",
 ]
 
 

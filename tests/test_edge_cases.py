@@ -123,6 +123,10 @@ def _empty_sf(spark, tmp_path):
         "kn_bigram_lm",
         "late_events",
         "vocab_coverage",
+        "dedup_threshold_sweep",
+        "pack_efficiency",
+        "quality_threshold_sweep",
+        "mix_temperature",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

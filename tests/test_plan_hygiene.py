@@ -80,6 +80,7 @@ ALLOWED_NESTED_LOOP = {
     "graph_assortativity",  # via _cooccur_tokens (1-row hot stop-token array)
     "embedding_pca",  # 1-row means/norm/eigenvalue broadcasts
     "kn_bigram_lm",  # 1-row bigram-type-total broadcast
+    "quality_threshold_sweep",  # 1-row corpus-totals broadcast
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /

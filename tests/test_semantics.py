@@ -1392,3 +1392,102 @@ def test_vocab_coverage_known_frequencies(spark, tmp_path):
     assert got[1000]["covered_tokens"] == 11325
     assert got[1000]["coverage"] == 1.0
     assert got[10000]["coverage"] == 1.0
+
+
+def test_pack_efficiency_hand_computed(spark, tmp_path):
+    """Docs of 100/600/1500 tokens at L=512 need 1+2+3 sequences with
+    412+424+36 = 872 padded tokens of 6*512 slots."""
+    rows = [
+        (1, " ".join(["a"] * 100), "p", "en", 1),
+        (2, " ".join(["b"] * 600), "p", "en", 1),
+        (3, " ".join(["c"] * 1500), "p", "en", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import pack_efficiency
+
+    got = {r["seq_len"]: r for r in pack_efficiency(spark, str(out)).collect()}
+    assert set(got) == {512, 1024, 2048, 4096}
+    r = got[512]
+    assert r["n_docs"] == 3 and r["total_tokens"] == 2200
+    assert r["n_sequences"] == 6 and r["padded_tokens"] == 872
+    assert r["padding_share"] == round(872 / 3072, 6)
+    assert got[4096]["n_sequences"] == 3
+
+
+def test_dedup_threshold_sweep_monotone_with_planted_trio(spark, tmp_path):
+    """Three identical vectors share every LSH bucket, so their three
+    pairs fire at every threshold; pair counts are non-increasing in the
+    threshold and dropped vectors never exceed pairs."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(vid, [rng.uniform(-1, 1) for _ in range(64)], 0) for vid in range(30)]
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    for vid in (100, 101, 102):
+        rows.append((vid, list(base), 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path / "mini"
+    emb.write.parquet(str(out / "embeddings.parquet"))
+    from hedera_spark.operators.similarity import SWEEP_THRESHOLDS, dedup_threshold_sweep
+
+    got = {r["threshold"]: r for r in dedup_threshold_sweep(spark, str(out)).collect()}
+    assert got[0.8]["n_pairs"] >= 3  # the planted identical trio
+    assert got[0.8]["n_dropped"] >= 2  # 101 and 102 drop against 100
+    prev = None
+    for t in SWEEP_THRESHOLDS:
+        if t not in got:
+            continue
+        assert got[t]["n_dropped"] <= got[t]["n_pairs"]
+        if prev is not None:
+            assert got[t]["n_pairs"] <= prev
+        prev = got[t]["n_pairs"]
+
+
+def test_mix_temperature_two_langs_hand_computed(spark, tmp_path):
+    """Two languages with 100 and 400 tokens: tau=1 gives the natural
+    0.2/0.8 mixture; tau=0.5 gives 10/30 and 20/30."""
+    rows = [
+        (1, " ".join(["x"] * 100), "p", "en", 1),
+        (2, " ".join(["y"] * 400), "p", "de", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import mix_temperature
+
+    got = {(r["tau"], r["lang"]): r["mix_weight"] for r in mix_temperature(spark, str(out)).collect()}
+    assert got[(1.0, "en")] == 0.2 and got[(1.0, "de")] == 0.8
+    assert got[(0.5, "en")] == round(10 / 30, 6)
+    assert got[(0.5, "de")] == round(20 / 30, 6)
+
+
+def test_quality_threshold_sweep_planted_gate(spark, tmp_path):
+    """Doc A (60 distinct non-stopword tokens) scores quality 1.0; doc B
+    (20 repeated stopwords) scores 0.215 and clears no cutoff — every
+    sweep row counts exactly doc A's 60 of 80 tokens."""
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(60)), "p", "en", 1),
+        (2, " ".join(["the"] * 20), "p", "en", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import (
+        QUALITY_CUTOFFS,
+        quality_threshold_sweep,
+    )
+
+    got = {r["cutoff"]: r for r in quality_threshold_sweep(spark, str(out)).collect()}
+    assert set(got) == set(QUALITY_CUTOFFS)
+    for c in QUALITY_CUTOFFS:
+        assert got[c]["n_docs"] == 1 and got[c]["n_tokens"] == 60
+        assert got[c]["doc_share"] == 0.5
+        assert got[c]["token_share"] == 0.75
