@@ -43,7 +43,12 @@ def kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pcont(w2) = N1+(., w2) / N1+(., .), D = 0.75. Output: the KN_TOPK
     most frequent bigrams (c12 >= KN_MIN_COUNT) with their counts and
     smoothed probabilities — (w1, w2, c12, p_kn)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # rebalance off the parquet row-group layout before the CPU-dense
+    # per-row bigram expansion (the text_repetition lesson: one row
+    # group would pin the whole map phase to one core)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     bg = docs.select(
         F.explode(
             F.expr(

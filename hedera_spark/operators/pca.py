@@ -47,9 +47,16 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform start vector. Output: one row per dimension —
     (dim, loading, eigenvalue, explained_share), eigenvalue = Rayleigh
     quotient v'Cv, explained_share = eigenvalue / trace(C)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    # rebalance off the parquet row-group layout: the d*d per-row product
+    # expansion is CPU-dense and would otherwise run on one core per row
+    # group (the text_repetition lesson)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
     )
     # per-dimension rounded means + corpus size, as a 1-row broadcast
     mn = (

@@ -902,7 +902,10 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     NGRAM_LID_TOP)-row broadcast; scoring is one broadcast join over
     per-doc DISTINCT trigrams + a conditional-sum partial agg keyed on
     doc_id. The corpus text never shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # rebalance off the single-row-group layout before the
+    # CPU-dense per-row expansion (the text_repetition lesson)
     tris = docs.select(
         "doc_id",
         "lang",
@@ -968,7 +971,10 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram agg is one partial-agg shuffle bounded by the observed
     bigram vocabulary; unigram counts are a |V|-row join; the final cut
     is a TakeOrdered LIMIT, never a full sort."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # rebalance off the single-row-group layout before the
+    # CPU-dense per-row expansion (the text_repetition lesson)
     bi = docs.select(
         F.explode(
             F.expr(
@@ -1036,7 +1042,10 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs, map-only); the pair agg is one partial-agg shuffle bounded
     by the observed pair vocabulary; unigram totals are a |V|-row
     broadcast; final cut TakeOrdered."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # rebalance off the single-row-group layout before the
+    # CPU-dense per-row expansion (the text_repetition lesson)
     pairs = docs.select(
         F.explode(
             F.expr(
