@@ -485,3 +485,141 @@ def simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+CONTAM_BUCKETS = [(1, "1"), (2, "2"), (5, "3_5"), (10, "6_10")]
+CONTAM_OVER_LABEL = "11_plus"
+
+
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination dial: the distribution of eval-shingle hit counts
+    over the training corpus — how many docs are clean, lightly brushed,
+    or saturated with benchmark n-grams — read BEFORE choosing
+    decontaminate's removal threshold (drop-any-hit vs drop-heavy-only
+    changes corpus size very differently). Output: (bucket, n_docs,
+    share), bucket 0 = clean docs.
+
+    Composes decontaminate (broadcast eval-shingle join); adds one
+    5-group rollup and two 1-row aggregates — nothing grows beyond the
+    contaminated-doc set."""
+    hits = decontaminate(spark, sf_dir)
+    train_total = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % EVAL_MOD != 0)
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+    bucket = F.lit(CONTAM_OVER_LABEL)
+    for bound, label in reversed(CONTAM_BUCKETS):
+        bucket = F.when(
+            F.col("n_contaminated") <= F.lit(bound), F.lit(label)
+        ).otherwise(bucket)
+    hit_rows = (
+        hits.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    affected = hits.agg(F.count(F.lit(1)).alias("n_affected"))
+    zero_row = (
+        train_total.crossJoin(F.broadcast(affected))
+        .select(
+            F.lit("0").alias("bucket"),
+            (F.col("total") - F.col("n_affected")).alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 0)
+    )
+    return (
+        hit_rows.unionByName(zero_row)
+        .crossJoin(F.broadcast(train_total))
+        .select(
+            "bucket",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+BAND_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]
+
+
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-configuration dial: candidate volume and candidate
+    quality for every (bands x rows) factorization of the 16-hash
+    signature — the S-curve knob of MinHash LSH (more bands = higher
+    recall + more junk candidates; more rows per band = stricter). Read
+    this curve before committing N_BANDS at corpus scale; dedup_recall
+    then measures the chosen point against exact Jaccard. Output:
+    (n_bands, rows_per_band, n_candidates, mean_est_jaccard).
+
+    One signature computation feeds all four configs; each config is the
+    SAME signature-rides-the-join band self-join as dedup_minhash, so
+    cost is bounded by per-config band collisions, never all-pairs. The
+    mean estimate is exact: match counts are integers and est values are
+    multiples of 1/16, so the aggregate is one integer sum + one fixed
+    division chain."""
+    sigs = _minhash_signatures(spark, sf_dir)
+    frames = []
+    for nb, rpb in BAND_CONFIGS:
+        bands = sigs.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {nb - 1})")).alias("band"),
+            "sig",
+        ).select(
+            "doc_id",
+            "band",
+            "sig",
+            F.md5(
+                F.concat_ws(
+                    "|", F.expr(f"slice(sig, band * {rpb} + 1, {rpb})")
+                )
+            ).alias("band_hash"),
+        )
+        a = bands.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sig").alias("sig_a"),
+            "band",
+            "band_hash",
+        )
+        b = bands.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sig").alias("sig_b"),
+            "band",
+            "band_hash",
+        )
+        pairs = (
+            a.join(b, ["band", "band_hash"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.aggregate(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).alias("matches"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.min("matches").alias("matches"))
+        )
+        frames.append(
+            pairs.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.round(
+                    F.sum("matches") / F.lit(float(N_MINHASH))
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("mean_est_jaccard"),
+            ).select(
+                F.lit(nb).cast("long").alias("n_bands"),
+                F.lit(rpb).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "mean_est_jaccard",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.where(F.col("n_candidates") > 0)

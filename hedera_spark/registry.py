@@ -4625,6 +4625,99 @@ register(
     """,
 )
 
+def _band_sweep_oracle() -> str:
+    """Per-config banding blocks over the shared 16-hash signature CTE
+    (the dedup_minhash oracle's mh/sig chain, one bands/cand/agg block
+    per BAND_CONFIGS entry)."""
+    blocks = []
+    names = []
+    for nb, rpb in dedup.BAND_CONFIGS:
+        blocks.append(f"""
+    bands{nb} AS (
+      SELECT doc_id, sig, band,
+             md5(array_to_string(
+               sig[band * {rpb} + 1 : band * {rpb} + {rpb}], '|')) AS bh
+      FROM sig, unnest(generate_series(0, {nb - 1})) AS b{nb}(band)
+    ),
+    cand{nb} AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             min(list_sum(list_transform(list_zip(a.sig, b.sig),
+                 x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END))) AS matches
+      FROM bands{nb} a JOIN bands{nb} b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    agg{nb} AS (
+      SELECT CAST({nb} AS BIGINT) AS n_bands,
+             CAST({rpb} AS BIGINT) AS rows_per_band,
+             count(*) AS n_candidates,
+             round(sum(matches) / {float(dedup.N_MINHASH)}
+                   / CAST(count(*) AS DOUBLE), 6) AS mean_est_jaccard
+      FROM cand{nb}
+    )""")
+        names.append(f"agg{nb}")
+    union = " UNION ALL ".join(f"SELECT * FROM {n}" for n in names)
+    return f"""
+    WITH {_SHINGLES},
+    mh AS (
+      SELECT doc_id, seed,
+             min(substr(md5((seed // 4) || '|' || shingle),
+                        (seed % 4) * 8 + 1, 8)) AS minh
+      FROM sh, unnest(generate_series(0, 15)) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, list(minh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ),
+    {",".join(blocks)}
+    SELECT * FROM ({union}) WHERE n_candidates > 0
+    """
+
+
+register("minhash_band_sweep", dedup.minhash_band_sweep, _band_sweep_oracle())
+
+register(
+    "contamination_report",
+    dedup.contamination_report,
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 = 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_contaminated
+      FROM sh JOIN ev USING (shingle)
+      WHERE doc_id % 25 <> 0
+      GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT count(*) AS total FROM documents WHERE doc_id % 25 <> 0
+    ),
+    hit_rows AS (
+      SELECT CASE WHEN n_contaminated <= 1 THEN '1'
+                  WHEN n_contaminated <= 2 THEN '2'
+                  WHEN n_contaminated <= 5 THEN '3_5'
+                  WHEN n_contaminated <= 10 THEN '6_10'
+                  ELSE '11_plus' END AS bucket,
+             count(*) AS n_docs
+      FROM hits GROUP BY 1
+    ),
+    zero_row AS (
+      SELECT '0' AS bucket, tot.total - (SELECT count(*) FROM hits) AS n_docs
+      FROM tot
+      WHERE tot.total - (SELECT count(*) FROM hits) > 0
+    ),
+    allb AS (
+      SELECT * FROM hit_rows UNION ALL SELECT * FROM zero_row
+    )
+    SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+           round(n_docs / CAST(tot.total AS DOUBLE), 6) AS share
+    FROM allb, tot
+    """,
+)
+
 register(
     "quality_threshold_sweep",
     ta.quality_threshold_sweep,
@@ -4720,6 +4813,44 @@ register(
     FROM cab JOIN fw USING (w1) JOIN bw USING (w2), tot
     WHERE cab.c12 >= {lm.KN_MIN_COUNT}
     ORDER BY c12 DESC, w1, w2 LIMIT {lm.KN_TOPK}
+    """,
+)
+
+register(
+    "doc_perplexity_kn",
+    lm.doc_perplexity_kn,
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                 i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS pr
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    cab AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    fw AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1fw, count(*) AS n1fw
+      FROM cab GROUP BY 1
+    ),
+    bw AS (SELECT w2, count(*) AS n1bw FROM cab GROUP BY 1),
+    tot AS (SELECT count(*) AS n1tot FROM cab),
+    scored AS (
+      SELECT bg.doc_id,
+             ln(round((greatest(cab.c12 - {lm.KN_DISCOUNT}, 0.0)
+                  + {lm.KN_DISCOUNT} * fw.n1fw
+                    * (bw.n1bw / CAST(tot.n1tot AS DOUBLE))) / fw.c1fw,
+                 6)) AS lp
+      FROM bg JOIN cab USING (w1, w2) JOIN fw USING (w1) JOIN bw USING (w2),
+           tot
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob_kn
+    FROM scored GROUP BY doc_id
     """,
 )
 
@@ -4909,6 +5040,9 @@ _DEMOTED_STABLE = [
     "pack_efficiency",
     "quality_threshold_sweep",
     "mix_temperature",
+    "contamination_report",
+    "minhash_band_sweep",
+    "doc_perplexity_kn",
 ]
 
 

@@ -127,6 +127,9 @@ def _empty_sf(spark, tmp_path):
         "pack_efficiency",
         "quality_threshold_sweep",
         "mix_temperature",
+        "contamination_report",
+        "minhash_band_sweep",
+        "doc_perplexity_kn",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

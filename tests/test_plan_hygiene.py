@@ -80,7 +80,9 @@ ALLOWED_NESTED_LOOP = {
     "graph_assortativity",  # via _cooccur_tokens (1-row hot stop-token array)
     "embedding_pca",  # 1-row means/norm/eigenvalue broadcasts
     "kn_bigram_lm",  # 1-row bigram-type-total broadcast
+    "doc_perplexity_kn",  # 1-row bigram-type-total broadcast (same model)
     "quality_threshold_sweep",  # 1-row corpus-totals broadcast
+    "contamination_report",  # 1-row totals/affected broadcasts
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /

@@ -494,3 +494,39 @@ def test_pv_changepoint_matches_bruteforce(spark, tmp_path_factory, counts):
     )
     assert abs(r["mean_before"] - round(sum(counts[:i]) / i, 4)) < 1e-9
     assert abs(r["mean_after"] - round(sum(counts[i:]) / (n - i), 4)) < 1e-9
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=12
+    )
+)
+def test_pack_efficiency_matches_direct(spark, tmp_path_factory, lengths):
+    """pack_efficiency equals the direct ceil-div computation for
+    arbitrary token-length mixes, including exact multiples of the
+    sequence length (zero padding) and empty docs (excluded)."""
+    from hedera_spark.operators.text_analysis import PACK_SEQ_LENS, pack_efficiency
+
+    d = _write_docs(
+        str(tmp_path_factory.mktemp("pe")), [" ".join(["w"] * n) for n in lengths]
+    )
+    got = {r["seq_len"]: r for r in pack_efficiency(spark, d).collect()}
+    pos = [n for n in lengths if n > 0]
+    if not pos:
+        assert got == {}
+        return
+    for L in PACK_SEQ_LENS:
+        ns = [-(-n // L) for n in pos]
+        r = got[L]
+        assert r["n_docs"] == len(pos)
+        assert r["total_tokens"] == sum(pos)
+        assert r["n_sequences"] == sum(ns)
+        assert r["padded_tokens"] == sum(ns) * L - sum(pos)
+        assert r["padding_share"] == round(
+            (sum(ns) * L - sum(pos)) / (sum(ns) * L), 6
+        )

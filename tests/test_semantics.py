@@ -1491,3 +1491,83 @@ def test_quality_threshold_sweep_planted_gate(spark, tmp_path):
         assert got[c]["n_docs"] == 1 and got[c]["n_tokens"] == 60
         assert got[c]["doc_share"] == 0.5
         assert got[c]["token_share"] == 0.75
+
+
+def test_contamination_report_planted_buckets(spark, tmp_path):
+    """Eval doc 25 contributes two trigram shingles; train doc 1 shares
+    one of them, doc 2 shares both, doc 3 is clean — one doc in each of
+    buckets 0, 1, 2 over a 3-doc training corpus."""
+    rows = [
+        (25, "alpha beta gamma delta", "p", "en", 1),  # eval (25 % 25 == 0)
+        (1, "x alpha beta gamma y", "p", "en", 1),
+        (2, "q1 alpha beta gamma q2 beta gamma delta", "p", "en", 1),
+        (3, "totally clean text here now", "p", "en", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.dedup import contamination_report
+
+    got = {r["bucket"]: r for r in contamination_report(spark, str(out)).collect()}
+    assert got["0"]["n_docs"] == 1 and got["0"]["share"] == round(1 / 3, 6)
+    assert got["1"]["n_docs"] == 1
+    assert got["2"]["n_docs"] == 1
+    assert set(got) == {"0", "1", "2"}
+
+
+def test_minhash_band_sweep_nested_configs(spark, tmp_path):
+    """Band configs nest by halving, so candidate sets are supersets as
+    bands widen: n_candidates is monotone non-increasing in
+    rows_per_band. A planted identical pair (all 16 minhashes equal)
+    survives even the strictest 2x8 config with est_jaccard 1.0, while
+    disjoint-vocabulary docs never produce strict-config candidates."""
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(12)), "p", "en", 1) for i in range(10)]
+    dup = " ".join(f"d_{j}" for j in range(12))
+    rows += [(100, dup, "p", "en", 1), (101, dup, "p", "en", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.dedup import minhash_band_sweep
+
+    got = {
+        (r["n_bands"], r["rows_per_band"]): r
+        for r in minhash_band_sweep(spark, str(out)).collect()
+    }
+    assert got[(2, 8)]["n_candidates"] == 1
+    assert got[(2, 8)]["mean_est_jaccard"] == 1.0
+    counts = [
+        got[cfg]["n_candidates"]
+        for cfg in [(16, 1), (8, 2), (4, 4), (2, 8)]
+        if cfg in got
+    ]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_doc_perplexity_kn_matches_hand_model(spark, tmp_path):
+    """Doc scores are the average ln of the same hand-computed KN values
+    as test_kn_bigram_lm_hand_computed: a doc that is exactly 'a b'
+    scores ln P(b|a); 'a c' scores ln P(c|a)."""
+    import math
+
+    rows = (
+        [(i, "a b", "p", "en", 3) for i in range(5)]
+        + [(i + 10, "a c", "p", "en", 3) for i in range(3)]
+        + [(i + 20, "d b", "p", "en", 3) for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.lm import doc_perplexity_kn
+
+    got = {r["doc_id"]: r for r in doc_perplexity_kn(spark, str(out)).collect()}
+    assert len(got) == 12
+    assert got[0]["n_bigrams"] == 1
+    assert got[0]["avg_logprob_kn"] == round(math.log(0.65625), 6)
+    assert got[10]["avg_logprob_kn"] == round(math.log(0.34375), 6)
+    assert got[20]["avg_logprob_kn"] == round(math.log(0.9375), 6)
