@@ -162,3 +162,41 @@ def test_corpus_select_is_subset_of_quality_gates(spark):
         | (F.col("n_tokens") < CORPUS_MIN_TOKENS)
         | (F.col("n_tokens") > CORPUS_MAX_TOKENS)
     ).count() == 0
+
+
+def test_dedup_threshold_sweep_agrees_with_lsh_dedup(spark):
+    """The sweep's row at the production COS_THRESHOLD must count
+    exactly the pairs dedup_embedding_lsh emits — same candidates, same
+    rounded cosine, same cut."""
+    from hedera_spark.operators.similarity import (
+        COS_THRESHOLD,
+        dedup_embedding_lsh,
+        dedup_threshold_sweep,
+    )
+    from tests.conftest import SF_DIR
+
+    sweep = {
+        r["threshold"]: r["n_pairs"]
+        for r in dedup_threshold_sweep(spark, SF_DIR).collect()
+    }
+    want = dedup_embedding_lsh(spark, SF_DIR).count()
+    assert sweep.get(COS_THRESHOLD, 0) == want
+
+
+def test_quality_threshold_sweep_agrees_with_text_quality(spark):
+    """The sweep's row at corpus_select's production cutoff (0.7) must
+    count exactly the docs text_quality scores at or above it."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.text_analysis import (
+        quality_threshold_sweep,
+        text_quality,
+    )
+    from tests.conftest import SF_DIR
+
+    sweep = {
+        r["cutoff"]: r["n_docs"]
+        for r in quality_threshold_sweep(spark, SF_DIR).collect()
+    }
+    want = text_quality(spark, SF_DIR).where(F.col("quality") >= 0.7).count()
+    assert sweep.get(0.7, 0) == want
