@@ -127,3 +127,79 @@ def range_join_hot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match as-of join: each 'view' event paired with the
+    CLOSEST 'purchase' by the same user in either time direction (the
+    pandas merge_asof(direction='nearest') / QuestDB ASOF variant;
+    attribution pipelines use it when an ad view may precede or trail
+    its conversion). Ties between an equally-near earlier and later
+    purchase resolve backward; same-timestamp purchases match at
+    distance 0 (backward, by the inclusive tie rule).
+
+    Same scale shape as asof_join — NOT a join: one shuffle on user_id,
+    then TWO passes over the same time-ordered partition (a backward
+    last-carry and a forward first-carry; the exchange is reused, only
+    the per-partition sort differs in tie order), and a row-local
+    nearest pick. No range predicate ever reaches a join operator.
+
+    Determinism: among same-ts purchases BOTH carries keep the highest
+    event_id (backward: last in window order ts, is_p DESC, event_id;
+    forward: first in window order ts, is_p, event_id DESC); both rules
+    are total orders."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_p"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward window: views sort BEFORE same-ts purchases so the frame
+    # starting at the current row still sees them (inclusive "at or
+    # after"); first() then takes the earliest (p_ts, p_event_id)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", F.desc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_struct = F.when(
+        F.col("is_p") == 1,
+        F.struct(
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("value").alias("p_value"),
+        ),
+    )
+    back = F.last(p_struct, ignorenulls=True).over(wb)
+    fwd = F.first(p_struct, ignorenulls=True).over(wf)
+    d_b = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("b.p_ts").cast("timestamp")
+    )
+    d_f = F.unix_micros(F.col("f.p_ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    use_b = F.col("b").isNotNull() & (F.col("f").isNull() | (d_b <= d_f))
+    return (
+        tagged.withColumn("b", back)
+        .withColumn("f", fwd)
+        .where(F.col("is_p") == 0)
+        .withColumn("nearest", F.when(use_b, F.col("b")).otherwise(F.col("f")))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("nearest.p_event_id").alias("purchase_event_id"),
+            F.col("nearest.p_value").alias("purchase_value"),
+            F.when(use_b, F.lit("backward"))
+            .when(F.col("f").isNotNull(), F.lit("forward"))
+            .alias("direction"),
+            F.when(use_b, d_b).otherwise(d_f).alias("micros_to_purchase"),
+        )
+    )

@@ -2098,6 +2098,53 @@ register(
 )
 
 register(
+    "asof_join_nearest",
+    tj.asof_join_nearest,
+    """
+    WITH u AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    filled AS (
+      SELECT *,
+             last_value(CASE WHEN is_p = 1 THEN ts END IGNORE NULLS)
+               OVER wb AS b_ts,
+             last_value(CASE WHEN is_p = 1 THEN event_id END IGNORE NULLS)
+               OVER wb AS b_id,
+             last_value(CASE WHEN is_p = 1 THEN value END IGNORE NULLS)
+               OVER wb AS b_val,
+             first_value(CASE WHEN is_p = 1 THEN ts END IGNORE NULLS)
+               OVER wf AS f_ts,
+             first_value(CASE WHEN is_p = 1 THEN event_id END IGNORE NULLS)
+               OVER wf AS f_id,
+             first_value(CASE WHEN is_p = 1 THEN value END IGNORE NULLS)
+               OVER wf AS f_val
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_p DESC, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts, is_p, event_id DESC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    picked AS (
+      SELECT *,
+             (b_ts IS NOT NULL AND (f_ts IS NULL
+                OR epoch_us(ts) - epoch_us(b_ts)
+                   <= epoch_us(f_ts) - epoch_us(ts))) AS use_b
+      FROM filled WHERE is_p = 0
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN use_b THEN b_id ELSE f_id END AS purchase_event_id,
+           CASE WHEN use_b THEN b_val ELSE f_val END AS purchase_value,
+           CASE WHEN use_b THEN 'backward'
+                WHEN f_ts IS NOT NULL THEN 'forward' END AS direction,
+           CASE WHEN use_b THEN epoch_us(ts) - epoch_us(b_ts)
+                ELSE epoch_us(f_ts) - epoch_us(ts) END AS micros_to_purchase
+    FROM picked
+    """,
+)
+
+register(
     "range_join_hot_windows",
     tj.range_join_hot_windows,
     f"""
@@ -5043,6 +5090,7 @@ _DEMOTED_STABLE = [
     "contamination_report",
     "minhash_band_sweep",
     "doc_perplexity_kn",
+    "asof_join_nearest",
 ]
 
 

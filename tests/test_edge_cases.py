@@ -130,6 +130,7 @@ def _empty_sf(spark, tmp_path):
         "contamination_report",
         "minhash_band_sweep",
         "doc_perplexity_kn",
+        "asof_join_nearest",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

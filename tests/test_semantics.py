@@ -1571,3 +1571,38 @@ def test_doc_perplexity_kn_matches_hand_model(spark, tmp_path):
     assert got[0]["avg_logprob_kn"] == round(math.log(0.65625), 6)
     assert got[10]["avg_logprob_kn"] == round(math.log(0.34375), 6)
     assert got[20]["avg_logprob_kn"] == round(math.log(0.9375), 6)
+
+
+def test_asof_join_nearest_directions_and_ties(spark, tmp_path):
+    """Nearest-match picks backward at distance 10 vs 20, forward at 5
+    vs 25, backward-only when no later purchase exists, ties resolve
+    backward, and purchase-less users keep nulls."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 5, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        (1, t(100), 1, "purchase", 5.0), (2, t(110), 1, "view", 0.0),
+        (3, t(130), 1, "purchase", 7.0), (4, t(125), 1, "view", 0.0),
+        (5, t(160), 1, "view", 0.0),
+        (10, t(100), 2, "view", 0.0),
+        (20, t(100), 3, "purchase", 1.0), (21, t(120), 3, "purchase", 2.0),
+        (22, t(110), 3, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, ts, u, et, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.temporal_join import asof_join_nearest
+
+    got = {r["event_id"]: r for r in asof_join_nearest(spark, str(out)).collect()}
+    assert got[2]["purchase_event_id"] == 1 and got[2]["direction"] == "backward"
+    assert got[2]["micros_to_purchase"] == 10_000_000
+    assert got[4]["purchase_event_id"] == 3 and got[4]["direction"] == "forward"
+    assert got[4]["micros_to_purchase"] == 5_000_000
+    assert got[5]["purchase_event_id"] == 3 and got[5]["direction"] == "backward"
+    assert got[10]["purchase_event_id"] is None and got[10]["direction"] is None
+    assert got[22]["purchase_event_id"] == 20 and got[22]["direction"] == "backward"
