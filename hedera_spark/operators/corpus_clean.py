@@ -257,3 +257,38 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("re") / F.sum("ws"), 6).alias("fertility"),
         F.round(F.sum("chars") / F.sum("ws"), 6).alias("chars_per_token"),
     )
+
+
+# C4-style "bad words" gate (Raffel et al. 2020 release the list; here a
+# fixed stand-in over the synthetic vocabulary so the gate provably
+# fires: 'dup' occurs in ~26 docs at sf0.01, 'spam' never — exercising
+# both the drop path and the zero-hit path). Matching is token-exact,
+# lowercase, like the C4 filter.
+BLOCKLIST = ["dup", "spam"]
+
+
+def blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist cleaning gate — the C4 badwords filter shape: per doc,
+    the number of distinct blocklisted terms present, total blocked
+    occurrences, and the keep flag (C4 drops on ANY hit). Downstream
+    selection anti-joins or thresholds on it, same consumption pattern
+    as decontaminate.
+
+    Map-only at any scale: the blocklist is a constant array; hits are
+    counted array-side per row (one filter over the token array), no
+    shuffle anywhere. The identical projection runs unchanged on a
+    document stream (streaming/clean.stream_blocklist_gate)."""
+    return _apply_blocklist(load_table(spark, sf_dir, "documents"))
+
+
+def _apply_blocklist(docs: DataFrame) -> DataFrame:
+    """The gate projection itself — shared by the batch operator and the
+    streaming twin (stateless, so it is literally the same expression)."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    blocked = F.filter(toks, lambda t: t.isin(*BLOCKLIST))
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(blocked)).cast("long").alias("n_blocked_terms"),
+        F.size(blocked).cast("long").alias("n_blocked_occurrences"),
+        (F.size(blocked) == 0).alias("keep"),
+    )

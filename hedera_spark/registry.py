@@ -4724,6 +4724,25 @@ def _band_sweep_oracle() -> str:
 register("minhash_band_sweep", dedup.minhash_band_sweep, _band_sweep_oracle())
 
 register(
+    "blocklist_gate",
+    cc.blocklist_gate,
+    f"""
+    SELECT doc_id,
+           CAST(len(list_distinct(b)) AS BIGINT) AS n_blocked_terms,
+           CAST(len(b) AS BIGINT) AS n_blocked_occurrences,
+           len(b) = 0 AS keep
+    FROM (
+      SELECT doc_id,
+             list_filter(
+               list_filter(string_split(lower(text), ' '), x -> x <> ''),
+               t -> list_contains(
+                 [{", ".join(repr(w) for w in cc.BLOCKLIST)}], t)) AS b
+      FROM documents
+    )
+    """,
+)
+
+register(
     "contamination_report",
     dedup.contamination_report,
     """
@@ -5091,6 +5110,7 @@ _DEMOTED_STABLE = [
     "minhash_band_sweep",
     "doc_perplexity_kn",
     "asof_join_nearest",
+    "blocklist_gate",
 ]
 
 

@@ -131,6 +131,7 @@ def _empty_sf(spark, tmp_path):
         "minhash_band_sweep",
         "doc_perplexity_kn",
         "asof_join_nearest",
+        "blocklist_gate",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

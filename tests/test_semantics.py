@@ -1606,3 +1606,27 @@ def test_asof_join_nearest_directions_and_ties(spark, tmp_path):
     assert got[5]["purchase_event_id"] == 3 and got[5]["direction"] == "backward"
     assert got[10]["purchase_event_id"] is None and got[10]["direction"] is None
     assert got[22]["purchase_event_id"] == 20 and got[22]["direction"] == "backward"
+
+
+def test_blocklist_gate_counts_and_keep(spark, tmp_path):
+    """Distinct-term and occurrence counts plus the C4 any-hit drop:
+    'dup spam dup' drops with 2 distinct / 3 occurrences; case-folded
+    'DUP' drops; a clean doc keeps."""
+    rows = [
+        (1, "dup spam dup spam dup", "p", "en", 1),
+        (2, "clean text only", "p", "en", 1),
+        (3, "DUP inside", "p", "en", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.corpus_clean import blocklist_gate
+
+    got = {r["doc_id"]: r for r in blocklist_gate(spark, str(out)).collect()}
+    assert got[1]["n_blocked_terms"] == 2
+    assert got[1]["n_blocked_occurrences"] == 5
+    assert not got[1]["keep"]
+    assert got[2]["n_blocked_occurrences"] == 0 and got[2]["keep"]
+    assert got[3]["n_blocked_occurrences"] == 1 and not got[3]["keep"]

@@ -1002,3 +1002,27 @@ def test_stream_late_events_equals_batch(spark):
         want.setdefault(r["user_id"], [0] * 6)[labels.index(r["bucket"])] = r["n"]
     want = {u: tuple(v) for u, v in want.items()}
     assert got == want and len(want) > 0
+
+
+def test_stream_blocklist_gate_equals_batch(spark):
+    """The stateless blocklist projection over the replayed document
+    stream is row-exact vs the batch gate."""
+    from hedera_spark.operators.corpus_clean import blocklist_gate
+    from hedera_spark.streaming.clean import stream_blocklist_gate
+
+    out = stream_blocklist_gate(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("blocklist_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in spark.sql("select * from blocklist_stream").collect()
+    }
+    want = {r["doc_id"]: tuple(r) for r in blocklist_gate(spark, SF_DIR).collect()}
+    assert got == want and len(want) > 0
