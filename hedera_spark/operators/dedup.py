@@ -623,3 +623,44 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.where(F.col("n_candidates") > 0)
+
+
+def dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate dashboard per source — the mirror-site detector: for
+    each source, how many docs have an exact-content twin anywhere in the
+    corpus (n_dup), and how many have a twin in a DIFFERENT source
+    (n_cross_dup, the mirrored-content signal), with fractions. The
+    decision dashboard for whether a source is worth crawling or is a
+    re-host of content already held.
+
+    Plan shape: one shuffle on md5(text) for the per-hash stats
+    (copies + single-distinct source count — no Expand), one shuffle
+    join back on the hash, one rollup on source. Never a pair join:
+    duplicate GROUPS are aggregated, so a hash with a million copies
+    costs a count, not a million² pair rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    stats = docs.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        docs.join(stats, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_copies") > 1).cast("long")).alias("n_dup"),
+            F.sum((F.col("n_sources") > 1).cast("long")).alias("n_cross_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup",
+            "n_cross_dup",
+            F.round(F.col("n_dup") / F.col("n_docs"), 6).alias("dup_frac"),
+            F.round(F.col("n_cross_dup") / F.col("n_docs"), 6).alias(
+                "cross_dup_frac"
+            ),
+        )
+    )

@@ -1,0 +1,132 @@
+"""Table profiling — the ANALYZE/data-audit utilities a lake engine runs
+before planning a pipeline over a new table.
+
+`data_profile` is the exact audit: one row per column with null/distinct
+counts and typed min/max. Reference parity: Hedera's extraction jobs
+begin with exactly this corpus accounting (record counts per dump /
+namespace — e.g. python/dumps Hadoop counters, java/main statistics
+collectors); here it is generalized to the engine-level per-column form.
+
+`quantile_error` is the measured-dial companion for the sketch profile
+(`approx_stats`): it scores the approximate percentile against the data
+itself (observed rank of the sketch output), the number you read before
+trusting a one-pass sketch at 100 TB where the exact twin is
+unaffordable.
+
+Scale notes are on each operator; the exact profile deliberately pays
+one two-stage distinct aggregation per column (a bounded, audited cost),
+while the sketch path stays one-pass/mergeable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.tables import load_table
+
+# (column, numeric view SQL, string view SQL) — the numeric view maps
+# every orderable non-string column onto a double so min/max live in one
+# typed column across the unpivoted rows; ts profiles as epoch micros.
+_EVENT_COLS: list[tuple[str, str | None, str | None]] = [
+    ("event_id", "CAST(event_id AS DOUBLE)", None),
+    # CAST first: robust to the driver regenerating ts as NTZ (the cast
+    # applies the session's UTC zone, matching the tz-naive oracle)
+    ("ts", "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE)", None),
+    ("user_id", "CAST(user_id AS DOUBLE)", None),
+    ("event_type", None, "event_type"),
+    ("value", "CAST(value AS DOUBLE)", None),
+    ("props", None, "props"),
+]
+
+
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column exact profile of the events table: row count, non-null
+    count, exact distinct count, numeric min/max (doubles; epoch micros
+    for ts) and string min/max (binary collation in both engines) — one
+    output row per column, the shape a catalog stores.
+
+    Plan shape: one block per column, each a single-distinct aggregate
+    (Spark rewrites one distinct + plain aggregates into a two-stage
+    agg — no Expand), unioned. Exactly |columns| bounded shuffles over
+    one shared scan; at 100 TB you run the sketch twin (approx_stats)
+    routinely and THIS exact audit on demand, which is why both exist."""
+    ev = load_table(spark, sf_dir, "events")
+    blocks = []
+    for col, num, s in _EVENT_COLS:
+        agg = ev.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            (F.min(F.expr(num)) if num else F.lit(None).cast("double")).alias(
+                "min_num"
+            ),
+            (F.max(F.expr(num)) if num else F.lit(None).cast("double")).alias(
+                "max_num"
+            ),
+            (F.min(s) if s else F.lit(None).cast("string")).alias("min_str"),
+            (F.max(s) if s else F.lit(None).cast("string")).alias("max_str"),
+        )
+        blocks.append(agg.select(F.lit(col).alias("col_name"), "*"))
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+# Observed-rank targets for the sketch audit; quantile_error scores the
+# approx_percentile output for each against the actual data.
+_QUANTILES = [0.5, 0.9, 0.99]
+
+
+def quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy dial for the approximate-quantile sketch: per event_type
+    and target quantile q, the sketch output `approx_value` and its
+    OBSERVED rank in the data (fraction of values <= approx_value, and
+    the fraction strictly below) — `rank_le` must bracket q within the
+    sketch's rank-error guarantee (<= 1/accuracy plus tie width;
+    property-tested). Rows-only by design: the sketch output itself is
+    engine-specific, which is exactly why the audit exists.
+
+    Plan shape: one sketch aggregation (fixed-size mergeable state), the
+    tiny per-type result broadcast back onto the events scan, one
+    counting aggregation. Two passes total, both one-shuffle — this is
+    affordable at 100 TB, unlike the exact percentile."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"approx_percentile(value, {q})").alias(f"ap_{int(q * 100)}")
+            for q in _QUANTILES
+        ]
+    )
+    qcols = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.col(f"ap_{int(q * 100)}").alias("approx_value"),
+            )
+            for q in _QUANTILES
+        ]
+    )
+    targets = approx.select(
+        "event_type", F.explode(qcols).alias("t")
+    ).select("event_type", "t.q", "t.approx_value")
+    return (
+        ev.join(F.broadcast(targets), "event_type")
+        .groupBy("event_type", "q", "approx_value")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum((F.col("value") <= F.col("approx_value")).cast("long")) / F.count(F.lit(1)))
+            .alias("rank_le"),
+            (F.sum((F.col("value") < F.col("approx_value")).cast("long")) / F.count(F.lit(1)))
+            .alias("rank_lt"),
+        )
+        .select(
+            "event_type",
+            "q",
+            F.round("approx_value", 6).alias("approx_value"),
+            "n",
+            F.round("rank_le", 6).alias("rank_le"),
+            F.round("rank_lt", 6).alias("rank_lt"),
+        )
+    )

@@ -880,3 +880,97 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_pairs.join(dropped, "threshold").select(
         "threshold", "n_pairs", "n_dropped"
     )
+
+COHESION_MICRO = 1_000_000  # micro-unit quantization (pca.py's _MICRO)
+
+
+def label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label cohesion: per label, the mean cosine of
+    member vectors to their OWN label centroid vs to the GLOBAL centroid,
+    and the separation between the two — the one-table answer to "do
+    these labels carve the embedding space at all?" (separation → 0
+    means label-conditioned retrieval/balancing will not work, the same
+    collapse diagnostic embedding_pca gives for rank).
+
+    Cross-engine determinism (pca.py's discipline): vectors quantize to
+    exact integer micro-units, so per-label per-dim centroid SUMS are
+    exact integers regardless of partition order; cosine uses the
+    centroid SUM directly (scaling by 1/n cancels in cosine) as a fixed
+    64-step left fold of doubles (bit-identical in DuckDB's
+    list_reduce); per-row cosines round to micro-units and sum as
+    integers before the single final division.
+
+    Scale: one 64-column wide integer agg per label (shuffle rows =
+    |labels| x 64), the 10-row centroid table broadcast back onto the
+    scan, one rollup. No explode, no pair join."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {COHESION_MICRO}) AS BIGINT))"
+        ).alias("mu"),
+    )
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("mu").getItem(i)).alias(f"s{i}") for i in range(EMB_DIM)],
+    )
+    cen = sums.select(
+        "label",
+        F.array(
+            *[F.col(f"s{i}").cast("double") for i in range(EMB_DIM)]
+        ).alias("cs"),
+    )
+    gl = (
+        sums.agg(*[F.sum(f"s{i}").alias(f"g{i}") for i in range(EMB_DIM)])
+        .select(
+            F.array(
+                *[F.col(f"g{i}").cast("double") for i in range(EMB_DIM)]
+            ).alias("gs")
+        )
+        .withColumn("jk", F.lit(1))
+    )
+
+    def _cos(vec: str, cen_col: str) -> Column:
+        dot = (
+            f"aggregate(zip_with({vec}, {cen_col},"
+            " (a, b) -> CAST(a AS DOUBLE) * b), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        )
+        n1 = (
+            f"aggregate({vec}, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        n2 = (
+            f"aggregate({cen_col}, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x * x)"
+        )
+        return F.expr(f"{dot} / (sqrt({n1}) * sqrt({n2}))")
+
+    scored = (
+        emb.join(F.broadcast(cen), "label")
+        .withColumn("jk", F.lit(1))
+        .join(F.broadcast(gl), "jk")
+        .select(
+            "label",
+            F.round(_cos("mu", "cs") * COHESION_MICRO)
+            .cast("long")
+            .alias("co_mu"),
+            F.round(_cos("mu", "gs") * COHESION_MICRO)
+            .cast("long")
+            .alias("cg_mu"),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("co_mu") / (F.count(F.lit(1)) * F.lit(float(COHESION_MICRO))), 6
+        ).alias("mean_cos_own"),
+        F.round(
+            F.sum("cg_mu") / (F.count(F.lit(1)) * F.lit(float(COHESION_MICRO))), 6
+        ).alias("mean_cos_global"),
+        F.round(
+            (F.sum("co_mu") - F.sum("cg_mu"))
+            / (F.count(F.lit(1)) * F.lit(float(COHESION_MICRO))),
+            6,
+        ).alias("separation"),
+    )

@@ -203,3 +203,55 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(use_b, d_b).otherwise(d_f).alias("micros_to_purchase"),
         )
     )
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credited to the campaign
+    (props.k) of the LATEST view at-or-before it by the same user, then
+    rolled up to (campaign, n_purchases, attributed_revenue) — the
+    marketing-attribution query shape, with unattributed purchases kept
+    as the NULL-campaign row so revenue always reconciles to the total.
+
+    Same mechanics as asof_join (union + one keyed window, zero join
+    operators, one user_id shuffle): views rank before purchases at
+    equal ts so a same-instant view gets credit; among same-ts views the
+    highest event_id wins. Revenue is summed as exact integer cents
+    (pv_rolling_7d's determinism trick) so accumulation order cannot
+    move the rounded total."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("event_type") == "view").cast("int").alias("is_v"),
+        F.when(
+            F.col("event_type") == "view",
+            F.get_json_object("props", "$.k").cast("int"),
+        ).alias("k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_v"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(F.col("is_v") == 1, F.struct(F.col("k").alias("k"))),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        tagged.withColumn("v", carried)
+        .where(F.col("is_v") == 0)
+        .groupBy(F.col("v.k").alias("campaign"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)
+            ).alias("attributed_revenue"),
+        )
+        .select(
+            "campaign",
+            "n_purchases",
+            F.round("attributed_revenue", 2).alias("attributed_revenue"),
+        )
+    )

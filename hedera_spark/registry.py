@@ -4920,6 +4920,148 @@ register(
     """,
 )
 
+from hedera_spark.operators import profile as prof  # noqa: E402
+
+
+def _data_profile_oracle() -> str:
+    # mirrors profile._EVENT_COLS: (column, DuckDB numeric view, string view)
+    views = [
+        ("event_id", "CAST(event_id AS DOUBLE)", None),
+        ("ts", "CAST(epoch_us(ts) AS DOUBLE)", None),
+        ("user_id", "CAST(user_id AS DOUBLE)", None),
+        ("event_type", None, "event_type"),
+        ("value", "CAST(value AS DOUBLE)", None),
+        ("props", None, "props"),
+    ]
+    blocks = []
+    for col, num, s in views:
+        num_min = (
+            f"min({num}) AS min_num, max({num}) AS max_num"
+            if num
+            else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+        )
+        str_min = (
+            f"min({s}) AS min_str, max({s}) AS max_str"
+            if s
+            else "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+        )
+        blocks.append(
+            f"""
+      SELECT '{col}' AS col_name, count(*) AS n_rows,
+             count({col}) AS n_nonnull,
+             count(DISTINCT {col}) AS n_distinct,
+             {num_min}, {str_min}
+      FROM events"""
+        )
+    return "\n      UNION ALL\n".join(blocks)
+
+
+register("data_profile", prof.data_profile, _data_profile_oracle())
+
+# rows-only: quantile_error audits the approx_percentile sketch output
+# itself (engine-specific by construction, like approx_stats); the
+# observed-rank bracket it reports is property-tested against the
+# sketch's rank-error guarantee in tests/test_semantics.py.
+register("quantile_error", prof.quantile_error, None)
+
+register(
+    "dup_by_source",
+    dedup.dup_by_source,
+    """
+    WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    st AS (
+      SELECT h, count(*) AS n_copies, count(DISTINCT source) AS n_sources
+      FROM d GROUP BY h
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_dup,
+           round(CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac,
+           round(CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS cross_dup_frac
+    FROM d JOIN st USING (h)
+    GROUP BY source
+    """,
+)
+
+register(
+    "attribution_last_touch",
+    tj.attribution_last_touch,
+    """
+    WITH u AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v,
+             CASE WHEN event_type = 'view'
+                  THEN json_extract_string(props, '$.k')::INT END AS k
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    filled AS (
+      SELECT *,
+             last_value(CASE WHEN is_v = 1 THEN {'k': k} END IGNORE NULLS)
+               OVER w AS v
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_v DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT v.k AS campaign, count(*) AS n_purchases,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS attributed_revenue
+    FROM filled WHERE is_v = 0 GROUP BY 1
+    """,
+)
+
+
+def _label_cohesion_oracle() -> str:
+    dim = sim.EMB_DIM
+    micro = sim.COHESION_MICRO
+    s_cols = ",\n             ".join(
+        f"CAST(sum(mu[{i + 1}]) AS BIGINT) AS s{i}" for i in range(dim)
+    )
+    cs_arr = ", ".join(f"CAST(s{i} AS DOUBLE)" for i in range(dim))
+    gs_arr = ", ".join(f"CAST(sum(s{i}) AS DOUBLE)" for i in range(dim))
+    dot = (
+        "list_reduce(list_transform(list_zip(mu, {C}),"
+        " z -> z[1]::DOUBLE * z[2]), (a, b) -> a + b)"
+    )
+    nmu = "list_reduce(list_transform(mu, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)"
+    nc = "list_reduce(list_transform({C}, x -> x * x), (a, b) -> a + b)"
+    cos = f"{dot} / (sqrt({nmu}) * sqrt({nc}))"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {micro}) AS BIGINT)) AS mu
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT label, count(*) AS n,
+             {s_cols}
+      FROM e GROUP BY label
+    ),
+    cen AS (SELECT label, [{cs_arr}] AS cs FROM sums),
+    gl AS (SELECT [{gs_arr}] AS gs FROM sums),
+    sc AS (
+      SELECT e.label,
+             CAST(round(({cos.format(C='cs')}) * {micro}) AS BIGINT) AS co_mu,
+             CAST(round(({cos.format(C='gs')}) * {micro}) AS BIGINT) AS cg_mu
+      FROM e JOIN cen USING (label) CROSS JOIN gl
+    )
+    SELECT label, count(*) AS n,
+           round(CAST(sum(co_mu) AS DOUBLE) / (count(*) * {micro}.0), 6)
+             AS mean_cos_own,
+           round(CAST(sum(cg_mu) AS DOUBLE) / (count(*) * {micro}.0), 6)
+             AS mean_cos_global,
+           round((CAST(sum(co_mu) AS DOUBLE) - CAST(sum(cg_mu) AS DOUBLE))
+                 / (count(*) * {micro}.0), 6) AS separation
+    FROM sc GROUP BY label
+    """
+
+
+register("label_cohesion", sim.label_cohesion, _label_cohesion_oracle())
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -5111,6 +5253,14 @@ _DEMOTED_STABLE = [
     "doc_perplexity_kn",
     "asof_join_nearest",
     "blocklist_gate",
+    # twentieth wave: profiling utilities join the r4 backlog (driver_sim
+    # MATCH / rows-only property test on record this session)
+    "data_profile",
+    "quantile_error",
+    # twenty-first wave: same backlog convention
+    "dup_by_source",
+    "attribution_last_touch",
+    "label_cohesion",
 ]
 
 

@@ -16,19 +16,65 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from hedera_spark.operators.corpus_clean import _apply_blocklist
 from hedera_spark.streaming.source import probe_schema
 
 
-def stream_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet replayed as a file stream -> the batch
-    blocklist projection, unchanged (stateless map stage)."""
+def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "documents.parquet")
     schema = probe_schema(spark, path)
-    docs = (
+    return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    return _apply_blocklist(docs)
+
+
+def stream_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet replayed as a file stream -> the batch
+    blocklist projection, unchanged (stateless map stage)."""
+    return _apply_blocklist(_doc_stream(spark, sf_dir))
+
+
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at the ingest edge: each arriving
+    training document is checked against the held-out eval set's shingle
+    universe as it streams in — (doc_id, n_contaminated) rows for docs
+    sharing >= 1 distinct word-trigram with the eval set, replay-exact
+    vs the batch `decontaminate` operator (tested).
+
+    Shape: the eval-shingle set is STATIC (a benchmark suite — tiny and
+    fixed), aggregated once from the batch table into a one-row array
+    and broadcast into the stream via a stream-static broadcast-hash
+    join on a constant key; the contamination count is then row-local
+    (array_intersect over the doc's own distinct shingles), so the
+    streaming side is STATELESS — no watermark, no state store, no
+    shuffle. That is the 100 TB design: the batch twin re-scans the
+    lake; this gates documents as they arrive. (In production you'd
+    persist the one-row eval side; per-micro-batch re-evaluation is fine
+    at test scale and the semantics are identical.)"""
+    from hedera_spark.operators.dedup import _SHINGLE_ARR, EVAL_MOD
+    from hedera_spark.sources.tables import load_table
+
+    eval_set = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(F.expr(_SHINGLE_ARR)).alias("shingle"))
+        .agg(F.collect_set("shingle").alias("eval_set"))
+        .withColumn("k", F.lit(1))
+    )
+    docs = _doc_stream(spark, sf_dir).withColumn("k", F.lit(1))
+    return (
+        docs.where(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_set), "k")
+        .select(
+            "doc_id",
+            F.size(F.array_intersect(F.expr(_SHINGLE_ARR), F.col("eval_set")))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .where(F.col("n_contaminated") > 0)
+    )

@@ -369,3 +369,75 @@ def stream_late_events(spark: SparkSession, sf_dir: str, **source_kw) -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ATTR_OUTPUT_SCHEMA = (
+    "user_id long, purchase_event_id long, campaign int, cents long"
+)
+ATTR_STATE_SCHEMA = "v_tsu long, v_event_id long, k int"
+
+
+def _update_attribution(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # state = the latest view seen so far: (event-time micros, event_id,
+    # campaign k). Bounded: one small tuple per user, forever.
+    v_tsu, v_eid, k = state.get if state.exists else (-1, -1, None)
+    out = []
+    for pdf in pdfs:
+        # event-time order within the batch; views before purchases at
+        # equal ts (is_v desc) so a same-instant view gets credit, and
+        # among same-ts views the highest event_id ends up last
+        pdf = pdf.sort_values(
+            ["tsu", "is_p", "event_id"], kind="mergesort"
+        )
+        for row in pdf.itertuples(index=False):
+            if row.is_p == 0:
+                if (row.tsu, row.event_id) > (v_tsu, v_eid):
+                    v_tsu, v_eid = int(row.tsu), int(row.event_id)
+                    k = None if pd.isna(row.k) else int(row.k)
+            else:
+                out.append(
+                    (
+                        int(key[0]),
+                        int(row.event_id),
+                        k if v_eid >= 0 else None,
+                        int(row.cents),
+                    )
+                )
+    state.update((v_tsu, v_eid, k))
+    cols = ["user_id", "purchase_event_id", "campaign", "cents"]
+    yield pd.DataFrame(out, columns=cols)
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online last-touch attribution: each purchase is credited AS IT
+    ARRIVES to the latest view seen so far for that user — the streaming
+    twin of attribution_last_touch (per-purchase rows here; the test
+    rolls them up and matches the batch rollup exactly on the ordered
+    replay). State is one (ts, event_id, campaign) tuple per user —
+    bounded regardless of stream length; a late out-of-order view cannot
+    retro-steal an already-emitted purchase, which is the documented
+    online semantics (late_events / stream_late_events is the dial that
+    measures how much lateness the log actually has)."""
+    events = event_stream(spark, sf_dir).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    prepped = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        F.when(
+            F.col("event_type") == "view",
+            F.get_json_object("props", "$.k").cast("int"),
+        ).alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update_attribution,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -132,6 +132,10 @@ def _empty_sf(spark, tmp_path):
         "doc_perplexity_kn",
         "asof_join_nearest",
         "blocklist_gate",
+        "quantile_error",
+        "dup_by_source",
+        "attribution_last_touch",
+        "label_cohesion",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -191,3 +195,16 @@ def test_r3_operators_on_degenerate_corpus(spark, tmp_path):
     assert len(chunks) == 1 and chunks[0]["n_tokens"] == 1
     assert doc_perplexity(spark, d).collect() == []
     assert corpus_delta(spark, d).count() >= 1
+
+
+def test_data_profile_on_empty_table(spark, tmp_path):
+    """The exact profile still emits one row per column on an empty
+    table (zero counts, NULL min/max) — it must not collapse to zero
+    rows or crash."""
+    from hedera_spark.operators.profile import data_profile
+
+    sf = _empty_sf(spark, tmp_path)
+    rows = data_profile(spark, sf).collect()
+    assert len(rows) == 6
+    assert all(r["n_rows"] == 0 and r["n_distinct"] == 0 for r in rows)
+    assert all(r["min_num"] is None and r["min_str"] is None for r in rows)

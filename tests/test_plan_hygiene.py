@@ -45,6 +45,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_cluster_stats",  # composes dedup_clusters (hot-shingle array)
     "corpus_select",
     "bm25_topk",  # 1-row (N, avgdl) corpus-stats broadcast
+    "label_cohesion",  # 1-row global-centroid broadcast
     "doc_perplexity",  # 1-row vocabulary-size broadcast
     "kmeans_embeddings",  # K-row centroid broadcast, like ann_ivf
     "anchor_cooccur",

@@ -1630,3 +1630,141 @@ def test_blocklist_gate_counts_and_keep(spark, tmp_path):
     assert not got[1]["keep"]
     assert got[2]["n_blocked_occurrences"] == 0 and got[2]["keep"]
     assert got[3]["n_blocked_occurrences"] == 1 and not got[3]["keep"]
+
+
+def test_data_profile_counts_and_minmax(spark, tmp_path):
+    """Per-column nulls / distincts / typed min-max on a hand-built
+    events table, including a NULL props row and duplicate user_ids."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10, "view", 1.5, '{"k":1}'),
+        (2, dt.datetime(2024, 1, 2, 0, 0, 0), 10, "view", -2.0, None),
+        (3, dt.datetime(2024, 1, 3, 0, 0, 0), 20, "purchase", 0.25, '{"k":2}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.profile import data_profile
+
+    got = {r["col_name"]: r for r in data_profile(spark, str(out)).collect()}
+    assert set(got) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert all(r["n_rows"] == 3 for r in got.values())
+    assert got["props"]["n_nonnull"] == 2 and got["props"]["n_distinct"] == 2
+    assert got["user_id"]["n_distinct"] == 2
+    assert got["user_id"]["min_num"] == 10.0 and got["user_id"]["max_num"] == 20.0
+    assert got["value"]["min_num"] == -2.0 and got["value"]["max_num"] == 1.5
+    assert got["event_type"]["min_str"] == "purchase"
+    assert got["event_type"]["max_str"] == "view"
+    assert got["event_type"]["min_num"] is None
+    # ts profiles as epoch micros
+    assert got["ts"]["min_num"] == dt.datetime(
+        2024, 1, 1, tzinfo=dt.timezone.utc
+    ).timestamp() * 1e6
+
+
+def test_quantile_error_rank_bracket(spark):
+    """The sketch audit's observed ranks must bracket the target
+    quantile within the approx_percentile rank-error guarantee
+    (default accuracy 10000 -> rank error <= 1e-4·n, loosened here to
+    1% for tie-width): rank_lt <= q <= rank_le ± eps."""
+    from tests.conftest import SF_DIR
+    from hedera_spark.operators.profile import quantile_error
+
+    rows = quantile_error(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["rank_lt"] - 0.01 <= r["q"] <= r["rank_le"] + 0.01, r
+
+
+def test_dup_by_source_within_and_cross(spark, tmp_path):
+    """Source 'a': two identical docs (in-source dup) plus a doc mirrored
+    into source 'b' (cross-source dup); source 'c' is clean."""
+    rows = [
+        (1, "same text one", "a", "en", 1),
+        (2, "same text one", "a", "en", 1),
+        (3, "mirrored text", "a", "en", 1),
+        (4, "mirrored text", "b", "en", 1),
+        (5, "unique text b", "b", "en", 1),
+        (6, "unique text c", "c", "en", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.dedup import dup_by_source
+
+    got = {r["source"]: r for r in dup_by_source(spark, str(out)).collect()}
+    assert got["a"]["n_docs"] == 3 and got["a"]["n_dup"] == 3
+    assert got["a"]["n_cross_dup"] == 1  # only the mirrored doc
+    assert got["b"]["n_dup"] == 1 and got["b"]["n_cross_dup"] == 1
+    assert got["c"]["n_dup"] == 0 and got["c"]["cross_dup_frac"] == 0.0
+
+
+def test_attribution_last_touch_ties_and_null(spark, tmp_path):
+    """Purchase credits the LATEST at-or-before view (same-ts view wins);
+    a purchase with no prior view lands in the NULL-campaign row."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: view(k=7) at t1, view(k=9) at t3, purchase at t3 (tie ->
+        # same-ts view k=9 wins), purchase at t5 (still k=9)
+        (1, t(1), 1, "view", 0.0, '{"k": 7}'),
+        (2, t(3), 1, "view", 0.0, '{"k": 9}'),
+        (3, t(3), 1, "purchase", 10.0, '{"k": 0}'),
+        (4, t(5), 1, "purchase", 5.0, '{"k": 0}'),
+        # user 2: purchase with no view at all
+        (5, t(2), 2, "purchase", 2.5, '{"k": 0}'),
+        # noise: clicks never attribute
+        (6, t(0), 1, "click", 0.0, '{"k": 1}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.temporal_join import attribution_last_touch
+
+    got = {r["campaign"]: r for r in attribution_last_touch(spark, str(out)).collect()}
+    assert got[9]["n_purchases"] == 2
+    assert abs(got[9]["attributed_revenue"] - 15.0) < 1e-9
+    assert got[None]["n_purchases"] == 1
+    assert abs(got[None]["attributed_revenue"] - 2.5) < 1e-9
+    assert 7 not in got
+
+
+def test_label_cohesion_separates_planted_clusters(spark, tmp_path):
+    """Two tight, orthogonal-ish label clusters: own-centroid cosine must
+    beat the global-centroid cosine for both labels."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        label = vid % 2
+        base = [1.0, 0.0] if label == 0 else [0.0, 1.0]
+        vec = [
+            base[d % 2] + rng.uniform(-0.05, 0.05) for d in range(64)
+        ]
+        rows.append((vid, vec, label))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = tmp_path / "mini"
+    emb.write.parquet(str(out / "embeddings.parquet"))
+    from hedera_spark.operators.similarity import label_cohesion
+
+    got = {r["label"]: r for r in label_cohesion(spark, str(out)).collect()}
+    assert set(got) == {0, 1}
+    for lab in (0, 1):
+        assert got[lab]["n"] == 20
+        assert got[lab]["mean_cos_own"] > got[lab]["mean_cos_global"]
+        assert got[lab]["separation"] > 0.0

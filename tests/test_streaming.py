@@ -1026,3 +1026,62 @@ def test_stream_blocklist_gate_equals_batch(spark):
     }
     want = {r["doc_id"]: tuple(r) for r in blocklist_gate(spark, SF_DIR).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_decontaminate_equals_batch(spark):
+    """The ingest-edge contamination gate (stream-static broadcast of
+    the eval-shingle set, row-local intersect) replays exactly the
+    batch decontaminate rollup."""
+    from hedera_spark.operators.dedup import decontaminate
+    from hedera_spark.streaming.clean import stream_decontaminate
+
+    out = stream_decontaminate(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in spark.sql("select * from decon_stream").collect()
+    }
+    want = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in decontaminate(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_attribution_equals_batch(spark):
+    """Per-purchase online attribution, rolled up per campaign, must
+    equal the batch attribution_last_touch rollup on the ordered
+    replay (the synthetic log is written in event-time order)."""
+    from hedera_spark.operators.temporal_join import attribution_last_touch
+    from hedera_spark.streaming.stateful import stream_attribution
+
+    out = stream_attribution(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["campaign"],): (r["n"], round(float(r["rev"]), 2))
+        for r in spark.sql(
+            "select campaign, count(*) as n, sum(cents) / 100.0 as rev "
+            "from attr_stream group by campaign"
+        ).collect()
+    }
+    want = {
+        (r["campaign"],): (r["n_purchases"], round(r["attributed_revenue"], 2))
+        for r in attribution_last_touch(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
