@@ -108,8 +108,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_shingle_arrays(spark, sf_dir))
 
 
-def _jaccard_pairs(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
-    """Near-dup pairs by exact Jaccard over a df-capped shingle universe.
+def _pair_stats(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """(doc_a, doc_b, n_common, na, nb) pair statistics over a df-capped
+    shingle universe — the shared candidate machinery for the Jaccard
+    and containment scorers.
 
     `arrs` is a (doc_id, shingles) DataFrame of per-doc-DISTINCT shingle
     arrays. Shingles whose document frequency exceeds `df_cap` are
@@ -161,7 +163,7 @@ def _jaccard_pairs(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     ).persist()
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle")
-    return (
+    stats = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
@@ -170,6 +172,15 @@ def _jaccard_pairs(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
             F.first("na").alias("na"),
             F.first("nb").alias("nb"),
         )
+    )
+    return stats
+
+
+def _jaccard_pairs(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over the capped universe — the
+    scoring select over _pair_stats (see there for the plan shape)."""
+    return (
+        _pair_stats(arrs, df_cap)
         .select(
             "doc_a",
             "doc_b",
@@ -178,6 +189,35 @@ def _jaccard_pairs(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT — the
+    doc-inside-doc detector Jaccard misses: a short document quoted
+    whole inside a long one has tiny Jaccard (the union is huge) but
+    containment |A∩B|/|A| ≈ 1 (Broder's containment measure). Pairs
+    where either direction reaches 0.8, both directions reported.
+
+    Shares _pair_stats' df-capped inverted-index candidate machinery
+    with dedup_ngram_jaccard — only the scoring select differs — so the
+    scale story is identical: hot shingles cut map-side via the
+    broadcast hot-set, candidates bounded by shared-shingle df, never
+    n²."""
+    return (
+        _pair_stats(_shingle_arrays(spark, sf_dir))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common") / F.col("na"), 6).alias("cont_a_in_b"),
+            F.round(F.col("n_common") / F.col("nb"), 6).alias("cont_b_in_a"),
+        )
+        .where(
+            F.greatest("cont_a_in_b", "cont_b_in_a") >= CONTAINMENT_THRESHOLD
+        )
     )
 
 

@@ -799,3 +799,47 @@ def late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) statistics per event type: exact p1/p99
+    fences, how many values fall outside them, and the mean after clipping
+    to the fences — the robust-statistics pass a pipeline runs before
+    trusting a mean that a single fat-finger event could drag. Companion
+    to value_percentiles (raw distribution) and pv_anomaly (time-local
+    outliers).
+
+    Plan: one exact-percentile agg per type (the on-demand exact path, as
+    in data_profile), the 5-row fence table broadcast back onto the events
+    scan, one counting agg. Clipped values are summed as exact integer
+    cents so partial-agg order cannot move the rounded mean."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("p_lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("p_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("p_lo"), 6).alias("p_lo"),
+            F.round(F.first("p_hi"), 6).alias("p_hi"),
+            F.sum((F.col("value") < F.col("p_lo")).cast("long")).alias(
+                "n_below"
+            ),
+            F.sum((F.col("value") > F.col("p_hi")).cast("long")).alias(
+                "n_above"
+            ),
+            F.round(
+                F.sum(F.round(clipped * 100).cast("long"))
+                / (F.count(F.lit(1)) * F.lit(100.0)),
+                6,
+            ).alias("clipped_mean"),
+        )
+    )

@@ -5062,6 +5062,60 @@ def _label_cohesion_oracle() -> str:
 
 register("label_cohesion", sim.label_cohesion, _label_cohesion_oracle())
 
+register(
+    "dedup_containment",
+    dedup.dedup_containment,
+    f"""
+    WITH {_SHINGLES},
+    kept AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {dedup.NGRAM_DF_CAP}
+      )
+    ),
+    n AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c / na.n, 6) AS cont_a_in_b,
+           round(c / nb.n, 6) AS cont_b_in_a
+    FROM inter
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE greatest(round(c / na.n, 6), round(c / nb.n, 6))
+          >= {dedup.CONTAINMENT_THRESHOLD}
+    """,
+)
+
+register(
+    "robust_stats",
+    ts.robust_stats,
+    f"""
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, {ts.WINSOR_LO}) AS p_lo,
+             quantile_cont(value, {ts.WINSOR_HI}) AS p_hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n,
+           round(any_value(p_lo), 6) AS p_lo,
+           round(any_value(p_hi), 6) AS p_hi,
+           CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           round(CAST(sum(CAST(round(least(greatest(value, p_lo), p_hi) * 100)
+                              AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 100.0), 6) AS clipped_mean
+    FROM events e JOIN fences USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -5261,6 +5315,9 @@ _DEMOTED_STABLE = [
     "dup_by_source",
     "attribution_last_touch",
     "label_cohesion",
+    # twenty-second wave
+    "dedup_containment",
+    "robust_stats",
 ]
 
 

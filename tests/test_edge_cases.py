@@ -136,6 +136,8 @@ def _empty_sf(spark, tmp_path):
         "dup_by_source",
         "attribution_last_touch",
         "label_cohesion",
+        "dedup_containment",
+        "robust_stats",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -1768,3 +1768,58 @@ def test_label_cohesion_separates_planted_clusters(spark, tmp_path):
         assert got[lab]["n"] == 20
         assert got[lab]["mean_cos_own"] > got[lab]["mean_cos_global"]
         assert got[lab]["separation"] > 0.0
+
+
+def test_dedup_containment_finds_doc_inside_doc(spark, tmp_path):
+    """A short doc quoted whole inside a long one: Jaccard is small (big
+    union) but containment of the short doc is 1.0 — the asymmetric
+    detector must fire where the symmetric one doesn't."""
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (1, short, "p", "en", 1),
+        (2, filler + " " + short, "p", "en", 1),
+        (3, "totally different text here now", "p", "en", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    cont = {(r["doc_a"], r["doc_b"]): r for r in dedup_containment(spark, str(out)).collect()}
+    assert (1, 2) in cont
+    assert cont[(1, 2)]["cont_a_in_b"] == 1.0  # all of doc 1's shingles in doc 2
+    assert cont[(1, 2)]["cont_b_in_a"] < 0.1
+    # the symmetric detector misses the same pair
+    jac = {(r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, str(out)).collect()}
+    assert (1, 2) not in jac
+
+
+def test_robust_stats_clips_outliers(spark, tmp_path):
+    """One fat-finger value: the clipped mean must sit near the bulk,
+    and the outlier is counted in n_above."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i % 60), i, "view", 1.0, "{}")
+        for i in range(99)
+    ] + [(99, dt.datetime(2024, 1, 1, 0, 1, 0), 99, "view", 10000.0, "{}")]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.timeseries import robust_stats
+
+    got = robust_stats(spark, str(out)).collect()[0]
+    assert got["n"] == 100 and got["n_above"] == 1
+    # raw mean would be ~101; clipped mean must stay near 1 (p99 fence
+    # interpolates just above the bulk)
+    assert got["clipped_mean"] < 110.0 and got["clipped_mean"] >= 1.0
