@@ -539,3 +539,49 @@ def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(win).cast("long"))
         .where(F.col("rk") <= SPARSE_TOPK)
     )
+
+
+QL_MU = 50.0  # Dirichlet smoothing mass (corpus docs are short)
+
+
+def ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs by Dirichlet-smoothed query likelihood for the same
+    fixed query as bm25_topk — the other classic retrieval model
+    (Zhai & Lafferty 2001): score(d) = Σ_q ln((tf + μ·cf_q/|C|)/(dl+μ)).
+    Unlike BM25, a doc missing a query term still contributes the
+    smoothed background probability, so the sum runs over ALL docs ×
+    query terms (left join on tf, zero-filled).
+
+    Plan shape: the 3-row (term, cf) table and the 1-row corpus-size
+    aggregate broadcast; docs×3 rows come from a broadcast cross join
+    onto the per-doc length aggregate; tf left-joins on (doc_id, term).
+    Shuffles: the dl aggregate and the tf join — same shape as
+    bm25_topk. dl/tf/cf are integers carried in doubles (exact at any
+    partition order); the ln() runs on identical doubles both engines."""
+    tf_ = bow(spark, sf_dir).where(F.col("term").isin(BM25_QUERY_TERMS))
+    toks = _doc_tokens(spark, sf_dir, distinct=False)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    cf = (
+        toks.where(F.col("anchor").isin(BM25_QUERY_TERMS))
+        .groupBy(F.col("anchor").alias("term"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cf"))
+    )
+    c_tot = toks.agg(F.count(F.lit(1)).cast("double").alias("c"))
+    scored = (
+        dl.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(c_tot))
+        .join(tf_, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.log(
+                (
+                    F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                    + F.lit(QL_MU) * F.col("cf") / F.col("c")
+                )
+                / (F.col("dl") + F.lit(QL_MU))
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(10)

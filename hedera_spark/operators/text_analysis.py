@@ -1360,3 +1360,47 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pw") / F.col("z"), 6).alias("mix_weight"),
         )
     )
+
+
+LENGTH_FENCE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def length_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-by-length-decile curve: documents bucketed into exact
+    length deciles (interpolated fences), mean quality score per decile —
+    the dashboard that answers "is the quality gate biased against long
+    (or short) documents?" before corpus_select bakes that bias in.
+
+    Scale-safe deciling: NO global ntile/sort — the 9 fence values come
+    from one percentile aggregate, broadcast back, and the decile is
+    assigned row-locally by counting fences below the value (ties fall
+    to the lower decile identically in both engines). Mean quality sums
+    the 6dp-rounded scores as exact integer micro-units."""
+    q = text_quality(spark, sf_dir).select("doc_id", "n_chars", "quality")
+    qs = ", ".join(str(x) for x in LENGTH_FENCE_QS)
+    fences = q.agg(
+        F.expr(f"percentile(n_chars, array({qs}))").alias("fences")
+    )
+    return (
+        q.join(F.broadcast(fences))
+        .select(
+            "n_chars",
+            "quality",
+            (
+                F.size(F.filter("fences", lambda f: F.col("n_chars") > f)) + 1
+            )
+            .cast("long")
+            .alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(
+                F.sum(F.round(F.col("quality") * 1000000).cast("long"))
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("mean_quality"),
+        )
+    )

@@ -843,3 +843,34 @@ def robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clipped_mean"),
         )
     )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (event_type -> next event_type) step inside a user's timeline, the
+    count and the row-normalized transition probability — the
+    what-do-users-do-next table behind funnel design (funnel checks ONE
+    hypothesized order; this surfaces all of them).
+
+    One user_id window shuffle for the lead(), then a tiny
+    (|types|², here 25-row) aggregate; per-row totals come from a
+    broadcast join of the per-type sums, not a second window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = steps.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return steps.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("prob"),
+    )

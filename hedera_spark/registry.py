@@ -5092,6 +5092,87 @@ register(
 )
 
 register(
+    "event_transitions",
+    ts.event_transitions,
+    """
+    WITH steps AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM steps WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+            FROM pairs GROUP BY 1)
+    SELECT p.event_type, p.next_type, p.n,
+           round(CAST(p.n AS DOUBLE) / t.total, 6) AS prob
+    FROM pairs p JOIN tot t USING (event_type)
+    """,
+)
+
+register(
+    "ql_topk",
+    ir.ql_topk,
+    f"""
+    WITH {_TF.strip().rstrip()},
+    tfq AS (
+      SELECT doc_id, term, tf FROM tf
+      WHERE term IN ({", ".join(repr(t) for t in ir.BM25_QUERY_TERMS)})
+    ),
+    toks AS (
+      SELECT doc_id, tok FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY 1),
+    cf AS (
+      SELECT tok AS term, CAST(count(*) AS DOUBLE) AS cf FROM toks
+      WHERE tok IN ({", ".join(repr(t) for t in ir.BM25_QUERY_TERMS)})
+      GROUP BY 1
+    ),
+    c_tot AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM toks),
+    scored AS (
+      SELECT d.doc_id,
+             ln((CAST(coalesce(q.tf, 0) AS DOUBLE) + {ir.QL_MU} * cf.cf / c_tot.c)
+                / (d.dl + {ir.QL_MU})) AS s
+      FROM dl d CROSS JOIN cf CROSS JOIN c_tot
+      LEFT JOIN tfq q ON q.doc_id = d.doc_id AND q.term = cf.term
+    )
+    SELECT doc_id, round(sum(s), 6) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+
+# wraps text_quality's checked oracle verbatim (the lang_confusion
+# convention) so the curve is defined over exactly the scores the
+# driver verifies
+_LQ_QS = ", ".join(str(x) for x in ta.LENGTH_FENCE_QS)
+register(
+    "length_quality_curve",
+    ta.length_quality_curve,
+    f"""
+    WITH tq AS ({{TQ}}),
+    fences AS (SELECT quantile_cont(n_chars, [{_LQ_QS}]) AS fences FROM tq),
+    b AS (
+      SELECT n_chars, quality,
+             CAST(len(list_filter(fences, f -> n_chars > f)) + 1 AS BIGINT)
+               AS decile
+      FROM tq CROSS JOIN fences
+    )
+    SELECT decile, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           round(CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0), 6) AS mean_quality
+    FROM b GROUP BY decile
+    """.replace("{TQ}", ORACLE["text_quality"]),
+)
+
+register(
     "robust_stats",
     ts.robust_stats,
     f"""
@@ -5318,6 +5399,10 @@ _DEMOTED_STABLE = [
     # twenty-second wave
     "dedup_containment",
     "robust_stats",
+    # twenty-third wave
+    "event_transitions",
+    "ql_topk",
+    "length_quality_curve",
 ]
 
 

@@ -138,6 +138,9 @@ def _empty_sf(spark, tmp_path):
         "label_cohesion",
         "dedup_containment",
         "robust_stats",
+        "event_transitions",
+        "ql_topk",
+        "length_quality_curve",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -47,6 +47,8 @@ ALLOWED_NESTED_LOOP = {
     "corpus_select",
     "bm25_topk",  # 1-row (N, avgdl) corpus-stats broadcast
     "label_cohesion",  # 1-row global-centroid broadcast
+    "ql_topk",  # 3-row (term, cf) + 1-row corpus-size broadcasts
+    "length_quality_curve",  # 1-row decile-fences broadcast
     "doc_perplexity",  # 1-row vocabulary-size broadcast
     "kmeans_embeddings",  # K-row centroid broadcast, like ann_ivf
     "anchor_cooccur",

@@ -1823,3 +1823,79 @@ def test_robust_stats_clips_outliers(spark, tmp_path):
     # raw mean would be ~101; clipped mean must stay near 1 (p99 fence
     # interpolates just above the bulk)
     assert got["clipped_mean"] < 110.0 and got["clipped_mean"] >= 1.0
+
+
+def test_event_transitions_probabilities(spark, tmp_path):
+    """Hand-built timeline: view->click twice, view->purchase once for
+    user 1; probabilities row-normalize per source type."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(2), 1, "click", 0.0, "{}"),
+        (3, t(3), 1, "view", 0.0, "{}"),
+        (4, t(4), 1, "click", 0.0, "{}"),
+        (5, t(5), 1, "view", 0.0, "{}"),
+        (6, t(6), 1, "purchase", 1.0, "{}"),
+        # user 2 contributes the third click->view step (user 1's two
+        # clicks each transition back to a view)
+        (7, t(1), 2, "click", 0.0, "{}"),
+        (8, t(2), 2, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.timeseries import event_transitions
+
+    got = {
+        (r["event_type"], r["next_type"]): (r["n"], r["prob"])
+        for r in event_transitions(spark, str(out)).collect()
+    }
+    assert got[("view", "click")] == (2, 0.666667)
+    assert got[("view", "purchase")] == (1, 0.333333)
+    assert got[("click", "view")] == (3, 1.0)
+    assert ("purchase", "view") not in got  # purchase at t6 is terminal
+
+
+def test_ql_topk_prefers_term_rich_docs(spark, tmp_path):
+    """A doc containing the query terms must outrank an equal-length doc
+    without them; smoothing still scores the term-free doc (finite)."""
+    from hedera_spark.operators.ir import BM25_QUERY_TERMS, ql_topk
+
+    q0, q1 = BM25_QUERY_TERMS[0], BM25_QUERY_TERMS[1]
+    rows = [
+        (1, f"{q0} {q1} {q0} filler words here", "p", "en", 1),
+        (2, "filler words here and more filler", "p", "en", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    got = {r["doc_id"]: r["score"] for r in ql_topk(spark, str(out)).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] > got[2]
+    import math
+
+    assert all(math.isfinite(v) for v in got.values())
+
+
+def test_length_quality_curve_deciles_partition_corpus(spark):
+    """Deciles cover every doc exactly once and are ordered by length."""
+    from tests.conftest import SF_DIR
+    from hedera_spark.operators.text_analysis import length_quality_curve
+    from hedera_spark.sources.tables import load_table
+
+    rows = sorted(
+        length_quality_curve(spark, SF_DIR).collect(), key=lambda r: r["decile"]
+    )
+    n_total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_chars"] <= b["min_chars"] or a["max_chars"] <= b["max_chars"]
