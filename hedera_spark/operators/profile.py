@@ -130,3 +130,67 @@ def quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rank_lt", 6).alias("rank_lt"),
         )
     )
+
+
+DRIFT_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between the two time halves of the
+    events log — the check a pipeline runs between ingestion batches
+    before retraining on "the same" distribution: event values bucketed
+    into deciles FENCED ON THE EARLIER HALF, per-bucket counts and
+    fractions for both halves, and the per-bucket population-stability
+    term ((fa - fb) * ln(fa / fb); the consumer sums terms for the PSI,
+    > 0.2 is the conventional re-examine threshold). Emitting per-bucket
+    rows keeps every number an exact integer count or a
+    deterministically-rounded ratio — and shows WHERE the mass moved,
+    which the single PSI number hides.
+
+    Plan: three single-shuffle passes over the scan (time midpoint,
+    decile fences on half A, bucket counts), each producing a 1-row /
+    10-row broadcastable frame — the same fence-broadcast discipline as
+    length_quality_curve; no global sort anywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tsu"), "value"
+    )
+    # integer `div`: Spark casts a double quotient to long by truncation
+    # while DuckDB CAST rounds — floor-division sidesteps the difference
+    piv = ev.agg(F.expr("(min(tsu) + max(tsu)) div 2").alias("pivot"))
+    tagged = ev.join(F.broadcast(piv)).select(
+        "value", (F.col("tsu") < F.col("pivot")).alias("is_a")
+    )
+    qs = ", ".join(str(x) for x in DRIFT_QS)
+    fences = tagged.where("is_a").agg(
+        F.expr(f"percentile(value, array({qs}))").alias("fences")
+    )
+    counts = (
+        tagged.join(F.broadcast(fences))
+        .select(
+            "is_a",
+            (F.size(F.filter("fences", lambda f: F.col("value") > f)) + 1)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("is_a").cast("long")).alias("n_a"),
+            F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    fa = F.col("n_a") / F.col("ta")
+    fb = F.col("n_b") / F.col("tb")
+    return counts.join(F.broadcast(totals)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(fa, 6).alias("frac_a"),
+        F.round(fb, 6).alias("frac_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round((fa - fb) * F.log(fa / fb), 6),
+        ).alias("psi_term"),
+    )

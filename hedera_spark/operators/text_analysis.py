@@ -1404,3 +1404,16 @@ def length_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_quality"),
         )
     )
+
+
+def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coverage matrix with subtotals: (lang, source) ROLLUP of
+    doc counts and total characters — the per-cell + per-lang + grand
+    totals a mixture designer reads next to mix_weights. The Expand
+    (×3 grouping sets) is inherent to ROLLUP and explicitly allowlisted,
+    like pv_cube; sums are exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

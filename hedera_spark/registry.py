@@ -5092,6 +5092,48 @@ register(
 )
 
 register(
+    "profile_drift",
+    prof.profile_drift,
+    f"""
+    WITH ev AS (SELECT epoch_us(ts) AS tsu, value FROM events),
+    piv AS (SELECT (min(tsu) + max(tsu)) // 2 AS piv_ts FROM ev),
+    tagged AS (SELECT value, tsu < piv_ts AS is_a FROM ev CROSS JOIN piv),
+    fences AS (
+      SELECT quantile_cont(value, [{", ".join(str(x) for x in prof.DRIFT_QS)}])
+        AS fences
+      FROM tagged WHERE is_a
+    ),
+    counts AS (
+      SELECT CAST(len(list_filter(fences, f -> value > f)) + 1 AS BIGINT)
+               AS bucket,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM tagged CROSS JOIN fences
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                   CAST(sum(n_b) AS BIGINT) AS tb FROM counts)
+    SELECT bucket, n_a, n_b,
+           round(n_a / ta, 6) AS frac_a,
+           round(n_b / tb, 6) AS frac_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN round((n_a / ta - n_b / tb) * ln((n_a / ta) / (n_b / tb)), 6)
+           END AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+
+register(
+    "corpus_rollup",
+    ta.corpus_rollup,
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+
+register(
     "event_transitions",
     ts.event_transitions,
     """
@@ -5403,6 +5445,9 @@ _DEMOTED_STABLE = [
     "event_transitions",
     "ql_topk",
     "length_quality_curve",
+    # twenty-fourth wave
+    "profile_drift",
+    "corpus_rollup",
 ]
 
 

@@ -141,6 +141,7 @@ def _empty_sf(spark, tmp_path):
         "event_transitions",
         "ql_topk",
         "length_quality_curve",
+        "profile_drift",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -49,6 +49,7 @@ ALLOWED_NESTED_LOOP = {
     "label_cohesion",  # 1-row global-centroid broadcast
     "ql_topk",  # 3-row (term, cf) + 1-row corpus-size broadcasts
     "length_quality_curve",  # 1-row decile-fences broadcast
+    "profile_drift",  # 1-row pivot + 1-row fences broadcasts
     "doc_perplexity",  # 1-row vocabulary-size broadcast
     "kmeans_embeddings",  # K-row centroid broadcast, like ann_ivf
     "anchor_cooccur",
@@ -121,7 +122,7 @@ def test_plan_hygiene(name, spark):
     # It is inherent to ROLLUP/CUBE (rev_max_ts, pv_cube) but in any
     # other query it means a multi-distinct aggregate snuck in — rewrite
     # as a two-level aggregate instead (see tpch_q21).
-    if name not in ("rev_max_ts", "pv_cube"):
+    if name not in ("rev_max_ts", "pv_cube", "corpus_rollup"):
         assert "Expand" not in plan, f"{name}: Expand (multi-distinct agg?)"
     if name not in ALLOWED_PYTHON:
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"

@@ -1899,3 +1899,49 @@ def test_length_quality_curve_deciles_partition_corpus(spark):
     assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
     for a, b in zip(rows, rows[1:]):
         assert a["max_chars"] <= b["min_chars"] or a["max_chars"] <= b["max_chars"]
+
+
+def test_profile_drift_detects_planted_shift(spark, tmp_path):
+    """Half A uniform-low values, half B shifted high: the top buckets
+    must hold B's mass and the PSI terms must be large and positive."""
+    import datetime as dt
+
+    rows = []
+    for i in range(100):
+        # first half: values 0..9; second half: values 100..109
+        half_a = i < 50
+        ts = dt.datetime(2024, 1, 1 if half_a else 20, 0, 0, i % 60)
+        rows.append((i, ts, i, "view", float(i % 10 + (0 if half_a else 100)), "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.profile import profile_drift
+
+    got = {r["bucket"]: r for r in profile_drift(spark, str(out)).collect()}
+    assert sum(r["n_a"] for r in got.values()) == 50
+    assert sum(r["n_b"] for r in got.values()) == 50
+    # every B value exceeds every A fence -> all of B lands in bucket 10
+    assert got[10]["n_b"] == 50 and got[10]["n_a"] <= 5
+    psi = sum(r["psi_term"] for r in got.values() if r["psi_term"] is not None)
+    assert psi > 0.2  # conventional "investigate" threshold
+
+
+def test_corpus_rollup_totals_reconcile(spark):
+    """Grand total row equals the sum of per-lang subtotals equals the
+    sum of leaf cells."""
+    from tests.conftest import SF_DIR
+    from hedera_spark.operators.text_analysis import corpus_rollup
+
+    rows = corpus_rollup(spark, SF_DIR).collect()
+    grand = [r for r in rows if r["lang"] is None and r["source"] is None]
+    langs = [r for r in rows if r["lang"] is not None and r["source"] is None]
+    leaves = [r for r in rows if r["lang"] is not None and r["source"] is not None]
+    assert len(grand) == 1
+    assert grand[0]["n_docs"] == sum(r["n_docs"] for r in langs) == sum(
+        r["n_docs"] for r in leaves
+    )
+    assert grand[0]["total_chars"] == sum(r["total_chars"] for r in leaves)
