@@ -704,3 +704,43 @@ def dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup does to the corpus MIXTURE: per (lang, source)
+    cell, doc counts and corpus fractions before and after exact dedup
+    (dedup_exact's min-doc_id survivorship), and the fraction shift —
+    the table a mixture designer reads next to mix_weights before
+    re-weighting, because dedup never removes mass uniformly (duplicates
+    concentrate in specific sources).
+
+    Plan shape (100 TB): one md5 window shuffle (identical to
+    dedup_exact) with lang/source riding the rows, one (lang, source)
+    aggregate over the bounded cell universe, and a 1-row totals
+    aggregate broadcast back — fractions are ratios of exact integers,
+    rounded once."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    flagged = docs.select(
+        "lang",
+        "source",
+        (F.col("doc_id") != F.min("doc_id").over(w)).cast("long").alias("is_dup"),
+    )
+    cells = flagged.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(1 - F.col("is_dup")).alias("n_after"),
+    )
+    tot = cells.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    )
+    fb = F.col("n_before") / F.col("tb")
+    fa = F.col("n_after") / F.col("ta")
+    return cells.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_before",
+        "n_after",
+        F.round(fb, 6).alias("frac_before"),
+        F.round(fa, 6).alias("frac_after"),
+        F.round(fa - fb, 6).alias("shift"),
+    )

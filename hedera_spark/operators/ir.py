@@ -585,3 +585,40 @@ def ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("s"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(10)
+
+
+def retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much the two retrieval models agree: BM25 (bm25_topk) vs
+    Dirichlet query likelihood (ql_topk) on the same fixed query —
+    overlap of the two top-10 doc sets, Jaccard, and the Spearman
+    footrule (sum of |rank difference|) over the common docs. The dial
+    that says whether the cheap scorer can substitute for the expensive
+    one before anyone swaps rankers in a pipeline.
+
+    Plan shape: both inputs are 10-row frames (their own plans are the
+    scale story, audited separately); ranking, the full outer join, and
+    the 1-row aggregate are all negligible. The one global window runs
+    over exactly 10 rows."""
+    wb = Window.orderBy(F.desc("score"), "doc_id")
+    b = bm25_topk(spark, sf_dir).select(
+        "doc_id", F.row_number().over(wb).alias("rank_bm25")
+    )
+    q = ql_topk(spark, sf_dir).select(
+        "doc_id", F.row_number().over(wb).alias("rank_ql")
+    )
+    both = F.col("rank_bm25").isNotNull() & F.col("rank_ql").isNotNull()
+    j = b.join(q, "doc_id", "full")
+    return j.agg(
+        F.sum(F.when(both, 1).otherwise(0)).alias("n_overlap"),
+        F.round(
+            F.sum(F.when(both, 1).otherwise(0))
+            / (F.count(F.lit(1)) * F.lit(1.0)),
+            6,
+        ).alias("jaccard"),
+        F.coalesce(
+            F.sum(
+                F.when(both, F.abs(F.col("rank_bm25") - F.col("rank_ql")))
+            ),
+            F.lit(0),
+        ).alias("footrule"),
+    )

@@ -194,3 +194,66 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((fa - fb) * F.log(fa / fb), 6),
         ).alias("psi_term"),
     )
+
+
+# FK edges of the TPC-H-ish star schema: (edge label, child table, child
+# key, parent table, parent key). The audit is schema-driven so a new
+# edge is one tuple here + one UNION arm in the oracle.
+FK_EDGES = [
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of every FK edge in the star schema:
+    one row per edge with child row count, distinct child-key count, and
+    orphan rows/keys (child keys absent from the parent) — the
+    constraint check a lake engine runs instead of enforcing FOREIGN KEY
+    at write time (parquet enforces nothing). Zero orphans on healthy
+    data; the operator is the monitor that proves it stays zero.
+
+    Plan shape (100 TB): each edge first collapses the child to its
+    DISTINCT key universe with per-key row counts (map-side partial agg
+    — the shuffle carries keys, not rows), then LEFT-joins the parent's
+    key set; orphan accounting is a 1-row aggregate. Joins are on the
+    shrunken key sets, so Catalyst broadcasts the dimension sides and
+    the fact tables are never re-shuffled whole. Edges are independent
+    one-row plans unioned at the end."""
+    rows = []
+    for edge, child, ckey, parent, pkey in FK_EDGES:
+        ck = (
+            load_table(spark, sf_dir, child)
+            .groupBy(F.col(ckey).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pk = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        miss = F.col("hit").isNull()
+        rows.append(
+            ck.join(pk, "k", "left").agg(
+                F.lit(edge).alias("edge"),
+                # coalesce: empty tables must audit as 0, not NULL
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_child_rows"),
+                F.count(F.lit(1)).alias("n_child_keys"),
+                F.coalesce(
+                    F.sum(F.when(miss, F.col("cnt"))), F.lit(0)
+                ).alias("n_orphan_rows"),
+                F.coalesce(
+                    F.sum(F.when(miss, 1).otherwise(0)), F.lit(0)
+                ).alias("n_orphan_keys"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -255,3 +255,89 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("attributed_revenue", 2).alias("attributed_revenue"),
         )
     )
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution — last-touch's
+    fairer sibling: each purchase's revenue is split equally across ALL
+    the views in its conversion window (the views since the previous
+    purchase, same-instant views included), so campaigns that open a
+    journey get credit, not only the one that closed it. Purchases with
+    no preceding view keep their full amount on the NULL-campaign row —
+    revenue always reconciles to the total.
+
+    Determinism: revenue is carried as exact integer MICRO-cents; the
+    equal split is integer division with the remainder assigned to the
+    LAST view (the deterministic tie-break), so partial-agg order cannot
+    move a single unit and both engines sum identical integers.
+
+    Plan shape (100 TB): one user_id window carries each event forward
+    to its next purchase (asof_join's union-window discipline — zero
+    join operators), one (user_id, purchase) aggregate builds the
+    ordered touch list (bounded by the conversion window, not the
+    user's history), and the credit split is array-local; the final
+    campaign roll-up aggregates over the tiny campaign universe."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "view").cast("int").alias("is_v"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("cents"),
+        F.when(
+            F.col("event_type") == "view",
+            F.get_json_object("props", "$.k").cast("int"),
+        ).alias("k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_v"), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    grp = F.first(
+        F.when(F.col("is_v") == 0, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    per = (
+        tagged.withColumn("grp", grp)
+        .where(F.col("grp").isNotNull())
+        .groupBy("user_id", "grp")
+        .agg(
+            F.max("cents").alias("cents"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_v") == 1, F.struct("ts", "event_id", "k")
+                        )
+                    )
+                ),
+                lambda x: x["k"],
+            ).alias("ks"),
+        )
+    )
+    credits = F.when(
+        F.size("ks") == 0,
+        F.expr(
+            "array(struct(CAST(NULL AS INT) AS campaign,"
+            " cents * 1000 AS micro))"
+        ),
+    ).otherwise(
+        F.expr(
+            "transform(ks, (x, i) -> struct(x AS campaign,"
+            " CASE WHEN i = size(ks) - 1"
+            " THEN cents * 1000 - (cents * 1000 div size(ks)) * (size(ks) - 1)"
+            " ELSE cents * 1000 div size(ks) END AS micro))"
+        )
+    )
+    return (
+        per.select(F.explode(credits).alias("c"))
+        .select(F.col("c.campaign").alias("campaign"), F.col("c.micro").alias("micro"))
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.round(F.sum("micro") / 100000.0, 6).alias("attributed_revenue"),
+        )
+    )

@@ -874,3 +874,54 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("total"), 6).alias("prob"),
     )
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths: the ordered sequence of the first 5 event
+    types in each gap-based session (session_stats' 30-minute rule),
+    joined with '>', counted across all sessions — the path-analysis
+    table behind funnel design (funnel tests ONE hypothesized order;
+    this surfaces which orders actually happen, ranked).
+
+    Plan shape (100 TB): the same single user_id shuffle as
+    session_stats (gap flag + running session id in one window), then a
+    (user_id, session) aggregate whose key is a superset of the window's
+    partition key, then a path aggregate over the tiny
+    distinct-path universe and a 20-row TakeOrdered — nothing global
+    ever sorts the corpus. Truncating to 5 events bounds the path
+    domain, which is what keeps the final aggregate broadcast-small."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # CAST: the raw column may arrive TIMESTAMP_NTZ, which unix_micros
+    # rejects (same normalization as profile_drift)
+    usec = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(usec - F.lag(usec).over(w) > 1_800_000_000, 1).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = gapped.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                5,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

@@ -142,6 +142,9 @@ def _empty_sf(spark, tmp_path):
         "ql_topk",
         "length_quality_curve",
         "profile_drift",
+        "session_paths",
+        "attribution_linear",
+        "dedup_impact",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -149,6 +152,20 @@ def test_operators_tolerate_empty_input(spark, tmp_path, qname):
 
     sf = _empty_sf(spark, tmp_path)
     assert QUERIES[qname](spark, sf).count() == 0
+
+
+def test_fk_integrity_empty_input_reports_all_edges(spark, tmp_path):
+    """The audit is a fixed-shape report: on empty tables it must still
+    emit one all-zero row per FK edge (a missing edge row would read as
+    'not audited', not 'clean')."""
+    from hedera_spark.operators.profile import FK_EDGES, fk_integrity
+
+    sf = _empty_sf(spark, tmp_path)
+    rows = fk_integrity(spark, sf).collect()
+    assert len(rows) == len(FK_EDGES)
+    for r in rows:
+        assert r["n_child_keys"] == 0
+        assert r["n_orphan_rows"] == 0 and r["n_orphan_keys"] == 0
 
 
 def test_single_token_docs_shingle_safely(spark, tmp_path):

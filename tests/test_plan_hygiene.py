@@ -50,6 +50,8 @@ ALLOWED_NESTED_LOOP = {
     "ql_topk",  # 3-row (term, cf) + 1-row corpus-size broadcasts
     "length_quality_curve",  # 1-row decile-fences broadcast
     "profile_drift",  # 1-row pivot + 1-row fences broadcasts
+    "dedup_impact",  # 1-row (total_before, total_after) broadcast
+    "retrieval_agreement",  # composes bm25_topk + ql_topk (their 1-row stats)
     "doc_perplexity",  # 1-row vocabulary-size broadcast
     "kmeans_embeddings",  # K-row centroid broadcast, like ann_ivf
     "anchor_cooccur",

@@ -1945,3 +1945,168 @@ def test_corpus_rollup_totals_reconcile(spark):
         r["n_docs"] for r in leaves
     )
     assert grand[0]["total_chars"] == sum(r["total_chars"] for r in leaves)
+
+
+def test_fk_integrity_counts_planted_orphans(spark, tmp_path):
+    """One orphan nation key on customer (2 rows sharing it) must show up
+    as 2 orphan rows / 1 orphan key on exactly that edge."""
+    out = tmp_path / "mini"
+    spark.createDataFrame(
+        [(1, "a", 10, 0.0, "m"), (2, "b", 10, 0.0, "m"), (3, "c", 1, 0.0, "m")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(str(out / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, "n", 1)], "n_nationkey long, n_name string, n_regionkey long"
+    ).write.parquet(str(out / "nation.parquet"))
+    spark.createDataFrame(
+        [(1, "r")], "r_regionkey long, r_name string"
+    ).write.parquet(str(out / "region.parquet"))
+    for name, schema in [
+        ("supplier", "s_suppkey long, s_name string, s_nationkey long,"
+                     " s_acctbal double"),
+        ("part", "p_partkey long, p_name string, p_brand string,"
+                 " p_type string, p_size int, p_retailprice double"),
+        ("orders", "o_orderkey long, o_custkey long, o_orderstatus string,"
+                   " o_totalprice double, o_orderdate timestamp,"
+                   " o_orderpriority string"),
+        ("lineitem", "l_orderkey long, l_partkey long, l_suppkey long,"
+                     " l_linenumber int, l_quantity double,"
+                     " l_extendedprice double, l_discount double,"
+                     " l_tax double, l_returnflag string,"
+                     " l_linestatus string, l_shipdate timestamp"),
+    ]:
+        spark.createDataFrame([], schema).write.parquet(
+            str(out / f"{name}.parquet")
+        )
+    from hedera_spark.operators.profile import fk_integrity
+
+    rows = {r["edge"]: r for r in fk_integrity(spark, str(out)).collect()}
+    bad = rows["customer.c_nationkey->nation"]
+    assert bad["n_child_rows"] == 3 and bad["n_child_keys"] == 2
+    assert bad["n_orphan_rows"] == 2 and bad["n_orphan_keys"] == 1
+    ok = rows["nation.n_regionkey->region"]
+    assert ok["n_orphan_rows"] == 0 and ok["n_orphan_keys"] == 0
+
+
+def test_fk_integrity_clean_on_testdata(spark):
+    """The synthetic star schema must be referentially intact — every
+    edge reports zero orphans (the monitor's steady-state reading)."""
+    from hedera_spark.operators.profile import fk_integrity
+    from tests.conftest import SF_DIR
+
+    for r in fk_integrity(spark, SF_DIR).collect():
+        assert r["n_orphan_rows"] == 0, r
+        assert r["n_orphan_keys"] == 0, r
+
+
+def test_session_paths_planted_sequences(spark, tmp_path):
+    """Two users with a known shared path and one divergent session."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # users 1 and 2: view > click in one session each
+    for uid in (1, 2):
+        for i, et in enumerate(["view", "click"]):
+            rows.append((eid, base + dt.timedelta(seconds=i), uid, et, 1.0, "{}"))
+            eid += 1
+    # user 1, second session (2h later): a lone purchase
+    rows.append((eid, base + dt.timedelta(hours=2), 1, "purchase", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.timeseries import session_paths
+
+    got = {r["path"]: r["n_sessions"] for r in session_paths(spark, str(out)).collect()}
+    assert got == {"view>click": 2, "purchase": 1}
+
+
+def test_attribution_linear_reconciles_and_splits(spark, tmp_path):
+    """3 views then one $9.99 purchase: each campaign gets 3.33, the last
+    touch absorbs the remainder cent-exactly; total always reconciles."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7, "view", 0.0, '{"k": 1}'),
+        (2, base + dt.timedelta(minutes=1), 7, "view", 0.0, '{"k": 2}'),
+        (3, base + dt.timedelta(minutes=2), 7, "view", 0.0, '{"k": 3}'),
+        (4, base + dt.timedelta(minutes=3), 7, "purchase", 9.99, '{"k": 0}'),
+        # user 8: purchase with no views -> NULL campaign, full amount
+        (5, base, 8, "purchase", 5.0, '{"k": 0}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.temporal_join import attribution_linear
+
+    got = {r["campaign"]: r for r in attribution_linear(spark, str(out)).collect()}
+    assert got[1]["attributed_revenue"] == 3.33
+    assert got[2]["attributed_revenue"] == 3.33
+    assert got[3]["attributed_revenue"] == 3.33  # 333 + remainder 0
+    assert got[None]["attributed_revenue"] == 5.0
+    total = sum(r["attributed_revenue"] for r in got.values())
+    assert abs(total - 14.99) < 1e-9
+
+
+def test_attribution_linear_reconciles_on_testdata(spark):
+    """Integer micro-cent credits must reconcile to total purchase
+    revenue bit-for-bit at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.temporal_join import attribution_linear
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    total_cents = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    attributed = attribution_linear(spark, SF_DIR).agg(
+        F.round(F.sum("attributed_revenue"), 2)
+    ).collect()[0][0]
+    assert abs(attributed - round(total_cents / 100.0, 2)) < 0.01
+
+
+def test_retrieval_agreement_consistency(spark):
+    """n_overlap in [0, 10]; jaccard == overlap / (20 - overlap);
+    footrule bounded by 9 per common doc."""
+    from hedera_spark.operators.ir import retrieval_agreement
+    from tests.conftest import SF_DIR
+
+    r = retrieval_agreement(spark, SF_DIR).collect()[0]
+    assert 0 <= r["n_overlap"] <= 10
+    assert abs(r["jaccard"] - r["n_overlap"] / (20 - r["n_overlap"])) < 1e-6
+    assert 0 <= r["footrule"] <= 9 * r["n_overlap"]
+
+
+def test_dedup_impact_reconciles_with_dedup_exact(spark):
+    """Cell totals must equal the corpus row count and dedup_exact's
+    survivor count; fractions sum to ~1 on both sides."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.dedup import dedup_exact, dedup_impact
+    from tests.conftest import SF_DIR
+
+    cells = dedup_impact(spark, SF_DIR).collect()
+    n_before = sum(r["n_before"] for r in cells)
+    n_after = sum(r["n_after"] for r in cells)
+    ex = dedup_exact(spark, SF_DIR)
+    assert n_before == ex.count()
+    assert n_after == ex.where(F.col("is_dup") == 0).count()
+    assert abs(sum(r["frac_before"] for r in cells) - 1.0) < 1e-3
+    assert abs(sum(r["frac_after"] for r in cells) - 1.0) < 1e-3
+    for r in cells:
+        assert r["n_after"] <= r["n_before"]
