@@ -287,3 +287,42 @@ def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("sum_p6") / (F.col("n_docs") * F.lit(1e6)), 6).alias("mean_p"),
     )
+
+
+def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the trained quality classifier against its
+    labels — the threshold-free companion to quality_calibration's
+    reliability bins (calibration can be perfect while ranking is
+    useless, and vice versa; you need both dials before trusting the
+    gate). Computed as the tie-corrected Mann-Whitney statistic:
+    midrank-sum of positives, normalized by n_pos * n_neg.
+
+    Exactness: p is already 6-dp quantized, so ranks and midranks are
+    exact (integers and .5 halves); the rank-sum stays below 2^52 and
+    is therefore an exact double at any accumulation order.
+
+    Scale: the corpus collapses to one row per DISTINCT score first
+    (≤ 10^6 + 1 rows by quantization — a bounded domain, not corpus
+    scale), so the single ordered window that turns counts into
+    midranks runs on the score domain, never on the documents."""
+    scored = quality_classifier(spark, sf_dir).select("p", "y")
+    by_p = scored.groupBy("p").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = by_p.withColumn(
+        "midrank",
+        F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0,
+    )
+    return ranked.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("pos") * F.col("midrank"))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2.0
+            )
+            / (F.sum("pos") * (F.sum("cnt") - F.sum("pos"))),
+            6,
+        ).alias("auc"),
+    )

@@ -622,3 +622,47 @@ def retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("footrule"),
     )
+
+
+def term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term occurrence-dispersion entropy: H(doc | term) over the
+    term's tf distribution across documents, with the normalized form
+    H/ln(df) in [0, 1] — IDF's forgotten complement (df says how many
+    docs a term touches; entropy says whether its mass is spread or
+    concentrated in one of them — a burstiness / keyword-ness signal
+    the quality and retrieval stacks both read). min-df 2, like
+    term_stats.
+
+    Exactness at any partition order: each (term, doc) row contributes
+    CAST(round(tf * ln(tf) * 1e6)) — an exact integer micro-unit — so
+    the per-term sum is an integer sum; H = ln(total) - S/1e6/total is
+    one deterministic double expression at the end (the embedding_pca
+    micro-unit discipline).
+
+    Plan: one aggregate over bow's (term, doc) rows — identical shuffle
+    profile to term_stats."""
+    return (
+        bow(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.sum(
+                F.expr("CAST(round(tf * ln(tf) * 1e6) AS BIGINT)")
+            ).alias("s_micro"),
+        )
+        .where(F.col("df") >= 2)
+        .select(
+            "term",
+            "df",
+            "cf",
+            F.round(
+                F.log("cf") - F.col("s_micro") / 1e6 / F.col("cf"), 6
+            ).alias("entropy"),
+            F.round(
+                (F.log("cf") - F.col("s_micro") / 1e6 / F.col("cf"))
+                / F.log("df"),
+                6,
+            ).alias("norm_entropy"),
+        )
+    )

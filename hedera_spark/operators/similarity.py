@@ -974,3 +974,31 @@ def label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("separation"),
     )
+
+
+def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of THE true nearest neighbor inside the LSH
+    probe's top-3 — the rank-position dial ann_recall doesn't read
+    (recall@3 says the truth is somewhere in the bucket's top 3; this
+    says whether it comes back FIRST, which is what a
+    retrieval-augmented pipeline actually consumes). rr = 1/rank when
+    the exact rank-1 neighbor appears in ann_lsh's ranking, 0 when the
+    bucket misses it; the mean over queries is MRR@3.
+
+    Plan shape: reuses the two audited ANN plans; the comparison is a
+    |queries|-bounded left join on (q_id, neighbor_id)."""
+    exact1 = (
+        ann_topk(spark, sf_dir)
+        .where(F.col("rk") == 1)
+        .select("q_id", "neighbor_id")
+    )
+    approx = ann_lsh(spark, sf_dir).select("q_id", "neighbor_id", "rk")
+    return (
+        exact1.join(approx, ["q_id", "neighbor_id"], "left")
+        .select(
+            "q_id",
+            F.col("neighbor_id").alias("true_neighbor_id"),
+            F.col("rk").isNotNull().cast("long").alias("found"),
+            F.round(F.coalesce(1.0 / F.col("rk"), F.lit(0.0)), 6).alias("rr"),
+        )
+    )

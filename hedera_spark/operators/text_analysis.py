@@ -1417,3 +1417,79 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+WEIGHTED_SAMPLE_K = 200
+_U32 = 4294967296.0  # 2^32: the md5-prefix hash range
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): each doc draws a reproducible uniform
+    u from its md5 (never 0/1: (h + 0.5) / 2^32) and gets priority
+    ln(u) / weight with weight = n_chars; the global top-K by priority
+    is a length-weighted sample — long docs proportionally more likely,
+    yet the same docs selected on every run and every engine (the
+    rand()-free discipline of sample_stratified, extended from
+    Bernoulli to weighted-without-replacement).
+
+    Plan: priorities are map-side scalar math on the scan; selection is
+    one TakeOrdered of K rows — no shuffle of the corpus, no global
+    sort. Priorities are rounded before ordering so both engines rank
+    identical values (doc_id breaks the residual ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    key = F.round(F.log((h + 0.5) / F.lit(_U32)) / F.col("n_chars"), 9)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            key.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+READ_SENT_WORDS = 20  # sentence proxy: fixed word segments (corpus has no punctuation)
+
+
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    feature the quality stacks feed alongside text_quality's ratios:
+    206.835 - 1.015·(words/sentences) - 84.6·(syllables/words).
+    Syllables are approximated as maximal vowel runs ([aeiouy]+, the
+    standard cheap proxy); the synthetic corpus has no sentence
+    punctuation, so a sentence is a fixed READ_SENT_WORDS-word segment
+    (the line_dedup convention). All three counts are exact integers,
+    so the formula is one deterministic double expression.
+
+    Plan: pure map over the doc scan; the scan is REBALANCED to full
+    parallelism first because regex extraction is CPU-dense per row
+    (the fingerprint/text_repetition lesson)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = F.size(F.split("text", " ")).cast("long")
+    syll = F.size(
+        F.expr("regexp_extract_all(text, '[aeiouy]+', 0)")
+    ).cast("long")
+    sents = F.greatest(
+        F.ceil(words / F.lit(float(READ_SENT_WORDS))).cast("long"), F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / sents)
+            - F.lit(84.6) * (syll / words),
+            4,
+        ).alias("flesch"),
+    )

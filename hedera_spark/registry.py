@@ -5389,6 +5389,100 @@ register(
     """,
 )
 
+register(
+    "classifier_auc",
+    imp.classifier_auc,
+    f"""
+    WITH scored AS (
+      SELECT p, y FROM ({ORACLE["quality_classifier"]}) t
+    ),
+    by_p AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY p
+    ),
+    r AS (
+      SELECT *, sum(cnt) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING)
+                  - cnt + (cnt + 1) / 2.0 AS midrank
+      FROM by_p
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+           round((sum(pos * midrank) - sum(pos) * (sum(pos) + 1) / 2.0)
+                 / (sum(pos) * (sum(cnt) - sum(pos))), 6) AS auc
+    FROM r
+    """,
+)
+
+register(
+    "term_entropy",
+    ir.term_entropy,
+    f"""
+    SELECT term, df, cf,
+           round(ln(cf) - s_micro / 1e6 / cf, 6) AS entropy,
+           round((ln(cf) - s_micro / 1e6 / cf) / ln(df), 6) AS norm_entropy
+    FROM (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS cf,
+             CAST(sum(CAST(round(tf * ln(tf) * 1e6) AS BIGINT)) AS BIGINT)
+               AS s_micro
+      FROM ({ORACLE["bow"]}) b
+      GROUP BY term HAVING count(*) >= 2
+    )
+    """,
+)
+
+register(
+    "sample_weighted",
+    ta.sample_weighted,
+    """
+    SELECT doc_id, lang, source, n_chars,
+           round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT + 0.5) / 4294967296.0) / n_chars, 9)
+             AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id LIMIT 200
+    """,
+)
+
+register(
+    "readability",
+    ta.readability,
+    """
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
+             AS flesch
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             greatest(CAST(ceil(len(string_split(text, ' ')) / 20.0)
+                           AS BIGINT), 1) AS n_sentences,
+             CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+      FROM documents
+    )
+    """,
+)
+
+register(
+    "ann_mrr",
+    sim.ann_mrr,
+    f"""
+    WITH e AS (
+      SELECT q_id, neighbor_id FROM ({ORACLE["ann_topk"]}) t WHERE rk = 1
+    ),
+    a AS (
+      SELECT q_id, neighbor_id, rk FROM ({ORACLE["ann_lsh"]}) t
+    )
+    SELECT e.q_id, e.neighbor_id AS true_neighbor_id,
+           CAST(CASE WHEN a.rk IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS found,
+           round(coalesce(1.0 / a.rk, 0.0), 6) AS rr
+    FROM e LEFT JOIN a
+      ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -5604,6 +5698,12 @@ _DEMOTED_STABLE = [
     "attribution_linear",
     "retrieval_agreement",
     "dedup_impact",
+    # twenty-sixth wave
+    "classifier_auc",
+    "term_entropy",
+    "sample_weighted",
+    "readability",
+    "ann_mrr",
 ]
 
 

@@ -145,6 +145,10 @@ def _empty_sf(spark, tmp_path):
         "session_paths",
         "attribution_linear",
         "dedup_impact",
+        "term_entropy",
+        "sample_weighted",
+        "readability",
+        "ann_mrr",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -33,6 +33,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_embedding",
     "ann_topk",
     "ann_recall",  # measures ann_lsh AGAINST the ann_topk baseline
+    "ann_mrr",  # measures ann_lsh AGAINST the ann_topk baseline
     "tpch_q11",
     "tpch_q22",
     "mix_weights",

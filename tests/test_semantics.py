@@ -2110,3 +2110,114 @@ def test_dedup_impact_reconciles_with_dedup_exact(spark):
     assert abs(sum(r["frac_after"] for r in cells) - 1.0) < 1e-3
     for r in cells:
         assert r["n_after"] <= r["n_before"]
+
+
+def test_classifier_auc_bounds_and_tie_correction(spark):
+    """AUC in [0, 1]; the classifier trained on these labels must rank
+    better than chance (> 0.5); counts reconcile with the corpus."""
+    from hedera_spark.operators.importance import classifier_auc
+    from tests.conftest import SF_DIR
+
+    r = classifier_auc(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["auc"] <= 1.0
+    assert r["auc"] > 0.5  # trained on its own labels: must beat chance
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+
+
+def test_classifier_auc_perfect_and_random_split(spark, monkeypatch, tmp_path):
+    """Hand-check the Mann-Whitney midrank formula on a tiny frame by
+    monkeypatching the classifier: perfect separation -> 1.0; all-tied
+    scores -> 0.5 exactly (the tie-correction's whole point)."""
+    import hedera_spark.operators.importance as imp
+
+    def fake_perfect(spark_, sf_dir_):
+        return spark.createDataFrame(
+            [(1, 0.9, True, 1), (2, 0.8, True, 1), (3, 0.2, False, 0)],
+            "doc_id long, p double, pred boolean, y long",
+        )
+
+    monkeypatch.setattr(imp, "quality_classifier", fake_perfect)
+    r = imp.classifier_auc(spark, "unused").collect()[0]
+    assert r["auc"] == 1.0
+
+    def fake_tied(spark_, sf_dir_):
+        return spark.createDataFrame(
+            [(1, 0.5, True, 1), (2, 0.5, True, 0), (3, 0.5, False, 1), (4, 0.5, False, 0)],
+            "doc_id long, p double, pred boolean, y long",
+        )
+
+    monkeypatch.setattr(imp, "quality_classifier", fake_tied)
+    r = imp.classifier_auc(spark, "unused").collect()[0]
+    assert r["auc"] == 0.5
+
+
+def test_term_entropy_uniform_vs_concentrated(spark, tmp_path):
+    """A term spread 1-per-doc must hit norm_entropy 1.0; a term with
+    all its mass in one doc plus a single stray occurrence must land
+    strictly below."""
+    docs = spark.createDataFrame(
+        [
+            (1, "flat burst burst burst burst burst burst burst", "p", "en", 1),
+            (2, "flat burst", "p", "en", 1),
+            (3, "flat x", "p", "en", 1),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.ir import term_entropy
+
+    rows = {r["term"]: r for r in term_entropy(spark, str(out)).collect()}
+    assert rows["flat"]["norm_entropy"] == 1.0  # 1 occurrence in each doc
+    assert rows["burst"]["norm_entropy"] < rows["flat"]["norm_entropy"]
+    assert rows["burst"]["df"] == 2 and rows["burst"]["cf"] == 8
+
+
+def test_sample_weighted_favors_long_docs(spark):
+    """The length-weighted sample's mean n_chars must exceed the corpus
+    mean, and the selection must be reproducible run to run."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.text_analysis import sample_weighted
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    s1 = sample_weighted(spark, SF_DIR)
+    mean_sample = s1.agg(F.avg("n_chars")).collect()[0][0]
+    mean_corpus = (
+        load_table(spark, SF_DIR, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert mean_sample > mean_corpus
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    ids2 = {r["doc_id"] for r in sample_weighted(spark, SF_DIR).collect()}
+    assert ids1 == ids2
+
+
+def test_readability_formula_by_hand(spark, tmp_path):
+    """4 words / 4 vowel runs, one 20-word sentence segment:
+    flesch = 206.835 - 1.015*4 - 84.6*1."""
+    docs = spark.createDataFrame(
+        [(1, "cat dog bird fish", "p", "en", 17)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import readability
+
+    r = readability(spark, str(out)).collect()[0]
+    assert r["n_words"] == 4 and r["n_sentences"] == 1 and r["n_syllables"] == 4
+    assert r["flesch"] == round(206.835 - 1.015 * 4 - 84.6 * 1, 4)
+
+
+def test_ann_mrr_consistent_with_recall(spark):
+    """rr > 0 exactly when found; rr = 1 iff the probe ranks the true
+    neighbor first; found-rate can never exceed ann_recall's hit rate
+    aggregated the same way."""
+    from hedera_spark.operators.similarity import ann_mrr
+    from tests.conftest import SF_DIR
+
+    rows = ann_mrr(spark, SF_DIR).collect()
+    assert rows, "query set is non-empty"
+    for r in rows:
+        assert (r["rr"] > 0) == (r["found"] == 1)
+        assert 0.0 <= r["rr"] <= 1.0
