@@ -574,3 +574,47 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("assortativity"),
     )
+
+
+TWO_HOP_TOPK = 50
+
+
+def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PREDICTED links: non-adjacent anchor pairs ranked by
+    common-neighbor count over the co-mention graph — the classic
+    link-prediction recommender (graph_neighbor_jaccard scores edges
+    that exist; this surfaces the pairs that don't yet). Reference
+    graph: entityrelation.pig's co-mention edges.
+
+    Plan shape: the two-hop candidate join is the triangle-enumeration
+    shape (sym ⋈ sym on the shared endpoint — Σdeg² bounded by
+    anchor_cooccur's df-cap and per-doc cuts), existing edges removed
+    with one LEFT ANTI join, then a TakeOrdered of 50 rows. No
+    Cartesian anywhere; ties break lexicographically."""
+    from hedera_spark.operators.anchors import anchor_cooccur
+
+    e = anchor_cooccur(spark, sf_dir).select("a1", "a2").persist()
+    sym = e.union(e.select(F.col("a2").alias("a1"), F.col("a1").alias("a2")))
+    x = sym.select(F.col("a1").alias("a"), F.col("a2").alias("v"))
+    y = sym.select(F.col("a1").alias("v"), F.col("a2").alias("c"))
+    cand = (
+        x.join(y, "v")
+        .where(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    out = (
+        cand.join(
+            e,
+            (cand["a"] == e["a1"]) & (cand["c"] == e["a2"]),
+            "left_anti",
+        )
+        .select(
+            F.col("a").alias("a1"),
+            F.col("c").alias("a2"),
+            "common_neighbors",
+        )
+        .orderBy(F.desc("common_neighbors"), "a1", "a2")
+        .limit(TWO_HOP_TOPK)
+    )
+    return out

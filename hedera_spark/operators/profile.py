@@ -20,7 +20,7 @@ while the sketch path stays one-pass/mergeable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hedera_spark.sources.tables import load_table
@@ -257,3 +257,58 @@ def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the two
+    time halves of the events log — profile_drift's distribution-wide
+    sibling (PSI reads 10 fixed bins; KS reads the supremum gap of the
+    full empirical CDFs, so narrow shifts between fences can't hide).
+    Output: one row — the KS D statistic, the value where the gap
+    peaks, and both half sizes.
+
+    Exactness: values are collapsed to the integer-cent grid, so both
+    CDFs are ratios of exact integer cumulative counts; D comparisons
+    run on identical doubles in both engines and ties break on the
+    cent value.
+
+    Scale: the corpus collapses to one row per DISTINCT cent value
+    (bounded by the value range, not the row count) before the single
+    ordered cumulative window — the classifier_auc bounded-domain
+    discipline; the time pivot is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tsu"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    piv = ev.agg(F.expr("(min(tsu) + max(tsu)) div 2").alias("pivot"))
+    tagged = ev.join(F.broadcast(piv)).select(
+        "cents", (F.col("tsu") < F.col("pivot")).alias("is_a")
+    )
+    by_v = tagged.groupBy("cents").agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+    )
+    tot = by_v.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = F.abs(
+        F.sum("n_a").over(w) / F.col("ta") - F.sum("n_b").over(w) / F.col("tb")
+    )
+    return (
+        by_v.join(F.broadcast(tot))
+        .select(
+            F.round(F.col("cents") / 100.0, 2).alias("at_value"),
+            d.alias("d_raw"),
+            F.col("ta").alias("n_a"),
+            F.col("tb").alias("n_b"),
+        )
+        .orderBy(F.desc("d_raw"), "at_value")
+        .limit(1)
+        .select(
+            "at_value",
+            F.round("d_raw", 6).alias("d_stat"),
+            "n_a",
+            "n_b",
+        )
+    )

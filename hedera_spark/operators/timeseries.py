@@ -925,3 +925,87 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival profile: for each event type, exact interpolated
+    percentiles of the time since the SAME USER's previous event (any
+    type) — the table that justifies session_stats' 30-minute gap rule
+    and stream watermark widths instead of folklore. Gaps are integer
+    microseconds from one user-keyed window; percentiles follow
+    value_percentiles' exact-interpolation convention, reported in
+    seconds.
+
+    Plan: the session_stats user_id shuffle produces the gaps; the
+    percentile aggregate groups by the tiny event-type universe."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    usec = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    gaps = ev.select(
+        "event_type", (usec - F.lag(usec).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_us, 0.9)") / 1e6, 6).alias("p90_s"),
+        F.round(F.expr("percentile(gap_us, 0.99)") / 1e6, 6).alias("p99_s"),
+    )
+
+
+CAMPAIGN_MIN_SHARED = 5
+
+
+def campaign_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign co-exposure matrix: unordered campaign pairs ranked by
+    shared distinct users, with lift (shared·total / (reach_a·reach_b))
+    — the audience-overlap table a marketer reads before attributing
+    anything (attribution splits credit; this says which campaigns even
+    compete for the same users). min-shared cut mirrors anchor_cooccur.
+
+    Scale: the self-join is keyed on user_id over per-user DISTINCT
+    campaigns, so fan-out is bounded by the campaign universe squared —
+    the anchor_cooccur shape with an intrinsically small domain; reach
+    and the 1-row user total broadcast back onto the pair aggregate."""
+    uk = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .where(F.col("k").isNotNull())
+        .distinct()
+    )
+    a = uk.select("user_id", F.col("k").alias("k1"))
+    b = uk.select("user_id", F.col("k").alias("k2"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("k1") < F.col("k2"))
+        .groupBy("k1", "k2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= CAMPAIGN_MIN_SHARED)
+    )
+    reach = uk.groupBy("k").agg(F.count(F.lit(1)).alias("reach"))
+    tot = uk.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        pairs.join(
+            F.broadcast(reach.select(F.col("k").alias("k1"), F.col("reach").alias("reach1"))),
+            "k1",
+        )
+        .join(
+            F.broadcast(reach.select(F.col("k").alias("k2"), F.col("reach").alias("reach2"))),
+            "k2",
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "k1",
+            "k2",
+            "n_shared",
+            "reach1",
+            "reach2",
+            F.round(
+                F.col("n_shared") * F.col("n_users")
+                / (F.col("reach1") * F.col("reach2")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -5483,6 +5483,108 @@ register(
     """,
 )
 
+register(
+    "ks_drift",
+    prof.ks_drift,
+    """
+    WITH ev AS (
+      SELECT epoch_us(ts) AS tsu,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    piv AS (SELECT (min(tsu) + max(tsu)) // 2 AS piv_ts FROM ev),
+    tagged AS (SELECT cents, tsu < piv_ts AS is_a FROM ev CROSS JOIN piv),
+    by_v AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM tagged GROUP BY cents
+    ),
+    tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                   CAST(sum(n_b) AS BIGINT) AS tb FROM by_v),
+    cum AS (
+      SELECT cents,
+             abs(sum(n_a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                   / CAST(ta AS DOUBLE)
+                 - sum(n_b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                   / CAST(tb AS DOUBLE)) AS d_raw,
+             ta, tb
+      FROM by_v CROSS JOIN tot
+    )
+    SELECT round(cents / 100.0, 2) AS at_value,
+           round(d_raw, 6) AS d_stat,
+           ta AS n_a, tb AS n_b
+    FROM cum ORDER BY d_raw DESC, at_value LIMIT 1
+    """,
+)
+
+register(
+    "events_gap_stats",
+    ts.events_gap_stats,
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_s,
+           round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_s,
+           round(quantile_cont(gap_us, 0.99) / 1e6, 6) AS p99_s
+    FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+    """,
+)
+
+register(
+    "campaign_cooccur",
+    ts.campaign_cooccur,
+    """
+    WITH uk AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.k AS k1, b.k AS k2, CAST(count(*) AS BIGINT) AS n_shared
+      FROM uk a JOIN uk b ON a.user_id = b.user_id AND a.k < b.k
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    reach AS (SELECT k, CAST(count(*) AS BIGINT) AS reach FROM uk GROUP BY k),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM uk)
+    SELECT k1, k2, n_shared, r1.reach AS reach1, r2.reach AS reach2,
+           round(n_shared * n_users / CAST(r1.reach * r2.reach AS DOUBLE), 6)
+             AS lift
+    FROM pairs
+    JOIN reach r1 ON pairs.k1 = r1.k
+    JOIN reach r2 ON pairs.k2 = r2.k
+    CROSS JOIN tot
+    """,
+)
+
+register(
+    "graph_two_hop",
+    gr.graph_two_hop,
+    f"""
+    WITH e AS (SELECT a1, a2 FROM ({ORACLE["anchor_cooccur"]}) t),
+    sym AS (SELECT a1 AS s, a2 AS d FROM e
+            UNION ALL SELECT a2, a1 FROM e),
+    cand AS (
+      SELECT x.s AS a1, y.d AS a2, CAST(count(*) AS BIGINT)
+               AS common_neighbors
+      FROM sym x JOIN sym y ON x.d = y.s
+      WHERE x.s < y.d
+      GROUP BY 1, 2
+    )
+    SELECT a1, a2, common_neighbors
+    FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a1 = cand.a1
+                        AND e.a2 = cand.a2)
+    ORDER BY common_neighbors DESC, a1, a2 LIMIT 50
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -5704,6 +5806,11 @@ _DEMOTED_STABLE = [
     "sample_weighted",
     "readability",
     "ann_mrr",
+    # twenty-seventh wave
+    "ks_drift",
+    "events_gap_stats",
+    "campaign_cooccur",
+    "graph_two_hop",
 ]
 
 

@@ -149,6 +149,9 @@ def _empty_sf(spark, tmp_path):
         "sample_weighted",
         "readability",
         "ann_mrr",
+        "events_gap_stats",
+        "campaign_cooccur",
+        "graph_two_hop",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

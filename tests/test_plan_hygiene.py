@@ -53,6 +53,9 @@ ALLOWED_NESTED_LOOP = {
     "profile_drift",  # 1-row pivot + 1-row fences broadcasts
     "dedup_impact",  # 1-row (total_before, total_after) broadcast
     "retrieval_agreement",  # composes bm25_topk + ql_topk (their 1-row stats)
+    "ks_drift",  # 1-row time-pivot + 1-row totals broadcasts
+    "campaign_cooccur",  # 1-row distinct-user-total broadcast
+    "graph_two_hop",  # via _cooccur_tokens (1-row hot stop-token array)
     "doc_perplexity",  # 1-row vocabulary-size broadcast
     "kmeans_embeddings",  # K-row centroid broadcast, like ann_ivf
     "anchor_cooccur",

@@ -2221,3 +2221,110 @@ def test_ann_mrr_consistent_with_recall(spark):
     for r in rows:
         assert (r["rr"] > 0) == (r["found"] == 1)
         assert 0.0 <= r["rr"] <= 1.0
+
+
+def test_ks_drift_detects_planted_shift(spark, tmp_path):
+    """Half A values at 1.00, half B at 101.00: the CDF gap must be 1.0
+    at the low value."""
+    import datetime as dt
+
+    rows = []
+    for i in range(100):
+        half_a = i < 50
+        ts = dt.datetime(2024, 1, 1 if half_a else 20, 0, 0, i % 60)
+        rows.append((i, ts, i, "view", 1.0 if half_a else 101.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.profile import ks_drift
+
+    r = ks_drift(spark, str(out)).collect()[0]
+    assert r["d_stat"] == 1.0
+    assert r["at_value"] == 1.0
+    assert r["n_a"] == 50 and r["n_b"] == 50
+
+
+def test_ks_drift_identical_halves_is_zero(spark, tmp_path):
+    """The same value set in both halves: D must be exactly 0."""
+    import datetime as dt
+
+    rows = []
+    for i in range(40):
+        half_a = i < 20
+        ts = dt.datetime(2024, 1, 1 if half_a else 20, 0, 0, i % 60)
+        rows.append((i, ts, i, "view", float(i % 20), "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.profile import ks_drift
+
+    r = ks_drift(spark, str(out)).collect()[0]
+    assert r["d_stat"] == 0.0
+
+
+def test_events_gap_stats_hand_computed(spark, tmp_path):
+    """One user, events at 0s/10s/30s: gaps are 10 and 20 -> p50 = 15."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base + dt.timedelta(seconds=10), 1, "view", 0.0, "{}"),
+        (3, base + dt.timedelta(seconds=30), 1, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.timeseries import events_gap_stats
+
+    r = events_gap_stats(spark, str(out)).collect()[0]
+    assert r["n_gaps"] == 2
+    assert r["p50_s"] == 15.0
+    assert r["p99_s"] == round(10 + 0.99 * (20 - 10), 6)  # interpolated
+
+
+def test_campaign_cooccur_lift_sanity(spark):
+    """Pairs are ordered, shared counts respect the min cut, lift is
+    positive, and n_shared can never exceed either reach."""
+    from hedera_spark.operators.timeseries import (
+        CAMPAIGN_MIN_SHARED,
+        campaign_cooccur,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = campaign_cooccur(spark, SF_DIR).collect()
+    assert rows, "sf0.001 corpus has co-exposed campaigns"
+    for r in rows:
+        assert r["k1"] < r["k2"]
+        assert r["n_shared"] >= CAMPAIGN_MIN_SHARED
+        assert r["n_shared"] <= min(r["reach1"], r["reach2"])
+        assert r["lift"] > 0
+
+
+def test_graph_two_hop_excludes_existing_edges(spark):
+    """No predicted pair may be an existing co-occurrence edge, pairs
+    are ordered, and every pair shares >= 1 common neighbor."""
+    from hedera_spark.operators.anchors import anchor_cooccur
+    from hedera_spark.operators.graph import graph_two_hop
+    from tests.conftest import SF_DIR
+
+    edges = {
+        (r["a1"], r["a2"]) for r in anchor_cooccur(spark, SF_DIR).collect()
+    }
+    preds = graph_two_hop(spark, SF_DIR).collect()
+    for r in preds:
+        assert r["a1"] < r["a2"]
+        assert (r["a1"], r["a2"]) not in edges
+        assert r["common_neighbors"] >= 1
