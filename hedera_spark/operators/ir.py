@@ -666,3 +666,49 @@ def term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("norm_entropy"),
         )
     )
+
+
+RARE_DF_DENOM = 10  # rare token: df <= corpus_docs / 10
+
+
+def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rare-token mass: fraction of a document's tokens whose
+    document frequency is at or below 1/10 of the corpus — the
+    OOV-/gibberish-detector every LLM cleaning stack runs (a doc made
+    of tokens nothing else uses is boilerplate noise, markup soup, or
+    another language). The threshold is corpus-RELATIVE so the operator
+    is meaningful at any scale.
+
+    Plan: df is one vocab-bounded aggregate joined back onto bow's
+    (doc, term) rows by term (Catalyst picks broadcast vs shuffle-hash
+    by vocab size); the corpus size is a 1-row broadcast; the per-doc
+    roll-up is one doc_id aggregate. Exact integer counts, one rounded
+    ratio."""
+    b = bow(spark, sf_dir)
+    from hedera_spark.sources.tables import load_table
+
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_corpus"))
+    )
+    df_t = b.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        b.join(df_t, "term")
+        .join(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("df") * RARE_DF_DENOM <= F.col("n_corpus"),
+                    F.col("tf"),
+                ).otherwise(0)
+            ).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_ratio"),
+        )
+    )

@@ -1493,3 +1493,58 @@ def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+def quality_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information audit of the quality gate against document
+    length: per (length-decile, label) cell, the exact count and the MI
+    term (n/N)·ln(n·N / (n_dec·n_y)) — summed by the consumer, I(decile;
+    label) says HOW MUCH the gate depends on length (the
+    length_quality_curve shows the direction; this is the magnitude in
+    nats, the number you compare across candidate gates). Per-cell rows
+    expose where the dependence concentrates.
+
+    Exactness: every margin is an exact integer; each cell emits one
+    deterministic double expression, so no cross-row float accumulation
+    exists to reorder.
+
+    Scale: same fence-broadcast deciling as length_quality_curve (no
+    global sort), one (decile, y) aggregate over 20 bounded cells, and
+    three broadcastable marginal aggregates joined back."""
+    q = text_quality(spark, sf_dir).select("n_chars", "quality")
+    qs = ", ".join(str(x) for x in LENGTH_FENCE_QS)
+    fences = q.agg(
+        F.expr(f"percentile(n_chars, array({qs}))").alias("fences")
+    )
+    cells = (
+        q.join(F.broadcast(fences))
+        .select(
+            (F.size(F.filter("fences", lambda f: F.col("n_chars") > f)) + 1)
+            .cast("long")
+            .alias("decile"),
+            (F.col("quality") >= CORPUS_MIN_QUALITY).cast("long").alias("y"),
+        )
+        .groupBy("decile", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dec_tot = cells.groupBy("decile").agg(F.sum("n").alias("n_dec"))
+    y_tot = cells.groupBy("y").agg(F.sum("n").alias("n_y"))
+    tot = cells.agg(F.sum("n").alias("n_all"))
+    return (
+        cells.join(F.broadcast(dec_tot), "decile")
+        .join(F.broadcast(y_tot), "y")
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            "y",
+            "n",
+            F.round(
+                (F.col("n") / F.col("n_all"))
+                * F.log(
+                    F.col("n") * F.col("n_all")
+                    / (F.col("n_dec") * F.col("n_y"))
+                ),
+                6,
+            ).alias("mi_term"),
+        )
+    )

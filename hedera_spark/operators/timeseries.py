@@ -1009,3 +1009,24 @@ def campaign_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def pv_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour traffic heat map (ISO weekday, Monday = 1) —
+    the calendar-periodicity dashboard next to pv_hour_profile's single
+    hour axis: weekday/weekend structure only shows on the 2-D grid.
+    One bounded aggregate (168 cells max); value sums carried as exact
+    integer cents (the pv_rolling_7d determinism trick)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.expr("weekday(ts)") + 1).cast("long").alias("isodow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("sum_value"),
+        )
+    )

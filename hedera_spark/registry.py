@@ -5585,6 +5585,64 @@ register(
     """,
 )
 
+register(
+    "quality_mi",
+    ta.quality_mi,
+    f"""
+    WITH tq AS ({{TQ}}),
+    fences AS (SELECT quantile_cont(n_chars, [{_LQ_QS}]) AS fences FROM tq),
+    cells AS (
+      SELECT CAST(len(list_filter(fences, f -> n_chars > f)) + 1 AS BIGINT)
+               AS decile,
+             CAST(CASE WHEN quality >= {ta.CORPUS_MIN_QUALITY} THEN 1 ELSE 0
+                  END AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS n
+      FROM tq CROSS JOIN fences
+      GROUP BY 1, 2
+    ),
+    dt AS (SELECT decile, CAST(sum(n) AS BIGINT) AS n_dec FROM cells
+           GROUP BY decile),
+    yt AS (SELECT y, CAST(sum(n) AS BIGINT) AS n_y FROM cells GROUP BY y),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM cells)
+    SELECT decile, y, n,
+           round((n / CAST(n_all AS DOUBLE))
+                 * ln(n * n_all / CAST(n_dec * n_y AS DOUBLE)), 6) AS mi_term
+    FROM cells JOIN dt USING (decile) JOIN yt USING (y) CROSS JOIN tot
+    """.replace("{TQ}", ORACLE["text_quality"]),
+)
+
+register(
+    "pv_dow_hour",
+    ts.pv_dow_hour,
+    """
+    SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+register(
+    "rare_token_ratio",
+    ir.rare_token_ratio,
+    f"""
+    WITH b AS (SELECT doc_id, term, tf FROM ({ORACLE["bow"]}) t),
+    corp AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM b GROUP BY term)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN df * {ir.RARE_DF_DENOM} <= n_corpus
+                         THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
+           round(sum(CASE WHEN df * {ir.RARE_DF_DENOM} <= n_corpus
+                          THEN tf ELSE 0 END)
+                 / CAST(sum(tf) AS DOUBLE), 6) AS rare_ratio
+    FROM b JOIN dft USING (term) CROSS JOIN corp
+    GROUP BY doc_id
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -5811,6 +5869,10 @@ _DEMOTED_STABLE = [
     "events_gap_stats",
     "campaign_cooccur",
     "graph_two_hop",
+    # twenty-eighth wave
+    "quality_mi",
+    "pv_dow_hour",
+    "rare_token_ratio",
 ]
 
 

@@ -152,6 +152,9 @@ def _empty_sf(spark, tmp_path):
         "events_gap_stats",
         "campaign_cooccur",
         "graph_two_hop",
+        "quality_mi",
+        "pv_dow_hour",
+        "rare_token_ratio",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -56,6 +56,8 @@ ALLOWED_NESTED_LOOP = {
     "ks_drift",  # 1-row time-pivot + 1-row totals broadcasts
     "campaign_cooccur",  # 1-row distinct-user-total broadcast
     "graph_two_hop",  # via _cooccur_tokens (1-row hot stop-token array)
+    "quality_mi",  # 1-row fences + 1-row total broadcasts
+    "rare_token_ratio",  # 1-row corpus-size broadcast
     "doc_perplexity",  # 1-row vocabulary-size broadcast
     "kmeans_embeddings",  # K-row centroid broadcast, like ann_ivf
     "anchor_cooccur",

@@ -2328,3 +2328,57 @@ def test_graph_two_hop_excludes_existing_edges(spark):
         assert r["a1"] < r["a2"]
         assert (r["a1"], r["a2"]) not in edges
         assert r["common_neighbors"] >= 1
+
+
+def test_quality_mi_terms_sum_nonnegative_and_reconcile(spark):
+    """MI = sum of terms must be >= 0 (information is non-negative up to
+    rounding); cell counts reconcile to the corpus; independent margins
+    appear in every cell."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.text_analysis import quality_mi
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = quality_mi(spark, SF_DIR).collect()
+    n_total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n"] for r in rows) == n_total
+    mi = sum(r["mi_term"] for r in rows)
+    assert mi >= -1e-5  # non-negative up to per-cell rounding
+    for r in rows:
+        assert 1 <= r["decile"] <= 10 and r["y"] in (0, 1)
+
+
+def test_pv_dow_hour_reconciles(spark):
+    """Cells cover the full log: counts sum to the event total and the
+    keys stay inside the 7 x 24 grid."""
+    from hedera_spark.operators.timeseries import pv_dow_hour
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = pv_dow_hour(spark, SF_DIR).collect()
+    assert sum(r["n_events"] for r in rows) == load_table(
+        spark, SF_DIR, "events"
+    ).count()
+    for r in rows:
+        assert 1 <= r["isodow"] <= 7
+        assert 0 <= r["hour"] <= 23
+
+
+def test_rare_token_ratio_planted_rare_token(spark, tmp_path):
+    """20 docs of common tokens + one doc carrying a unique token: only
+    that doc scores rare mass, exactly 1 of its 3 tokens."""
+    rows = [(i, "common words here", "p", "en", 1) for i in range(20)]
+    rows.append((99, "common words zyzzyx", "p", "en", 1))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.ir import rare_token_ratio
+
+    got = {r["doc_id"]: r for r in rare_token_ratio(spark, str(out)).collect()}
+    assert got[99]["n_rare"] == 1 and got[99]["n_tokens"] == 3
+    assert got[99]["rare_ratio"] == round(1 / 3, 6)
+    assert all(got[i]["n_rare"] == 0 for i in range(20))

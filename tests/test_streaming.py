@@ -1085,3 +1085,32 @@ def test_stream_attribution_equals_batch(spark):
         for r in attribution_last_touch(spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_drift_equals_batch_twin(spark):
+    """The windowed drift-bucket counts over the replayed log must equal
+    the batch reconstruction hour-for-hour, bucket-for-bucket — and the
+    full-log replay against its own baseline fences must spread across
+    all 10 buckets."""
+    from hedera_spark.streaming.drift import (
+        baseline_fences,
+        batch_drift_twin,
+        stream_drift,
+    )
+
+    fences = baseline_fences(spark, SF_DIR)
+    assert len(fences) == 9 and fences == sorted(fences)
+
+    q = (
+        stream_drift(spark, SF_DIR, fences=fences)
+        .writeStream.format("memory")
+        .queryName("drift_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from drift_stream").toPandas()
+    want = batch_drift_twin(spark, SF_DIR, fences=fences).toPandas()
+    assert_frames_match(got, want, "stream_drift")
+    assert set(got["bucket"]) == set(range(1, 11))
