@@ -618,3 +618,64 @@ def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TWO_HOP_TOPK)
     )
     return out
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition, per community:
+    q_term = w_in/m − (d_c/2m)² — the clustering-quality dial for
+    graph_communities (Σ q_term = Q; 0.3+ conventionally means real
+    structure). Emitting per-community rows shows WHICH communities
+    carry the structure, the same per-cell discipline as profile_drift.
+
+    Exactness: w_in, d_c and m are exact integer co-mention weights;
+    each row is one deterministic double expression.
+
+    Plan: two keyed joins label the edge endpoints, one community
+    aggregate each for internal weight and weighted degree, and the
+    1-row total-weight broadcast — all on the df-capped edge list."""
+    from hedera_spark.operators.anchors import anchor_cooccur
+
+    e = anchor_cooccur(spark, sf_dir).select(
+        "a1", "a2", F.col("n_docs").alias("w")
+    ).persist()
+    lab = graph_communities(spark, sf_dir)
+    e2 = e.join(
+        lab.select(F.col("anchor").alias("a1"), F.col("community").alias("c1")),
+        "a1",
+    ).join(
+        lab.select(F.col("anchor").alias("a2"), F.col("community").alias("c2")),
+        "a2",
+    )
+    m = e.agg(F.sum("w").alias("m"))
+    sym = e.select(F.col("a1").alias("anchor"), "w").union(
+        e.select(F.col("a2").alias("anchor"), "w")
+    )
+    deg = (
+        sym.groupBy("anchor")
+        .agg(F.sum("w").alias("d"))
+        .join(lab, "anchor")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("degree_w"))
+    )
+    intra = (
+        e2.where(F.col("c1") == F.col("c2"))
+        .groupBy(F.col("c1").alias("community"))
+        .agg(F.sum("w").alias("internal_w"))
+    )
+    out = (
+        deg.join(intra, "community", "left")
+        .join(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_w", F.lit(0)).alias("internal_w"),
+            "degree_w",
+            F.round(
+                F.coalesce("internal_w", F.lit(0)) / F.col("m")
+                - (F.col("degree_w") / (2.0 * F.col("m")))
+                * (F.col("degree_w") / (2.0 * F.col("m"))),
+                6,
+            ).alias("q_term"),
+        )
+    )
+    return out

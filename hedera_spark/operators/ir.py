@@ -712,3 +712,42 @@ def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_rare") / F.col("n_tokens"), 6).alias("rare_ratio"),
         )
     )
+
+
+CHAMPION_R = 5
+
+
+def champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion lists (Manning et al., IR ch. 7): per term, the top-R
+    docs by tf as a precomputed 'docid:tf' posting prefix — the
+    index-time pruning structure a ranked-retrieval engine consults
+    before touching the full postings (inverted_index stores them all;
+    this is the short list that answers most queries). Deterministic
+    tie-break: tf desc, then doc_id.
+
+    Plan: one term-keyed window ranks postings and the champions
+    aggregate reuses the same partitioning; df comes from the plain
+    term aggregate — two shuffles on the same key, both bounded by the
+    posting count."""
+    b = bow(spark, sf_dir)
+    stats = b.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    champs = (
+        b.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= CHAMPION_R)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "doc_id", "tf"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("champions")
+        )
+    )
+    return stats.join(champs, "term")

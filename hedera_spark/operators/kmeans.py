@@ -176,3 +176,85 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster for the
+    trained k-means: a = distance to the OWN post-hoc centroid, b = the
+    nearest OTHER centroid, s = (b−a)/max(a,b); mean s per cluster —
+    the clustering-quality dial (graph_modularity's twin on the
+    embedding side; near 0 means the cluster is not separated, and you
+    read this before trusting dedup_semantic's blocking). Centroid-based
+    silhouette is the standard O(n·K) form — the O(n²) pairwise variant
+    is exactly what doesn't scale.
+
+    Determinism: post-hoc centroid coordinates are exact integer
+    micro-unit sums divided once (s_micro / n / 1e6 — identical doubles
+    both engines); per-point distances are in-order folds over the
+    64-dim zip; mean s aggregates 6-dp-rounded micro-units.
+
+    Plan: the trained assignment (audited kmeans plan) + one
+    (cluster, dim) partial agg bounded by K·dims + a K-row broadcast
+    cross join + one cluster aggregate. Corpus touched twice."""
+    assign = kmeans_embeddings(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    pts = assign.join(emb, "vec_id")
+    cd = (
+        pts.select(
+            "cluster_id", F.posexplode("emb").alias("dim", "x")
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.sum(F.expr("CAST(round(x * 1e6) AS BIGINT)")).alias("s_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cents = cd.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "dim",
+                        (F.col("s_micro") / F.col("n") / 1e6).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("cemb")
+    )
+    dist = pts.crossJoin(
+        F.broadcast(cents.select(F.col("cluster_id").alias("cid"), "cemb"))
+    ).select(
+        "vec_id",
+        "cluster_id",
+        "cid",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("emb", "cemb", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("d"),
+    )
+    ab = dist.groupBy("vec_id", "cluster_id").agg(
+        F.max(F.when(F.col("cid") == F.col("cluster_id"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("cid") != F.col("cluster_id"), F.col("d"))).alias("b"),
+    )
+    s = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return (
+        ab.select("cluster_id", s.alias("s"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.expr("CAST(round(s * 1e6) AS BIGINT)"))
+                / (F.count(F.lit(1)) * 1e6),
+                6,
+            ).alias("mean_silhouette"),
+        )
+    )

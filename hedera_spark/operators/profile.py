@@ -312,3 +312,34 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
         )
     )
+
+
+K_ANON = 5
+QI_SIZE_BUCKET = 100  # n_chars bucket width for the quasi-identifier
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the documents table's quasi-identifiers
+    (lang, source, n_chars bucketed to 100-char bands): every QI cell
+    with its population and an at-risk flag (n < 5) — the re-identification
+    check a privacy review runs before a corpus release (pii_redact
+    scrubs direct identifiers; THIS finds rows whose metadata combination
+    is unique enough to re-identify anyway).
+
+    Plan: one aggregate onto the bounded QI grid; exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr(f"n_chars div {QI_SIZE_BUCKET}").alias("size_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "lang",
+            "source",
+            "size_bucket",
+            "n",
+            (F.col("n") < K_ANON).cast("long").alias("at_risk"),
+        )
+    )

@@ -1030,3 +1030,44 @@ def pv_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+def pv_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-concentration entropy per entity: H(day | entity) over
+    the entity's daily activity distribution + the normalized H/ln(days)
+    in [0, 1] — term_entropy's twin on the time axis (1.0 = perfectly
+    even activity; near 0 = one burst day), the burstiness dial next to
+    rev_burstiness's CV. Entities active on a single day are excluded
+    (norm undefined), like term_entropy's min-df.
+
+    Exactness: the per-day counts contribute integer micro-units
+    round(n·ln(n)·1e6), so the per-entity sum is an integer aggregation;
+    one deterministic double expression at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        daily.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("total"),
+            F.sum(
+                F.expr("CAST(round(n * ln(n) * 1e6) AS BIGINT)")
+            ).alias("s_micro"),
+        )
+        .where(F.col("n_days") >= 2)
+        .select(
+            "user_id",
+            "n_days",
+            "total",
+            F.round(
+                F.log("total") - F.col("s_micro") / 1e6 / F.col("total"), 6
+            ).alias("entropy"),
+            F.round(
+                (F.log("total") - F.col("s_micro") / 1e6 / F.col("total"))
+                / F.log("n_days"),
+                6,
+            ).alias("norm_entropy"),
+        )
+    )

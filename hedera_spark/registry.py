@@ -5643,6 +5643,144 @@ register(
     """,
 )
 
+register(
+    "graph_modularity",
+    gr.graph_modularity,
+    f"""
+    WITH e AS (SELECT a1, a2, n_docs AS w FROM ({ORACLE["anchor_cooccur"]}) t),
+    lab AS (SELECT anchor, community
+            FROM ({ORACLE["graph_communities"]}) t),
+    m AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM e),
+    sym AS (SELECT a1 AS anchor, w FROM e UNION ALL SELECT a2, w FROM e),
+    deg AS (
+      SELECT community, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS degree_w
+      FROM (SELECT anchor, CAST(sum(w) AS BIGINT) AS d FROM sym
+            GROUP BY anchor) dd
+      JOIN lab USING (anchor) GROUP BY community
+    ),
+    intra AS (
+      SELECT l1.community AS community, CAST(sum(w) AS BIGINT) AS internal_w
+      FROM e JOIN lab l1 ON e.a1 = l1.anchor
+             JOIN lab l2 ON e.a2 = l2.anchor
+      WHERE l1.community = l2.community GROUP BY 1
+    )
+    SELECT community, n_nodes,
+           CAST(coalesce(internal_w, 0) AS BIGINT) AS internal_w, degree_w,
+           round(coalesce(internal_w, 0) / CAST(m AS DOUBLE)
+                 - (degree_w / (2.0 * m)) * (degree_w / (2.0 * m)), 6)
+             AS q_term
+    FROM deg LEFT JOIN intra USING (community) CROSS JOIN m
+    """,
+)
+
+register(
+    "champion_lists",
+    ir.champion_lists,
+    f"""
+    WITH b AS (SELECT doc_id, term, tf FROM ({ORACLE["bow"]}) t),
+    stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM b
+              GROUP BY term),
+    r AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)
+               AS rk
+      FROM b
+    ),
+    champs AS (
+      SELECT term,
+             string_agg(doc_id || ':' || tf, ',' ORDER BY rk) AS champions
+      FROM r WHERE rk <= {ir.CHAMPION_R} GROUP BY term
+    )
+    SELECT term, df, champions FROM stats JOIN champs USING (term)
+    """,
+)
+
+register(
+    "k_anonymity",
+    prof.k_anonymity,
+    f"""
+    SELECT lang, source, n_chars // {prof.QI_SIZE_BUCKET} AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CASE WHEN count(*) < {prof.K_ANON} THEN 1 ELSE 0 END
+                AS BIGINT) AS at_risk
+    FROM documents GROUP BY 1, 2, 3
+    """,
+)
+
+register(
+    "pv_entropy",
+    ts.pv_entropy,
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n) AS BIGINT) AS total,
+           round(ln(sum(n))
+                 - CAST(sum(CAST(round(n * ln(n) * 1e6) AS BIGINT)) AS BIGINT)
+                   / 1e6 / sum(n), 6) AS entropy,
+           round((ln(sum(n))
+                  - CAST(sum(CAST(round(n * ln(n) * 1e6) AS BIGINT))
+                         AS BIGINT) / 1e6 / sum(n)) / ln(count(*)), 6)
+             AS norm_entropy
+    FROM daily GROUP BY user_id HAVING count(*) >= 2
+    """,
+)
+
+register(
+    "kmeans_silhouette",
+    km.kmeans_silhouette,
+    f"""
+    WITH {{KM}},
+    emb2 AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    pts AS (
+      SELECT k.vec_id, k.cluster_id, e.emb
+      FROM kassign k JOIN emb2 e USING (vec_id)
+    ),
+    cd AS (
+      SELECT cluster_id, t.i AS dim,
+             CAST(sum(CAST(round(emb[t.i] * 1e6) AS BIGINT)) AS BIGINT)
+               AS s_micro,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT cluster_id AS cid, list(s_micro / n / 1e6 ORDER BY dim) AS cemb
+      FROM cd GROUP BY 1
+    ),
+    dist AS (
+      SELECT p.vec_id, p.cluster_id, c.cid,
+             sqrt(list_reduce(
+               list_transform(range(1, 65),
+                 i -> (p.emb[i] - c.cemb[i]) * (p.emb[i] - c.cemb[i])),
+               (acc, v) -> acc + v)) AS d
+      FROM pts p CROSS JOIN cent c
+    ),
+    ab AS (
+      SELECT vec_id, cluster_id,
+             max(CASE WHEN cid = cluster_id THEN d END) AS a,
+             min(CASE WHEN cid != cluster_id THEN d END) AS b
+      FROM dist GROUP BY 1, 2
+    ),
+    sv AS (
+      SELECT cluster_id,
+             CASE WHEN greatest(a, b) = 0 THEN 0.0
+                  ELSE (b - a) / greatest(a, b) END AS s
+      FROM ab
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(s * 1e6) AS BIGINT)) AS BIGINT)
+                 / (count(*) * 1e6), 6) AS mean_silhouette
+    FROM sv GROUP BY cluster_id
+    """.replace("{KM}", _KMEANS_CTES),
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -5873,6 +6011,12 @@ _DEMOTED_STABLE = [
     "quality_mi",
     "pv_dow_hour",
     "rare_token_ratio",
+    # twenty-ninth wave
+    "graph_modularity",
+    "champion_lists",
+    "k_anonymity",
+    "pv_entropy",
+    "kmeans_silhouette",
 ]
 
 

@@ -155,6 +155,10 @@ def _empty_sf(spark, tmp_path):
         "quality_mi",
         "pv_dow_hour",
         "rare_token_ratio",
+        "graph_modularity",
+        "champion_lists",
+        "k_anonymity",
+        "pv_entropy",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

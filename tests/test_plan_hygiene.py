@@ -58,6 +58,8 @@ ALLOWED_NESTED_LOOP = {
     "graph_two_hop",  # via _cooccur_tokens (1-row hot stop-token array)
     "quality_mi",  # 1-row fences + 1-row total broadcasts
     "rare_token_ratio",  # 1-row corpus-size broadcast
+    "graph_modularity",  # 1-row total-weight broadcast + cooccur hot-set
+    "kmeans_silhouette",  # K-row centroid broadcast, like kmeans_embeddings
     "doc_perplexity",  # 1-row vocabulary-size broadcast
     "kmeans_embeddings",  # K-row centroid broadcast, like ann_ivf
     "anchor_cooccur",

@@ -2382,3 +2382,103 @@ def test_rare_token_ratio_planted_rare_token(spark, tmp_path):
     assert got[99]["n_rare"] == 1 and got[99]["n_tokens"] == 3
     assert got[99]["rare_ratio"] == round(1 / 3, 6)
     assert all(got[i]["n_rare"] == 0 for i in range(20))
+
+
+def test_graph_modularity_reconciles(spark):
+    """Sum of internal weights <= m; degree weights sum to 2m; Q in
+    [-0.5, 1]."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.anchors import anchor_cooccur
+    from hedera_spark.operators.graph import graph_modularity
+    from tests.conftest import SF_DIR
+
+    rows = graph_modularity(spark, SF_DIR).collect()
+    m = (
+        anchor_cooccur(spark, SF_DIR)
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    assert sum(r["internal_w"] for r in rows) <= m
+    assert sum(r["degree_w"] for r in rows) == 2 * m
+    q = sum(r["q_term"] for r in rows)
+    assert -0.5 <= q <= 1.0
+
+
+def test_champion_lists_prefix_of_postings(spark, tmp_path):
+    """Champions are the top-R by (tf desc, doc_id): hand-check on a
+    planted frame where doc 3 has the highest tf."""
+    docs = spark.createDataFrame(
+        [
+            (1, "w", "p", "en", 1),
+            (2, "w w", "p", "en", 1),
+            (3, "w w w", "p", "en", 1),
+            (4, "w", "p", "en", 1),
+            (5, "w", "p", "en", 1),
+            (6, "w", "p", "en", 1),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "mini"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.ir import champion_lists
+
+    r = {x["term"]: x for x in champion_lists(spark, str(out)).collect()}
+    assert r["w"]["df"] == 6
+    assert r["w"]["champions"] == "3:3,2:2,1:1,4:1,5:1"
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    """Flags match the group sizes and the cells partition the corpus."""
+    from hedera_spark.operators.profile import K_ANON, k_anonymity
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = k_anonymity(spark, SF_DIR).collect()
+    assert sum(r["n"] for r in rows) == load_table(
+        spark, SF_DIR, "documents"
+    ).count()
+    for r in rows:
+        assert r["at_risk"] == (1 if r["n"] < K_ANON else 0)
+
+
+def test_pv_entropy_uniform_user_hits_one(spark, tmp_path):
+    """A user with one event on each of 4 days: norm_entropy exactly 1;
+    a user with 9 events on one day + 1 on another is far below."""
+    import datetime as dt
+
+    rows = []
+    for d in range(4):
+        rows.append((d, dt.datetime(2024, 1, 1 + d), 1, "view", 0.0, "{}"))
+    eid = 10
+    for i in range(9):
+        rows.append((eid + i, dt.datetime(2024, 2, 1, i), 2, "view", 0.0, "{}"))
+    rows.append((30, dt.datetime(2024, 2, 5), 2, "view", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = tmp_path / "mini"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.timeseries import pv_entropy
+
+    got = {r["user_id"]: r for r in pv_entropy(spark, str(out)).collect()}
+    assert got[1]["norm_entropy"] == 1.0
+    assert got[2]["norm_entropy"] < 0.7
+
+
+def test_kmeans_silhouette_bounds_and_coverage(spark):
+    """One row per non-empty cluster; mean silhouette in [-1, 1]; ns sum
+    to the corpus."""
+    from hedera_spark.operators.kmeans import kmeans_silhouette
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = kmeans_silhouette(spark, SF_DIR).collect()
+    assert rows
+    assert sum(r["n"] for r in rows) == load_table(
+        spark, SF_DIR, "embeddings"
+    ).count()
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
