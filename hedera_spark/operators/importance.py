@@ -326,3 +326,70 @@ def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+GATE_PAIRS = [("heuristic", "classifier"), ("heuristic", "ccnet"), ("classifier", "ccnet")]
+
+
+def gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the three quality recipes — heuristic gate
+    (text_quality >= 0.70), trained classifier (pred), CCNet tercile
+    (keep = not tail) — pairwise confusion counts, raw agreement, and
+    chance-corrected kappa. The number that says whether the cheap gate
+    can replace the expensive one, or whether they disagree enough that
+    corpus_select's choice of gate actually changes the corpus.
+
+    Exactness: confusion cells are exact integers; agreement and kappa
+    are single deterministic double expressions per row.
+
+    Plan: the three per-doc keep flags join once on doc_id; each pair
+    is one 1-row aggregate over the joined frame (3 bounded rows
+    unioned)."""
+    from hedera_spark.operators.text_analysis import (
+        CORPUS_MIN_QUALITY,
+        text_quality,
+    )
+
+    h = text_quality(spark, sf_dir).select(
+        "doc_id",
+        (F.col("quality") >= CORPUS_MIN_QUALITY).cast("long").alias("heuristic"),
+    )
+    c = quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("pred").cast("long").alias("classifier")
+    )
+    n = ccnet_buckets(spark, sf_dir).select(
+        "doc_id", (F.col("bucket") != "tail").cast("long").alias("ccnet")
+    )
+    joined = h.join(c, "doc_id").join(n, "doc_id").persist()
+    blocks = []
+    for ga, gb in GATE_PAIRS:
+        a, b = F.col(ga), F.col(gb)
+        agg = joined.agg(
+            F.lit(f"{ga}-vs-{gb}").alias("pair"),
+            F.sum((a * b)).alias("n11"),
+            F.sum(a * (1 - b)).alias("n10"),
+            F.sum((1 - a) * b).alias("n01"),
+            F.sum((1 - a) * (1 - b)).alias("n00"),
+        )
+        blocks.append(agg)
+    out = blocks[0]
+    for bl in blocks[1:]:
+        out = out.unionByName(bl)
+    n_all = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    po = (F.col("n11") + F.col("n00")) / n_all
+    # pe as a sum of RATIO products (never integer margin products —
+    # margin * margin overflows BIGINT at corpus scale)
+    pe = ((F.col("n11") + F.col("n10")) / n_all) * (
+        (F.col("n11") + F.col("n01")) / n_all
+    ) + ((F.col("n01") + F.col("n00")) / n_all) * (
+        (F.col("n10") + F.col("n00")) / n_all
+    )
+    return out.select(
+        "pair",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("agreement"),
+        F.when(pe != 1.0, F.round((po - pe) / (1 - pe), 6)).alias("kappa"),
+    )

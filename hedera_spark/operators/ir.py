@@ -751,3 +751,94 @@ def champion_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.join(champs, "term")
+
+
+def retrieval_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced interleaving of the BM25 and query-likelihood top-10
+    lists (Joachims 2002's evaluation setup, deterministic variant):
+    BM25's rank-r doc takes provisional slot 2r−1, QL's takes 2r, a doc
+    appearing in both keeps its EARLIEST slot credited to that team
+    (BM25 on equal rank, matching the odd-slots-first convention), and
+    slots are re-numbered densely — the single list you'd actually
+    serve to users to A/B the two rankers with click attribution.
+
+    Plan: two 10-row inputs, one ≤20-row union + min-slot dedup + one
+    global window over ≤20 rows. The audited BM25/QL plans are the
+    scale story; the interleave is negligible."""
+    b = bm25_topk(spark, sf_dir)
+    q = ql_topk(spark, sf_dir)
+    wb = Window.orderBy(F.desc("score"), "doc_id")
+    slots = (
+        b.select(
+            "doc_id",
+            (F.row_number().over(wb) * 2 - 1).alias("slot"),
+            F.lit("bm25").alias("team"),
+        )
+        .unionByName(
+            q.select(
+                "doc_id",
+                (F.row_number().over(wb) * 2).alias("slot"),
+                F.lit("ql").alias("team"),
+            )
+        )
+    )
+    first = (
+        slots.groupBy("doc_id")
+        .agg(
+            F.min_by("slot", "slot").alias("slot"),
+            F.min_by("team", "slot").alias("team"),
+        )
+    )
+    return first.select(
+        F.row_number().over(Window.orderBy("slot")).cast("long").alias("pos"),
+        "doc_id",
+        "team",
+    )
+
+
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the query-likelihood ranking scored against BM25 as
+    graded truth (rel = 11 − bm25_rank, 0 for docs outside BM25's
+    top-10) — the rank-weighted companion to retrieval_agreement's
+    set-overlap dial: overlap says WHETHER the cheap ranker finds the
+    same docs, NDCG says whether it puts them in the right ORDER.
+    IDCG is computed from the BM25 list itself (rel is strictly
+    decreasing, so BM25's own order IS the ideal ordering).
+
+    Determinism: ranks and rels are exact integers; each DCG term is
+    rel/(ln(rank+1)/ln 2) on identical integer inputs, and the two sums
+    run over ≤10 terms before one rounded division.
+
+    Plan: two audited top-10 rankings (bm25_topk / ql_topk carry the
+    corpus-stat broadcasts), then ≤10-row joins and one 1-row
+    aggregate — the ranking plans are the scale story."""
+    b = bm25_topk(spark, sf_dir)
+    q = ql_topk(spark, sf_dir)
+    wb = Window.orderBy(F.desc("score"), "doc_id")
+    brel = b.select(
+        "doc_id",
+        (11 - F.row_number().over(wb)).cast("long").alias("rel"),
+        F.row_number().over(wb).cast("long").alias("b_rank"),
+    )
+    qrank = q.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("q_rank")
+    )
+    log2 = lambda c: F.log(c.cast("double")) / F.log(F.lit(2.0))  # noqa: E731
+    dcg_rows = qrank.join(brel, "doc_id", "left")
+    dcg = dcg_rows.agg(
+        F.sum(F.when(F.col("rel").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_overlap"),
+        F.sum(
+            F.coalesce(F.col("rel"), F.lit(0)) / log2(F.col("q_rank") + 1)
+        ).alias("dcg_raw"),
+    )
+    idcg = brel.agg(
+        F.sum(F.col("rel") / log2(F.col("b_rank") + 1)).alias("idcg_raw")
+    )
+    return dcg.join(idcg).select(
+        "n_overlap",
+        F.round("dcg_raw", 6).alias("dcg"),
+        F.round("idcg_raw", 6).alias("idcg"),
+        F.round(F.col("dcg_raw") / F.col("idcg_raw"), 6).alias("ndcg"),
+    )

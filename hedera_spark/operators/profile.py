@@ -343,3 +343,67 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") < K_ANON).cast("long").alias("at_risk"),
         )
     )
+
+
+ERASURE_PCT = 2  # users whose md5 bucket falls under this percentage
+
+
+def erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-erasure impact analysis: for a deterministic 2% user erasure
+    set (sample_stratified's md5-bucket discipline — reproducible, no
+    rand()), the row counts each table would lose, including the
+    CASCADE through orders → lineitem — the blast-radius audit a lake
+    runs before executing a right-to-be-forgotten batch (the deletes
+    rewrite immutable parquet, so you cost them first).
+
+    Plan: the erasure set is a distinct-keyed marker table joined LEFT
+    (never materialized to the driver), so each table is scanned ONCE
+    and yields total + erased in the same 1-row aggregate — no separate
+    semi-join pass, no 1×1 scalar combine join (the agg-join-agg shape
+    plans a BroadcastNestedLoopJoin). lineitem cascades through the
+    erased-order keys. Four independent 1-row aggregates unioned."""
+    bucket = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(F.col(c).cast("string")), 31, 2), 16, 10
+    ).cast("long")
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .where(bucket("user_id") % 100 < ERASURE_PCT)
+        .withColumn("_hit", F.lit(1))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def block(name, df, keys, key):
+        j = df.join(keys.withColumnRenamed("user_id", key), key, "left")
+        return j.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_erased"),
+        )
+
+    # erased order keys (distinct by construction: o_orderkey is the PK)
+    ord_keys = (
+        orders.join(
+            users.withColumnRenamed("user_id", "o_custkey"), "o_custkey"
+        )
+        .select(F.col("o_orderkey").alias("user_id"))
+        .withColumn("_hit", F.lit(1))
+    )
+    rows = [
+        block("customer", cust, users, "c_custkey"),
+        block("events", ev, users, "user_id"),
+        block("lineitem", li, ord_keys, "l_orderkey"),
+        block("orders", orders, users, "o_custkey"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "table_name",
+        "n_total",
+        "n_erased",
+        F.round(F.col("n_erased") / F.col("n_total"), 6).alias("frac"),
+    )

@@ -1548,3 +1548,48 @@ def quality_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mi_term"),
         )
     )
+
+
+SPLIT_VAL_PCT = 2  # md5 buckets 96–97
+SPLIT_TEST_PCT = 2  # md5 buckets 98–99
+
+
+def data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout split with per-language
+    token accounting — the budget sheet a training run is provisioned
+    from (does the val split cover every language? how many tokens
+    does each cut actually hold?). Assignment follows
+    sample_stratified's md5-bucket discipline (buckets 0–95 train,
+    96–97 val, 98–99 test): reproducible across runs and engines, the
+    same doc always lands in the same split, and the split survives
+    incremental reprocessing — rand() does none of these.
+
+    Output is INTEGER-only (doc and whitespace-token counts per
+    split × lang) — no fraction columns, so no cross-engine rounding
+    surface at all.
+
+    Scale: the bucket and token count are map-side expressions on the
+    scan; one (split, lang)-bounded partial-agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 100 - SPLIT_VAL_PCT - SPLIT_TEST_PCT, "train")
+        .when(bucket < 100 - SPLIT_TEST_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )

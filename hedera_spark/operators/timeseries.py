@@ -1071,3 +1071,163 @@ def pv_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("norm_entropy"),
         )
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+def pv_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart per entity: the exponentially weighted moving
+    average of the daily count series (α = 0.3, seeded at the first
+    observation), emitted as a comma-joined per-day series plus the
+    final level — the anomaly-band baseline ops teams actually chart
+    (pv_anomaly's z-score reads a fixed window; EWMA weights recency).
+
+    Determinism: the recurrence ewma_t = α·x_t + (1−α)·ewma_{t−1} is a
+    SEQUENTIAL in-order array fold per entity carried in BIGINT
+    micro-units of 1e-4 (units_t = (3·x·10⁴ + 7·units_{t−1} + 5) div 10
+    — integer HALF_UP, never engine round()): with 4-dp levels the
+    α=0.3 step lands the 5th decimal on a tie roughly every 10th step,
+    so double round() would diverge structurally across engines (see
+    embedding_pca's identical fix). The series string is formatted from
+    the integers too, so no shortest-double-repr dependence; the
+    closed-form window rewrite was rejected — its r^{−t} terms overflow
+    double precision on long series.
+
+    Plan: one (entity, day) aggregate, then one entity aggregate whose
+    fold runs array-side over the bounded day span (ts_vector's series
+    discipline). No window beyond the daily rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_user = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("xs"),
+    )
+    step = (
+        "CASE WHEN acc.p < 0 THEN x * 10000 "
+        "ELSE (3 * x * 10000 + 7 * acc.p + 5) div 10 END"
+    )
+
+    def fmt(u: str) -> str:
+        frac = (
+            f"regexp_replace(lpad(CAST(({u}) % 10000 AS STRING), 4, '0'),"
+            " '0+$', '')"
+        )
+        return (
+            f"concat(CAST(({u}) div 10000 AS STRING), '.',"
+            f" CASE WHEN {frac} = '' THEN '0' ELSE {frac} END)"
+        )
+
+    fold = F.expr(
+        f"""
+        aggregate(
+          xs,
+          named_struct('s', CAST('' AS STRING), 'p', CAST(-1 AS BIGINT)),
+          (acc, x) -> named_struct(
+            's', concat(acc.s,
+                        CASE WHEN acc.s = '' THEN '' ELSE ',' END,
+                        {fmt(step)}),
+            'p', CAST({step} AS BIGINT)),
+          acc -> acc)
+        """
+    )
+    return per_user.select(
+        "user_id",
+        "n_days",
+        fold["s"].alias("ewma_series"),
+        (fold["p"] / F.lit(10000.0)).alias("ewma_last"),
+    )
+
+
+def pv_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift detector per entity over the daily
+    count series — the classic Page (1954) sequential statistic next to
+    pv_changepoint's offline segmentation and pv_ewma's smoother:
+    S⁺_t = max(0, S⁺_{t−1} + d_t), S⁻_t = max(0, S⁻_{t−1} − d_t) with
+    d_t the deviation from the per-entity mean.
+
+    Exactness: deviations are scaled by n_days (d_t = n·x_t − Σx, an
+    integer), so the whole statistic is BIGINT arithmetic — the peak
+    columns are reported in those ×n units and the consumer divides.
+    The recurrence itself is NOT folded sequentially: max(0, ·) reflects
+    at zero, so S⁺_t = P_t − min(0, min_{j≤t} P_j) and
+    S⁻_t = max(0, max_{j≤t} P_j) − P_t over the plain prefix sums P of
+    d — running sum/min/max windows both engines evaluate identically.
+
+    Plan: one (entity, day) agg, then one entity-keyed shuffle carrying
+    the full-partition aggregates and the four running windows, then
+    one partial agg back to |entities| rows. No global window, no
+    self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = Window.partitionBy("user_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = daily.select(
+        "user_id",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+        F.sum("n").over(w_all).alias("total"),
+        F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+        .cast("long")
+        .alias("idx"),
+    ).withColumn("d", F.col("n_days") * F.col("n") - F.col("total"))
+    w_run_p = (
+        Window.partitionBy("user_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = base.select(
+        "user_id",
+        "n_days",
+        "total",
+        "idx",
+        F.sum("d").over(w_run).alias("p"),
+    ).select(
+        "*",
+        F.min("p").over(w_run_p).alias("runmin"),
+        F.max("p").over(w_run_p).alias("runmax"),
+    )
+    s = pref.select(
+        "user_id",
+        "n_days",
+        "total",
+        "idx",
+        (F.col("p") - F.least(F.lit(0).cast("long"), F.col("runmin"))).alias(
+            "s_pos"
+        ),
+        (
+            F.greatest(F.lit(0).cast("long"), F.col("runmax")) - F.col("p")
+        ).alias("s_neg"),
+    ).select(
+        "*",
+        F.max("s_pos").over(w_all).alias("mp"),
+        F.max("s_neg").over(w_all).alias("mn"),
+    )
+    return s.groupBy("user_id", "n_days", "total", "mp", "mn").agg(
+        F.min(F.when(F.col("s_pos") == F.col("mp"), F.col("idx"))).alias(
+            "pos_idx"
+        ),
+        F.min(F.when(F.col("s_neg") == F.col("mn"), F.col("idx"))).alias(
+            "neg_idx"
+        ),
+    ).select(
+        "user_id",
+        "n_days",
+        F.col("total").cast("long").alias("total"),
+        F.col("mp").alias("max_pos"),
+        "pos_idx",
+        F.col("mn").alias("max_neg"),
+        "neg_idx",
+    )

@@ -700,3 +700,169 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
         .select("s_name", "numwait")
     )
+
+
+RFM_REF_DATE = "1999-01-01"  # fixed epoch after the last order date
+RFM_BUCKETS = 5
+RFM_RANGE_PARTITIONS = 32
+
+
+def _global_rank(df: DataFrame, order_cols, out: str) -> DataFrame:
+    """Global dense row-number WITHOUT a single-reducer sort: range-
+    partition on the sort key, rank locally, add broadcast per-partition
+    offsets (the vocab_coverage / key_skew_stats discipline)."""
+    from pyspark.sql import Window
+
+    parted = (
+        df.repartitionByRange(RFM_RANGE_PARTITIONS, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = parted.withColumn("_lr", F.row_number().over(w_local))
+    per_part = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_np"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_part.withColumn(
+        "_off", F.coalesce(F.sum("_np").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_pid", "_lr", "_off")
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic retail cohorting the
+    generic engine side of the reference would be pointed at: per
+    customer, Recency (days from the last order to a FIXED reference
+    date — a constant, so no scalar-aggregate join), Frequency (order
+    count) and Monetary value, each mapped to a quintile by global rank,
+    segment = r·100 + f·10 + m.
+
+    Exactness: monetary is summed in integer cents (o_totalprice is a
+    double; re-summing doubles is accumulation-order-dependent);
+    quintiles use the explicit formula q = (rank−1)·5 div N + 1 on exact
+    integer global ranks with (metric, custkey) total tie-break order,
+    NOT engine NTILE, so both engines bucket identically.
+
+    Scale: the three global ranks use the range-partition + broadcast-
+    offset discipline (_global_rank) — never a one-reducer ORDER BY;
+    N is a 1-row broadcast; everything else is one per-customer agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(
+            F.lit(RFM_REF_DATE).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    r_rank = _global_rank(
+        base.select("c_custkey", "recency_days"),
+        [F.desc("recency_days"), F.col("c_custkey")],
+        "rr",
+    ).select("c_custkey", "rr")
+    f_rank = _global_rank(
+        base.select("c_custkey", "frequency"),
+        [F.col("frequency"), F.col("c_custkey")],
+        "rf",
+    ).select("c_custkey", "rf")
+    m_rank = _global_rank(
+        base.select("c_custkey", "monetary_cents"),
+        [F.col("monetary_cents"), F.col("c_custkey")],
+        "rm",
+    ).select("c_custkey", "rm")
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    q = lambda r: F.expr(  # noqa: E731
+        f"CAST(({r} - 1) * {RFM_BUCKETS} div n AS BIGINT) + 1"
+    )
+    return (
+        base.join(r_rank, "c_custkey")
+        .join(f_rank, "c_custkey")
+        .join(m_rank, "c_custkey")
+        .join(F.broadcast(n))
+        .select(
+            "c_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            q("rr").alias("r"),
+            q("rf").alias("f"),
+            q("rm").alias("m"),
+        )
+        .withColumn(
+            "segment",
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long"),
+        )
+    )
+
+
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over orders: for every pair of part
+    brands co-ordered in the same order, support counts and lift =
+    n_ab·N / (n_a·n_b) — anchor_lift's exact-integer-ratio discipline
+    applied to the retail side (no log, so no cross-engine libm term).
+
+    Scale: the brand universe is fixed (25 values), so the per-order
+    distinct-brand set is ≤25 and the within-order pair fan-out is
+    bounded (≤300 pairs/order) — the df-cap the anchor family needs is
+    structural here. lineitem⋈part is a plain equality join (part is
+    NOT broadcast — at 100 TB it outgrows the threshold; AQE picks the
+    strategy), then one distinct, one self-join on the order key, one
+    bounded agg. The brand-frequency table and N are tiny broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    per_brand = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a = ob.select("l_orderkey", F.col("p_brand").alias("b1"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("b2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                per_brand.select(
+                    F.col("p_brand").alias("b1"), F.col("n_brand").alias("n_a")
+                )
+            ),
+            "b1",
+        )
+        .join(
+            F.broadcast(
+                per_brand.select(
+                    F.col("p_brand").alias("b2"), F.col("n_brand").alias("n_b")
+                )
+            ),
+            "b2",
+        )
+        .join(F.broadcast(n_orders))
+        .select(
+            "b1",
+            "b2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_orders",
+            F.round(
+                (F.col("n_ab") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

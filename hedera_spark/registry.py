@@ -5781,6 +5781,345 @@ register(
     """.replace("{KM}", _KMEANS_CTES),
 )
 
+register(
+    "erasure_impact",
+    prof.erasure_impact,
+    f"""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 31, 2))::BIGINT
+              % 100 < {prof.ERASURE_PCT}
+    ),
+    oh AS (SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT user_id FROM users)),
+    arms AS (
+      SELECT 'customer' AS table_name,
+             CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+             CAST((SELECT count(*) FROM customer
+                   WHERE c_custkey IN (SELECT user_id FROM users))
+                  AS BIGINT) AS n_erased
+      UNION ALL
+      SELECT 'events',
+             CAST((SELECT count(*) FROM events) AS BIGINT),
+             CAST((SELECT count(*) FROM events
+                   WHERE user_id IN (SELECT user_id FROM users)) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem',
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM oh))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'orders',
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM orders
+                   WHERE o_custkey IN (SELECT user_id FROM users)) AS BIGINT)
+    )
+    SELECT table_name, n_total, n_erased,
+           round(n_erased / CAST(n_total AS DOUBLE), 6) AS frac
+    FROM arms
+    """,
+)
+
+register(
+    "gate_agreement",
+    imp.gate_agreement,
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(CASE WHEN quality >= {ta.CORPUS_MIN_QUALITY} THEN 1 ELSE 0
+                  END AS BIGINT) AS a0
+      FROM ({ORACLE["text_quality"]}) t
+    ),
+    c AS (
+      SELECT doc_id, CAST(CASE WHEN pred THEN 1 ELSE 0 END AS BIGINT) AS a1
+      FROM ({ORACLE["quality_classifier"]}) t
+    ),
+    nb AS (
+      SELECT doc_id,
+             CAST(CASE WHEN bucket != 'tail' THEN 1 ELSE 0 END AS BIGINT)
+               AS a2
+      FROM ({ORACLE["ccnet_buckets"]}) t
+    ),
+    j AS (SELECT h.doc_id, a0, a1, a2
+          FROM h JOIN c USING (doc_id) JOIN nb USING (doc_id)),
+    p AS (
+      SELECT 'heuristic-vs-classifier' AS pair, a0 AS a, a1 AS b FROM j
+      UNION ALL SELECT 'heuristic-vs-ccnet', a0, a2 FROM j
+      UNION ALL SELECT 'classifier-vs-ccnet', a1, a2 FROM j
+    ),
+    cells AS (
+      SELECT pair,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM p GROUP BY pair
+    ),
+    sel AS (
+      SELECT pair, n11, n10, n01, n00,
+             (n11 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+             ((n11 + n10) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+               * ((n11 + n01) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+             + ((n01 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE))
+               * ((n10 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)) AS pe
+      FROM cells
+    )
+    SELECT pair, n11, n10, n01, n00, round(po, 6) AS agreement,
+           CASE WHEN pe != 1.0 THEN round((po - pe) / (1 - pe), 6) END
+             AS kappa
+    FROM sel
+    """,
+)
+
+register(
+    "retrieval_interleave",
+    ir.retrieval_interleave,
+    f"""
+    WITH b AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ({ORACLE["bm25_topk"]}) t
+    ),
+    q AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ({ORACLE["ql_topk"]}) t
+    ),
+    slots AS (
+      SELECT doc_id, r * 2 - 1 AS slot, 'bm25' AS team FROM b
+      UNION ALL SELECT doc_id, r * 2, 'ql' FROM q
+    ),
+    first AS (
+      SELECT doc_id, min(slot) AS slot, arg_min(team, slot) AS team
+      FROM slots GROUP BY doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY slot) AS BIGINT) AS pos,
+           doc_id, team
+    FROM first
+    """,
+)
+
+# pv_ewma oracle helpers: the fold is replayed in BIGINT micro-units
+# (1e-4) with integer HALF_UP — double round() ties are structural here
+# (the 0.3/0.7 step puts the 5th decimal on 5 constantly). DuckDB
+# 1.0.0's list_reduce corrupts STRUCT accumulators (garbage bytes /
+# segfault), so the accumulator is ONLY the comma-joined VARCHAR series;
+# the previous level's units are re-parsed from its last element
+# (exact for 4-dp decimals far below 2^53).
+_EWMA_UNITS = (
+    "CAST(round(CAST(split_part(acc, ',', -1) AS DOUBLE) * 10000, 0)"
+    " AS BIGINT)"
+)
+_EWMA_X_UNITS = "CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)"
+_EWMA_STEP = f"(3 * {_EWMA_X_UNITS} + 7 * {_EWMA_UNITS} + 5) // 10"
+
+
+def _ewma_fmt(u: str) -> str:
+    frac = (
+        f"regexp_replace(lpad(CAST(({u}) % 10000 AS VARCHAR), 4, '0'),"
+        " '0+$', '')"
+    )
+    return (
+        f"concat(CAST(({u}) // 10000 AS VARCHAR), '.',"
+        f" CASE WHEN {frac} = '' THEN '0' ELSE {frac} END)"
+    )
+
+
+register(
+    "pv_ewma",
+    ts.pv_ewma,
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pu AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+             list(n ORDER BY day) AS xs
+      FROM daily GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, n_days,
+             list_reduce(
+               list_transform(xs, x -> {_ewma_fmt("x * 10000")}),
+               (acc, x) -> concat(acc, ',', {_ewma_fmt(_EWMA_STEP)})) AS s
+      FROM pu
+    )
+    SELECT user_id, n_days, s AS ewma_series,
+           CAST(split_part(s, ',', -1) AS DOUBLE) AS ewma_last
+    FROM f
+    """,
+)
+
+register(
+    "retrieval_ndcg",
+    ir.retrieval_ndcg,
+    f"""
+    WITH b AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ({{BM25}}) t
+    ),
+    q AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ({{QL}}) t
+    ),
+    brel AS (
+      SELECT doc_id, CAST(11 - r AS BIGINT) AS rel,
+             CAST(r AS BIGINT) AS b_rank
+      FROM b
+    ),
+    d AS (
+      SELECT CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overlap,
+             sum(coalesce(rel, 0) / (ln(q.r + 1) / ln(2))) AS dcg_raw
+      FROM q LEFT JOIN brel USING (doc_id)
+    ),
+    i AS (
+      SELECT sum(rel / (ln(b_rank + 1) / ln(2))) AS idcg_raw FROM brel
+    )
+    SELECT n_overlap, round(dcg_raw, 6) AS dcg, round(idcg_raw, 6) AS idcg,
+           round(dcg_raw / idcg_raw, 6) AS ndcg
+    FROM d, i
+    """.replace("{BM25}", ORACLE["bm25_topk"]).replace("{QL}", ORACLE["ql_topk"]),
+)
+
+register(
+    "pv_cusum",
+    ts.pv_cusum,
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT user_id, day, n,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_days,
+             CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                  AS BIGINT) AS idx
+      FROM daily
+    ),
+    pr AS (
+      SELECT user_id, n_days, total, idx,
+             sum(n_days * n - total) OVER
+               (PARTITION BY user_id ORDER BY idx ROWS UNBOUNDED PRECEDING)
+               AS pp
+      FROM w
+    ),
+    rn AS (
+      SELECT *,
+             min(pp) OVER (PARTITION BY user_id ORDER BY idx
+                           ROWS UNBOUNDED PRECEDING) AS runmin,
+             max(pp) OVER (PARTITION BY user_id ORDER BY idx
+                           ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM pr
+    ),
+    s AS (
+      SELECT user_id, n_days, total, idx,
+             pp - least(0, runmin) AS s_pos,
+             greatest(0, runmax) - pp AS s_neg
+      FROM rn
+    ),
+    m AS (
+      SELECT *, max(s_pos) OVER (PARTITION BY user_id) AS mp,
+                max(s_neg) OVER (PARTITION BY user_id) AS mn
+      FROM s
+    )
+    SELECT user_id, n_days, total, CAST(mp AS BIGINT) AS max_pos,
+           CAST(min(CASE WHEN s_pos = mp THEN idx END) AS BIGINT) AS pos_idx,
+           CAST(mn AS BIGINT) AS max_neg,
+           CAST(min(CASE WHEN s_neg = mn THEN idx END) AS BIGINT) AS neg_idx
+    FROM m GROUP BY user_id, n_days, total, mp, mn
+    """,
+)
+
+register(
+    "rfm_segments",
+    tpch.rfm_segments,
+    f"""
+    WITH base AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                            DATE '{tpch.RFM_REF_DATE}') AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    rk AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY recency_days DESC, c_custkey)
+                  AS BIGINT) AS rr,
+             CAST(row_number() OVER (ORDER BY frequency, c_custkey)
+                  AS BIGINT) AS rf,
+             CAST(row_number() OVER (ORDER BY monetary_cents, c_custkey)
+                  AS BIGINT) AS rm,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM base
+    )
+    SELECT c_custkey, recency_days, frequency, monetary_cents,
+           (rr - 1) * {tpch.RFM_BUCKETS} // n + 1 AS r,
+           (rf - 1) * {tpch.RFM_BUCKETS} // n + 1 AS f,
+           (rm - 1) * {tpch.RFM_BUCKETS} // n + 1 AS m,
+           ((rr - 1) * {tpch.RFM_BUCKETS} // n + 1) * 100
+             + ((rf - 1) * {tpch.RFM_BUCKETS} // n + 1) * 10
+             + ((rm - 1) * {tpch.RFM_BUCKETS} // n + 1) AS segment
+    FROM rk
+    """,
+)
+
+register(
+    "basket_lift",
+    tpch.basket_lift,
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM ob),
+    pb AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_brand
+           FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS b1, b.p_brand AS b2,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT b1, b2, n_ab, pa.n_brand AS n_a, pbb.n_brand AS n_b, n_orders,
+           round((n_ab * n_orders)
+                 / CAST(pa.n_brand * pbb.n_brand AS DOUBLE), 6) AS lift
+    FROM pairs
+    JOIN pb pa ON pairs.b1 = pa.p_brand
+    JOIN pb pbb ON pairs.b2 = pbb.p_brand
+    CROSS JOIN n
+    """,
+)
+
+register(
+    "data_split",
+    ta.data_split,
+    f"""
+    SELECT CASE
+             WHEN bucket < {100 - ta.SPLIT_VAL_PCT - ta.SPLIT_TEST_PCT}
+               THEN 'train'
+             WHEN bucket < {100 - ta.SPLIT_TEST_PCT} THEN 'val'
+             ELSE 'test'
+           END AS split,
+           lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT lang, text,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 31, 2))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    GROUP BY 1, 2
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -6017,6 +6356,17 @@ _DEMOTED_STABLE = [
     "k_anonymity",
     "pv_entropy",
     "kmeans_silhouette",
+    # thirtieth wave
+    "erasure_impact",
+    "gate_agreement",
+    "retrieval_interleave",
+    "pv_ewma",
+    # thirty-first wave
+    "retrieval_ndcg",
+    "pv_cusum",
+    "rfm_segments",
+    "basket_lift",
+    "data_split",
 ]
 
 

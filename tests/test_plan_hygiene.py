@@ -98,6 +98,11 @@ ALLOWED_NESTED_LOOP = {
     "doc_perplexity_kn",  # 1-row bigram-type-total broadcast (same model)
     "quality_threshold_sweep",  # 1-row corpus-totals broadcast
     "contamination_report",  # 1-row totals/affected broadcasts
+    "gate_agreement",  # composes quality_classifier/ccnet_buckets (1-row stats)
+    "retrieval_interleave",  # composes bm25_topk + ql_topk (their 1-row stats)
+    "retrieval_ndcg",  # composes bm25_topk + ql_topk + 1-row dcg×idcg combine
+    "rfm_segments",  # 1-row customer-count broadcast (quintile denominator)
+    "basket_lift",  # 1-row order-count broadcast (lift denominator)
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /
