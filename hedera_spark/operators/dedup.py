@@ -744,3 +744,64 @@ def dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fa, 6).alias("frac_after"),
         F.round(fa - fb, 6).alias("shift"),
     )
+
+
+DEDUP_METHODS = [
+    ("minhash", "simhash"),
+    ("minhash", "jaccard"),
+    ("simhash", "jaccard"),
+]
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sketch agreement matrix: how much the three near-dup
+    detectors over the same corpus — banded MinHash, SimHash chunk
+    blocking, and exact shingle Jaccard — agree on WHICH pairs are
+    duplicates (dedup_recall/simhash_recall score each against the
+    shingle truth; this is the pairwise set overlap between all three,
+    the dial for 'would switching sketches change the corpus?').
+
+    Exactness: pair sets are canonical (doc_a < doc_b) integer tuples;
+    intersection and union sizes are exact counts; Jaccard is one
+    rounded division.
+
+    Plan: the three audited candidate plans run once each; the pair
+    sets are |pairs|-bounded, so the inner joins and 1-row aggregates
+    that follow are negligible at any scale."""
+    sets = {
+        "minhash": dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"),
+        "simhash": dedup_simhash(spark, sf_dir).select("doc_a", "doc_b"),
+        "jaccard": dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
+    }
+    for k in sets:
+        sets[k] = sets[k].persist()
+    blocks = []
+    for ma, mb in DEDUP_METHODS:
+        a, b = sets[ma], sets[mb]
+        common = a.join(b, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).alias("n_common")
+        )
+        na = a.agg(F.count(F.lit(1)).alias("n_a"))
+        nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+        blocks.append(
+            na.join(nb)
+            .join(common)
+            .select(
+                F.lit(f"{ma}-vs-{mb}").alias("pair"),
+                "n_a",
+                "n_b",
+                "n_common",
+                F.when(
+                    (F.col("n_a") + F.col("n_b") - F.col("n_common")) > 0,
+                    F.round(
+                        F.col("n_common")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                        6,
+                    ),
+                ).alias("jaccard"),
+            )
+        )
+    out = blocks[0]
+    for bl in blocks[1:]:
+        out = out.unionByName(bl)
+    return out

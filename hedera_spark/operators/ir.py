@@ -842,3 +842,72 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg_raw", 6).alias("idcg"),
         F.round(F.col("dcg_raw") / F.col("idcg_raw"), 6).alias("ndcg"),
     )
+
+
+SPELL_QUERIES = ["windwo", "qurey", "spakr", "grupo", "vectr", "parttion"]
+SPELL_VOCAB_MIN_DF = 5
+SPELL_MAX_DIST = 2
+SPELL_TOP_K = 3
+
+
+def spell_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean spelling correction against the collection
+    vocabulary (Manning IIR §3.3): for each misspelled query token in
+    the fixed SPELL_QUERIES set (the bm25_topk fixed-query convention),
+    the top-3 vocabulary candidates within Levenshtein distance 2,
+    ranked by document frequency — isolated-term correction backed by
+    the corpus itself, no external dictionary.
+
+    Candidate generation is BLOCKED, never all-pairs: a candidate must
+    share the query's first character and be within ±1 in length (the
+    classic first-char assumption), so the join is an equality join on
+    the (first_char, length) block key over the df-filtered vocabulary.
+    Levenshtein is an integer DP — bit-identical across engines.
+
+    Scale: vocabulary df is one |V|-bounded agg; the query set is a
+    tiny broadcast; the block join fans out to |queries| × (vocab in
+    matching blocks)."""
+    from hedera_spark.operators.anchors import _doc_tokens
+
+    toks = _doc_tokens(spark, sf_dir, distinct=True)
+    vocab = (
+        toks.groupBy(F.col("anchor").alias("candidate"))
+        .agg(F.count(F.lit(1)).alias("cand_df"))
+        .where(F.col("cand_df") >= SPELL_VOCAB_MIN_DF)
+        .select(
+            "candidate",
+            "cand_df",
+            F.substring("candidate", 1, 1).alias("c0"),
+            F.length("candidate").alias("clen"),
+        )
+    )
+    queries = (
+        spark.createDataFrame([(q,) for q in SPELL_QUERIES], "token string")
+        .select(
+            "token",
+            F.substring("token", 1, 1).alias("c0"),
+            F.explode(
+                F.sequence(F.length("token") - 1, F.length("token") + 1)
+            ).alias("clen"),
+        )
+    )
+    cand = (
+        vocab.join(F.broadcast(queries), ["c0", "clen"])
+        .where(F.col("candidate") != F.col("token"))
+        .select(
+            "token",
+            "candidate",
+            F.levenshtein("token", "candidate").cast("long").alias("dist"),
+            "cand_df",
+        )
+        .where(F.col("dist") <= SPELL_MAX_DIST)
+    )
+    w = Window.partitionBy("token").orderBy(
+        "dist", F.desc("cand_df"), "candidate"
+    )
+    return (
+        cand.select(
+            "*", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .where(F.col("rnk") <= SPELL_TOP_K)
+    )

@@ -405,5 +405,8 @@ def erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name",
         "n_total",
         "n_erased",
-        F.round(F.col("n_erased") / F.col("n_total"), 6).alias("frac"),
+        F.when(
+            F.col("n_total") > 0,
+            F.round(F.col("n_erased") / F.col("n_total"), 6),
+        ).alias("frac"),
     )

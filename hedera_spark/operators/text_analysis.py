@@ -1593,3 +1593,57 @@ def data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("long").alias("n_tokens"),
         )
     )
+
+
+def quality_ppl_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation between the two filtering
+    signals — the heuristic composite (text_quality.quality) and the
+    corpus-LM score (doc_perplexity.avg_logprob) — the dial that says
+    whether the cheap gate and the LM gate rank documents the same way
+    (gate_agreement compares them as BINARY gates; this compares the
+    underlying scores).
+
+    Exactness: both scores are 6-dp-rounded doubles, so ×1e6 recovers
+    exact integers; the Pearson terms then use the pv_xcorr integer-sum
+    formula carried in DECIMAL(38,0) (BIGINT Σxy overflows at corpus
+    scale; DuckDB's HUGEINT is the oracle twin), cast to double once
+    for the final division. IEEE sqrt is correctly rounded — identical
+    across engines.
+
+    Scale: the two per-doc scores join once on doc_id, then one
+    |langs|-bounded partial agg."""
+    q = text_quality(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("quality") * 1000000, 0)
+        .cast("decimal(38,0)")
+        .alias("x"),
+    )
+    p = doc_perplexity(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("avg_logprob") * 1000000, 0)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    s = (
+        q.join(p, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.when((d1 > 0) & (d2 > 0), F.round(num / F.sqrt(d1 * d2), 6)).alias(
+            "corr"
+        ),
+    )

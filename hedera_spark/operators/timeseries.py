@@ -1231,3 +1231,245 @@ def pv_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").alias("max_neg"),
         "neg_idx",
     )
+
+
+XCORR_MAX_LAG = 3
+
+
+def pv_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between event-type daily count series:
+    for every ordered type pair (a < b) and lag ∈ [−3, 3], the Pearson
+    correlation of (x_t, y_{t+lag}) over the zero-filled global span —
+    the lead/lag structure dashboard ("do views lead purchases by two
+    days?") that pv_autocorr answers within one series.
+
+    Exactness: series values are integer counts on a dense calendar, so
+    n, Σx, Σy, Σxy, Σx², Σy² are exact BIGINTs; r's numerator and the
+    two variance terms are exact-integer expressions cast to double
+    once, and IEEE sqrt is correctly rounded (identical across engines,
+    unlike ln). Zero-variance sides yield NULL r.
+
+    Scale: one (type, day) partial agg, a broadcast calendar zero-fill
+    (ts_vector's discipline), a ×(2·lag+1) explode of the tiny dense
+    frame, one day-equality self-join (type pairing is a post-join
+    filter over |types|² rows, never a non-equi join), one bounded agg."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    calendar = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = ev.groupBy(
+        F.col("event_type").alias("etype"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    types = daily.select("etype").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(calendar))
+        .join(daily, ["etype", "day"], "left")
+        .select("etype", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
+    lags = F.sequence(
+        F.lit(-XCORR_MAX_LAG), F.lit(XCORR_MAX_LAG)
+    )
+    a = dense.select(
+        F.col("etype").alias("type_a"),
+        F.col("n").alias("x"),
+        F.explode(lags).alias("lag"),
+        "day",
+    ).select(
+        "type_a", "x", "lag", F.date_add("day", F.col("lag")).alias("day_s")
+    )
+    b = dense.select(
+        F.col("etype").alias("type_b"),
+        F.col("day").alias("day_s"),
+        F.col("n").alias("y"),
+    )
+    pairs = a.join(b, "day_s").where(F.col("type_a") < F.col("type_b"))
+    s = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    d1 = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    d2 = (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        F.when(
+            (d1 > 0) & (d2 > 0), F.round(num / F.sqrt(d1 * d2), 6)
+        ).alias("r"),
+    )
+
+
+ACTIVE_WINDOWS = (1, 7, 28)
+
+
+def active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and stickiness per calendar day — trailing
+    1/7/28-day distinct-active-user counts, the canonical engagement
+    dashboard. The first 27 days carry partial trailing windows by
+    convention (as every production dashboard does).
+
+    No multi-distinct Expand: a user active on day d is "visible" to
+    day d+o for offsets o ∈ [0, 27]; grouping the exploded visibility
+    rows by (user, day) with min(offset) makes DAU/WAU/MAU three
+    conditional COUNTS over one frame — two stacked integer partial
+    aggs instead of three COUNT(DISTINCT CASE ...) on one level.
+
+    Scale: one (user, day) distinct shuffle, a ×28 map-side explode of
+    the already-deduped user-days, two partial aggs; the dense calendar
+    is a broadcast (ts_vector's span discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    calendar = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    vis = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(ACTIVE_WINDOWS[-1] - 1))
+        ).alias("o"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("o")).alias("day_eff"), "o")
+    min_off = vis.groupBy("user_id", "day_eff").agg(F.min("o").alias("mo"))
+    per_day = min_off.groupBy(F.col("day_eff").alias("day")).agg(
+        F.sum(F.when(F.col("mo") == 0, 1).otherwise(0)).cast("long").alias("dau"),
+        F.sum(F.when(F.col("mo") < ACTIVE_WINDOWS[1], 1).otherwise(0))
+        .cast("long")
+        .alias("wau"),
+        F.count(F.lit(1)).alias("mau"),
+    )
+    return (
+        calendar.join(per_day, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            F.coalesce("mau", F.lit(0)).cast("long").alias("mau"),
+        )
+        .withColumn(
+            "stickiness",
+            F.when(
+                F.col("mau") > 0, F.round(F.col("dau") / F.col("mau"), 6)
+            ),
+        )
+    )
+
+
+def conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-campaign conversion lift with a two-proportion z-test:
+    exposed users (any event carrying campaign k in props) vs the rest,
+    converting = has any purchase event — the experiment readout next
+    to the attribution family (attribution splits credit among
+    campaigns; this says whether exposure moved conversion at all).
+
+    Exactness: the four cells (exposed/rest × converted/not) are exact
+    integer user counts; rates, pooled variance, and
+    z = (p1−p0)/sqrt(p̂(1−p̂)(1/n1+1/n0)) are a fixed chain of double
+    ops on those integers (IEEE sqrt is correctly rounded — identical
+    across engines). Degenerate cells yield NULL (guarded).
+
+    Scale: one distinct (user, k) projection, one per-user converter
+    flag agg, a user-keyed join, a k-bounded agg; the global totals are
+    a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    uk = (
+        ev.select(
+            "user_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .where(F.col("k").isNotNull())
+        .distinct()
+    )
+    conv = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("cv")
+    )
+    per_k = (
+        uk.join(conv, "user_id")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_exposed"),
+            F.sum("cv").cast("long").alias("n_converted"),
+        )
+    )
+    tot = conv.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cv").cast("long").alias("n_conv_total"),
+    )
+    j = per_k.join(F.broadcast(tot))
+    n1 = F.col("n_exposed").cast("double")
+    c1 = F.col("n_converted").cast("double")
+    n0 = (F.col("n_users") - F.col("n_exposed")).cast("double")
+    c0 = (F.col("n_conv_total") - F.col("n_converted")).cast("double")
+    p1, p0 = c1 / n1, c0 / n0
+    pp = (c1 + c0) / (n1 + n0)
+    se = F.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n0))
+    return j.select(
+        "k",
+        "n_exposed",
+        "n_converted",
+        F.when(n1 > 0, F.round(p1, 6)).alias("conv_exposed"),
+        F.when(n0 > 0, F.round(p0, 6)).alias("conv_rest"),
+        F.when((n0 > 0) & (c0 > 0), F.round(p1 / p0, 6)).alias("lift"),
+        F.when((n0 > 0) & (n1 > 0) & (se > 0), F.round((p1 - p0) / se, 6)).alias(
+            "z"
+        ),
+    )
+
+
+LATENCY_CONVERSIONS = ("signup", "purchase")
+
+
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per conversion type, exact
+    percentiles of the seconds between a user's FIRST view and their
+    first later conversion event — funnel() counts who converts, this
+    says how long the funnel takes (the number an SLA or an attribution
+    window is chosen from).
+
+    Exactness: latencies are integer seconds; the interpolated exact
+    percentile mirrors value_percentiles' discipline (identical linear
+    interpolation in both engines, rounded).
+
+    Scale: one per-user min-view agg, one user-keyed join pruned to the
+    conversion types, one per-(user, type) min agg, one |types|-bounded
+    percentile agg."""
+    ev = load_table(spark, sf_dir, "events")
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    conv = (
+        ev.where(F.col("event_type").isin(*LATENCY_CONVERSIONS))
+        .select("user_id", F.col("event_type").alias("conv_type"), "ts")
+        .join(first_view, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "conv_type")
+        .agg(
+            F.min(
+                F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("t_view"))
+            ).alias("latency_s")
+        )
+    )
+    return conv.groupBy("conv_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("latency_s").cast("long").alias("min_s"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.expr("percentile(latency_s, 0.99)"), 6).alias("p99_s"),
+        F.max("latency_s").cast("long").alias("max_s"),
+    )

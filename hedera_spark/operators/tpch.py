@@ -866,3 +866,95 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    month, revenue accumulated by month offset — the (cohort × age)
+    triangle every growth dashboard draws, here on the orders fact
+    (cohort_retention is the events-side activity twin).
+
+    Exactness: revenue is per-row-rounded integer cents summed exactly
+    (o_totalprice is a double; cross-engine double accumulation is
+    order-dependent); month offsets are integers on month-truncated
+    dates; the cumulative column is a per-cohort running integer sum
+    over a bounded (≤ #months) frame.
+
+    Scale: one per-customer agg for the cohort key, one join back on
+    the customer key, one (cohort, offset)-bounded agg (single distinct
+    on the grouping's own key — no Expand), and a running-sum window
+    over the tiny matrix."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_month"))
+    j = o.join(first, "o_custkey").select(
+        "o_custkey",
+        "cohort_month",
+        F.months_between("m", "cohort_month").cast("long").alias("month_offset"),
+        "cents",
+    )
+    a = j.groupBy("cohort_month", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return a.select(
+        "*", F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents")
+    )
+
+
+def revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration audit per part brand: the Herfindahl–
+    Hirschman index of supplier revenue shares, HHI = Σ_s (rev_s/rev)²
+    — the procurement-risk dial (HHI → 1 means one supplier owns the
+    brand). Computed as Σ rev_s² / (Σ rev_s)² so no per-share division
+    ever happens: revenues are exact integer cents, the squared sum is
+    carried in DECIMAL(38,0) (BIGINT squares overflow at warehouse
+    scale; DuckDB's HUGEINT is the oracle twin), and the single double
+    division + round happens on identical exact integers in both
+    engines.
+
+    Scale: lineitem⋈part equality join (AQE picks the strategy), one
+    (brand, supplier) partial agg, one brand-bounded agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            "l_suppkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("cents").cast("decimal(38,0)").alias("rev"))
+    )
+    agg = rev.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").cast("decimal(38,0)").alias("total"),
+        F.sum(F.col("rev") * F.col("rev")).cast("decimal(38,0)").alias("num"),
+    )
+    return agg.select(
+        "p_brand",
+        "n_suppliers",
+        F.col("total").cast("long").alias("total_cents"),
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("hhi"),
+    )

@@ -159,6 +159,20 @@ def _empty_sf(spark, tmp_path):
         "champion_lists",
         "k_anonymity",
         "pv_entropy",
+        "retrieval_interleave",
+        "pv_ewma",
+        "pv_cusum",
+        "rfm_segments",
+        "basket_lift",
+        "data_split",
+        "cohort_ltv",
+        "revenue_hhi",
+        "pv_xcorr",
+        "active_users",
+        "conversion_lift",
+        "conversion_latency",
+        "quality_ppl_corr",
+        "spell_candidates",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -245,3 +259,41 @@ def test_data_profile_on_empty_table(spark, tmp_path):
     assert len(rows) == 6
     assert all(r["n_rows"] == 0 and r["n_distinct"] == 0 for r in rows)
     assert all(r["min_num"] is None and r["min_str"] is None for r in rows)
+
+
+def test_erasure_impact_empty_input_reports_all_tables(spark, tmp_path):
+    """Like fk_integrity: the blast-radius audit is a fixed-shape report —
+    empty tables must still yield one all-zero row per audited table."""
+    from hedera_spark.operators.profile import erasure_impact
+
+    sf = _empty_sf(spark, tmp_path)
+    rows = {r["table_name"]: r for r in erasure_impact(spark, sf).collect()}
+    assert set(rows) == {"customer", "events", "lineitem", "orders"}
+    assert all(r["n_total"] == 0 and r["n_erased"] == 0 for r in rows.values())
+
+
+def test_agreement_reports_tolerate_empty_input(spark, tmp_path):
+    """gate_agreement / retrieval_ndcg are global-aggregate reports: on
+    empty input they must not throw, and their count/overlap cells must
+    read zero (null rates are fine — 0/0 has no value)."""
+    from hedera_spark.operators.importance import gate_agreement
+    from hedera_spark.operators.ir import retrieval_ndcg
+
+    sf = _empty_sf(spark, tmp_path)
+    ga = gate_agreement(spark, sf).collect()
+    assert {r["pair"] for r in ga} == {
+        "heuristic-vs-classifier",
+        "heuristic-vs-ccnet",
+        "classifier-vs-ccnet",
+    }
+    assert all(
+        (r["n11"] or 0) + (r["n10"] or 0) + (r["n01"] or 0) + (r["n00"] or 0) == 0
+        for r in ga
+    )
+    nd = retrieval_ndcg(spark, sf).collect()
+    assert len(nd) == 1 and (nd[0]["n_overlap"] or 0) == 0
+    from hedera_spark.operators.dedup import dedup_method_agreement
+
+    da = dedup_method_agreement(spark, sf).collect()
+    assert len(da) == 3
+    assert all(r["n_a"] == 0 and r["n_b"] == 0 and r["n_common"] == 0 for r in da)

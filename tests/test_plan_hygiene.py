@@ -103,6 +103,11 @@ ALLOWED_NESTED_LOOP = {
     "retrieval_ndcg",  # composes bm25_topk + ql_topk + 1-row dcg×idcg combine
     "rfm_segments",  # 1-row customer-count broadcast (quintile denominator)
     "basket_lift",  # 1-row order-count broadcast (lift denominator)
+    "pv_xcorr",  # broadcast calendar span zero-fill (ts_vector discipline)
+    "active_users",  # broadcast calendar span zero-fill (ts_vector discipline)
+    "conversion_lift",  # 1-row global-totals broadcast (z-test denominator)
+    "quality_ppl_corr",  # composes doc_perplexity (1-row vocab-size broadcast)
+    "dedup_method_agreement",  # 1-row set-size combines + jaccard hot-set
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /
