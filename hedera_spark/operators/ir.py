@@ -911,3 +911,67 @@ def spell_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= SPELL_TOP_K)
     )
+
+
+BM25_SWEEP = [(1.2, 0.75), (0.9, 0.4), (2.0, 0.75), (1.2, 0.0)]
+
+
+def bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1, b) tuning sweep: the fixed query's top-10 ranking under
+    four parameter configs — the grid a retrieval stack is tuned over
+    (k1 = tf saturation, b = length-normalization strength; (1.2, 0.75)
+    is bm25_topk's default, b=0 disables normalization entirely).
+
+    Exactness: the config table is cross-joined as exact literals, so
+    both engines fold the identical double chain per (doc, config); the
+    tf/df/dl/stats inputs are computed ONCE and shared across configs
+    (the sweep multiplies only the scoring expression, not the scan).
+
+    Plan shape: bm25_topk's plan with a 4-row broadcast config table
+    riding the scored frame; per-config ranking is a window over ≤4×|
+    matched docs| rows."""
+    tf_ = bow(spark, sf_dir).where(F.col("term").isin(BM25_QUERY_TERMS))
+    df_ = tf_.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = (
+        _doc_tokens(spark, sf_dir, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    configs = spark.createDataFrame(BM25_SWEEP, "k1 double, b double")
+    scored = (
+        tf_.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(configs))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (F.col("k1") + 1))
+            / (
+                F.col("tf")
+                + F.col("k1")
+                * ((1 - F.col("b")) + F.col("b") * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("k1", "b", "doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("k1", "b").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.select(
+            "k1", "b", F.row_number().over(w).cast("long").alias("pos"),
+            "doc_id", "score"
+        )
+        .where(F.col("pos") <= 10)
+    )

@@ -1002,3 +1002,112 @@ def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(1.0 / F.col("rk"), F.lit(0.0)), 6).alias("rr"),
         )
     )
+
+
+IVF_NPROBES = (1, 2, 3)
+
+
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost curve over nprobe ∈ {1, 2, 3}: each query
+    probes its nprobe nearest centroid cells and the pooled recall@3
+    against the exact top-3 is reported next to the candidate count —
+    the measured trade-off the nprobe knob is actually set from
+    (ivf_recall reads the nprobe=1 point; this draws the curve, the
+    minhash_band_sweep convention applied to IVF).
+
+    Exactness: cell assignment and probe ranking reuse the rounded
+    cosine ordering of _ivf_cells; recall is POOLED (Σhits / Σexact,
+    exact integers, one rounded division) — never a mean of per-query
+    rationals, whose summation order diverges across engines.
+
+    Scale: corpus assignment and the probe ranking are broadcast-
+    centroid map-side ops; candidates are cell-equality joins (a vector
+    sits in exactly one cell, so probes never duplicate candidates);
+    everything after is |queries|-bounded."""
+    dp = spark.sparkContext.defaultParallelism
+    cells = _ivf_cells(spark, sf_dir).persist()
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(dp)
+        .select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    )
+    cents = emb.where(F.col("vec_id") % CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    q = cells.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cscore"), F.asc("cid"))
+    qrank = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cscore",
+            F.round(
+                _dot(F.col("q_emb"), F.col("cemb"))
+                / (F.col("q_nrm") * F.col("cnrm")),
+                6,
+            ),
+        )
+        .select(
+            "q_id", "q_emb", "q_nrm", "cid",
+            F.row_number().over(wq).alias("crk"),
+        )
+        .where(F.col("crk") <= max(IVF_NPROBES))
+    )
+    probes = qrank.select(
+        "*", F.explode(F.array(*[F.lit(n) for n in IVF_NPROBES])).alias("np")
+    ).where(F.col("crk") <= F.col("np"))
+    cand = (
+        probes.join(cells, "cid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "np",
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
+        .persist()
+    )
+    w2 = Window.partitionBy("np", "q_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    approx = cand.select(
+        "np", "q_id", "neighbor_id", F.row_number().over(w2).alias("rk")
+    ).where(F.col("rk") <= IVF_TOPK)
+    exact3 = (
+        ann_topk(spark, sf_dir)
+        .where(F.col("rk") <= IVF_TOPK)
+        .select("q_id", "neighbor_id")
+        .persist()
+    )
+    n_cand = cand.groupBy("np").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = (
+        approx.join(exact3, ["q_id", "neighbor_id"])
+        .groupBy("np")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = exact3.agg(F.count(F.lit(1)).alias("n_exact")).join(
+        q.agg(F.count(F.lit(1)).alias("n_queries"))
+    )
+    return (
+        n_cand.join(hits, "np", "left")
+        .join(F.broadcast(totals))
+        .select(
+            F.col("np").cast("long").alias("nprobe"),
+            "n_queries",
+            "n_candidates",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            "n_exact",
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

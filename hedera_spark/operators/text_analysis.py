@@ -1571,19 +1571,9 @@ def data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the bucket and token count are map-side expressions on the
     scan; one (split, lang)-bounded partial-agg shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < 100 - SPLIT_VAL_PCT - SPLIT_TEST_PCT, "train")
-        .when(bucket < 100 - SPLIT_TEST_PCT, "val")
-        .otherwise("test")
-    )
     return (
         docs.select(
-            split.alias("split"),
+            _split_col().alias("split"),
             "lang",
             F.size(F.split("text", " ")).cast("long").alias("toks"),
         )
@@ -1646,4 +1636,115 @@ def quality_ppl_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((d1 > 0) & (d2 > 0), F.round(num / F.sqrt(d1 * d2), 6)).alias(
             "corr"
         ),
+    )
+
+
+def _split_col() -> "F.Column":
+    """train/val/test assignment — data_split's md5-bucket discipline,
+    shared so the split family can never drift apart."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 31, 2), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < 100 - SPLIT_VAL_PCT - SPLIT_TEST_PCT, "train")
+        .when(bucket < 100 - SPLIT_TEST_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def split_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit across the holdout split: for val and
+    test, how many token occurrences (and distinct types) are absent
+    from the TRAIN split's vocabulary — the number that says whether
+    the tokenizer/embedding table fit on train generalizes to the
+    held-out cuts (data_split budgets the cuts; this audits them).
+
+    Exactness: integer occurrence/type counts plus one rounded rate.
+
+    Scale: train vocab is a |V|-bounded agg; the eval-token stream
+    left-anti-style joins it on the token (a plain equality join with a
+    null-flag, no broadcast assumption — at 100 TB the vocab outgrows
+    broadcast and AQE picks the strategy); one bounded agg."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _split_col().alias("split")
+    )
+    toks = docs.select(
+        "split", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    train_vocab = (
+        toks.where(F.col("split") == "train")
+        .select("w")
+        .distinct()
+        .withColumn("_in", F.lit(1))
+    )
+    ev = (
+        toks.where(F.col("split") != "train")
+        .join(train_vocab, "w", "left")
+    )
+    return (
+        ev.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov_tokens"),
+            F.countDistinct(F.when(F.col("_in").isNull(), F.col("w"))).alias(
+                "n_oov_types"
+            ),
+        )
+        .select(
+            "split",
+            "n_tokens",
+            "n_oov_tokens",
+            "n_oov_types",
+            F.round(F.col("n_oov_tokens") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train↔holdout leakage audit: word-trigram shingles shared
+    between the train split and each held-out split — decontaminate
+    removes leakage against an EXTERNAL eval set; this measures it
+    across the repo's OWN holdout cuts (the train/test-overlap check
+    every pretraining-data paper reports).
+
+    Exactness: distinct-shingle universes and their intersections are
+    exact integer counts; one rounded share.
+
+    Scale: per-split distinct shingles are |shingle-vocab|-bounded
+    aggs; the overlap is one equality join on the shingle key."""
+    from hedera_spark.operators.dedup import _SHINGLE_ARR, _docs_rebalanced
+
+    sh = (
+        _docs_rebalanced(spark, sf_dir)
+        .select(_split_col().alias("split"), F.explode(F.expr(_SHINGLE_ARR)).alias("s"))
+        .select("split", "s")
+        .distinct()
+    )
+    train = sh.where(F.col("split") == "train").select("s").withColumn(
+        "_in", F.lit(1)
+    )
+    held = sh.where(F.col("split") != "train")
+    return (
+        held.join(train, "s", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_in").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            "split",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+                "shared_rate"
+            ),
+        )
     )

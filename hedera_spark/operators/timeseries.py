@@ -1473,3 +1473,67 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(latency_s, 0.99)"), 6).alias("p99_s"),
         F.max("latency_s").cast("long").alias("max_s"),
     )
+
+
+HOLT_ALPHA_NUM = 3  # α = 0.3 (level smoothing), in tenths
+HOLT_BETA_NUM = 2  # β = 0.2 (trend smoothing), in tenths
+HOLT_HORIZON = 7  # days ahead for the point forecast
+
+
+def pv_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per entity over
+    the daily count series: level ℓ_t = α·x_t + (1−α)(ℓ_{t−1}+b_{t−1}),
+    trend b_t = β(ℓ_t−ℓ_{t−1}) + (1−β)b_{t−1}, seeded ℓ_1 = x_1, b_1 = 0
+    — pv_ewma's smoother with a trend term, and the model behind the
+    7-day-ahead point forecast x̂ = ℓ_n + 7·b_n
+    (pv_forecast_backtest scores this exact family).
+
+    Exactness: the recurrence runs in BIGINT micro-units (1e-4) with
+    rounding floor((q+5)/10.0) — floor of an exact-integer double
+    division, NOT integer `div`/`//` (their negative-operand semantics
+    differ across engines, and the trend term goes negative). DuckDB's
+    list_reduce corrupts STRUCT accumulators, so its twin folds a
+    'level~trend' VARCHAR and re-parses; Spark folds a native struct.
+
+    Plan: one (entity, day) agg, one entity agg whose fold runs
+    array-side (the pv_ewma discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_user = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("xs"),
+    )
+    a, b_ = HOLT_ALPHA_NUM, HOLT_BETA_NUM
+    lvl = (
+        f"CAST(floor(({a} * x * 10000 + {10 - a} * (acc.l + acc.b) + 5)"
+        " / 10.0) AS BIGINT)"
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          xs,
+          named_struct('l', CAST(-1 AS BIGINT), 'b', CAST(0 AS BIGINT)),
+          (acc, x) -> CASE WHEN acc.l < 0
+            THEN named_struct('l', x * 10000, 'b', CAST(0 AS BIGINT))
+            ELSE named_struct(
+              'l', {lvl},
+              'b', CAST(floor(({b_} * ({lvl} - acc.l)
+                               + {10 - b_} * acc.b + 5) / 10.0) AS BIGINT))
+            END,
+          acc -> acc)
+        """
+    )
+    return per_user.select(
+        "user_id",
+        "n_days",
+        (fold["l"] / F.lit(10000.0)).alias("level"),
+        (fold["b"] / F.lit(10000.0)).alias("trend"),
+        ((fold["l"] + HOLT_HORIZON * fold["b"]) / F.lit(10000.0)).alias(
+            "forecast_7d"
+        ),
+    )

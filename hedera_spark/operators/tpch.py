@@ -958,3 +958,163 @@ def revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+def shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority: exact
+    percentiles of days between o_orderdate and each line's l_shipdate
+    — the fulfilment-SLA twin of conversion_latency (same percentile
+    discipline, pointed at the orders fact chain).
+
+    Exactness: latencies are integer day diffs; interpolated exact
+    percentiles mirror value_percentiles (identical linear
+    interpolation both engines, rounded).
+
+    Scale: ONE lineitem⋈orders equality join on the order key (the
+    co-partition/bucketing candidate at 100 TB), then a
+    |priorities|-bounded agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("delay_d"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("delay_d").cast("long").alias("min_d"),
+        F.round(F.expr("percentile(delay_d, 0.5)"), 6).alias("p50_d"),
+        F.round(F.expr("percentile(delay_d, 0.9)"), 6).alias("p90_d"),
+        F.round(F.expr("percentile(delay_d, 0.99)"), 6).alias("p99_d"),
+        F.max("delay_d").cast("long").alias("max_d"),
+    )
+
+
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap profile per customer segment-of-frequency: days
+    between a customer's consecutive orders, rolled into exact
+    percentiles per order-count bucket — the repeat-purchase cadence
+    dial next to rfm_segments (events_gap_stats is the events-side
+    twin).
+
+    Exactness: gaps are integer day diffs from a per-customer lag
+    window with (date, orderkey) total tie-break; bucket bounds are
+    integer comparisons; percentiles mirror value_percentiles.
+
+    Scale: one customer-keyed window shuffle, one bounded agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    g = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("long")
+        .alias("gap_d"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_ord"),
+    ).where(F.col("gap_d").isNotNull())
+    bucket = (
+        F.when(F.col("n_ord") <= 3, "2-3")
+        .when(F.col("n_ord") <= 9, "4-9")
+        .otherwise("10+")
+    )
+    return g.select(bucket.alias("freq_bucket"), "gap_d").groupBy(
+        "freq_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_d, 0.5)"), 6).alias("p50_d"),
+        F.round(F.expr("percentile(gap_d, 0.9)"), 6).alias("p90_d"),
+        F.max("gap_d").cast("long").alias("max_d"),
+    )
+
+
+def trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supplier-nation × customer-nation revenue flow matrix —
+    tpch_q7 generalized from two hand-picked nations to every pair, the
+    trade-flow dashboard built on the engine's deepest join chain
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation×2).
+
+    Exactness: revenue is per-row-rounded integer cents summed exactly
+    (the cohort_ltv discipline — double re-accumulation is
+    order-dependent).
+
+    Scale: the two fact joins shuffle on their keys (AQE picks
+    strategies); nation is a fixed-size broadcast on BOTH legs; the
+    final agg is bounded by |nations|²."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+def return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate dashboard per part brand: lines flagged R, the
+    revenue they carried, and the return rate — the quality-of-goods
+    dial next to revenue_hhi's supplier-concentration view (tpch_q10
+    ranks customers by returned revenue; this rolls the same flag up
+    the product axis).
+
+    Exactness: integer line counts and per-row-rounded integer cents;
+    one rounded division.
+
+    Scale: lineitem ⋈ part equality join, one |brands|-bounded agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(ret).cast("long").alias("n_returned"),
+            F.sum(ret * cents).cast("long").alias("returned_cents"),
+            F.round(F.sum(ret) / F.count(F.lit(1)), 6).alias("return_rate"),
+        )
+    )

@@ -6445,6 +6445,321 @@ register(
     .replace("{JA}", ORACLE["dedup_ngram_jaccard"]),
 )
 
+register(
+    "shipping_delay",
+    tpch.shipping_delay,
+    """
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(delay_d) AS BIGINT) AS min_d,
+           round(quantile_cont(delay_d, 0.5), 6) AS p50_d,
+           round(quantile_cont(delay_d, 0.9), 6) AS p90_d,
+           round(quantile_cont(delay_d, 0.99), 6) AS p99_d,
+           CAST(max(delay_d) AS BIGINT) AS max_d
+    FROM d GROUP BY 1
+    """,
+)
+
+register(
+    "order_gaps",
+    tpch.order_gaps,
+    """
+    WITH w AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+                  CAST(lag(o_orderdate) OVER
+                         (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS DATE),
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_d,
+             count(*) OVER (PARTITION BY o_custkey) AS n_ord
+      FROM orders
+    ),
+    g AS (
+      SELECT CASE WHEN n_ord <= 3 THEN '2-3'
+                  WHEN n_ord <= 9 THEN '4-9'
+                  ELSE '10+' END AS freq_bucket,
+             gap_d
+      FROM w WHERE gap_d IS NOT NULL
+    )
+    SELECT freq_bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_d, 0.5), 6) AS p50_d,
+           round(quantile_cont(gap_d, 0.9), 6) AS p90_d,
+           CAST(max(gap_d) AS BIGINT) AS max_d
+    FROM g GROUP BY 1
+    """,
+)
+
+_BM25_CFG = ", ".join(f"({k1}, {b})" for k1, b in ir.BM25_SWEEP)
+
+register(
+    "bm25_param_sweep",
+    ir.bm25_param_sweep,
+    f"""
+    WITH {_TF},
+    tfq AS (
+      SELECT doc_id, term, tf FROM tf
+      WHERE term IN ({", ".join(repr(t) for t in ir.BM25_QUERY_TERMS)})
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id
+    ),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+           FROM dl),
+    cfg AS (SELECT * FROM (VALUES {_BM25_CFG}) AS t(k1, b)),
+    sc AS (
+      SELECT cfg.k1, cfg.b, doc_id,
+             round(sum(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                       * (tfq.tf * (cfg.k1 + 1))
+                       / (tfq.tf + cfg.k1
+                          * ((1 - cfg.b) + cfg.b * dl.dl / st.avgdl))),
+                   6) AS score
+      FROM tfq
+      JOIN dfq USING (term)
+      JOIN dl USING (doc_id), st, cfg
+      GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT k1, b,
+             CAST(row_number() OVER (PARTITION BY k1, b
+                                     ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS pos,
+             doc_id, score
+      FROM sc
+    )
+    SELECT * FROM r WHERE pos <= 10
+    """,
+)
+
+_IVF_NP_LIST = ", ".join(str(n) for n in sim.IVF_NPROBES)
+
+register(
+    "ivf_nprobe_sweep",
+    sim.ivf_nprobe_sweep,
+    f"""
+    WITH {_EMB_NORM},
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+      FROM e WHERE vec_id % {sim.CENTROID_MOD} = 1
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, e.nrm, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COS.format(A='e.embedding', B='cent.cemb', NA='e.nrm', NB='cent.cnrm')} DESC,
+                        cent.cid
+             ) AS crk
+      FROM e CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, nrm, cid FROM assign WHERE crk = 1),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+      FROM cells WHERE vec_id % {sim.QUERY_MOD} = 0
+    ),
+    qr AS (
+      SELECT q.q_id, q.q_emb, q.q_nrm, cent.cid,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY {_COS.format(A='q.q_emb', B='cent.cemb', NA='q.q_nrm', NB='cent.cnrm')} DESC,
+                        cent.cid
+             ) AS crk
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (
+      SELECT np, q_id, q_emb, q_nrm, cid
+      FROM qr CROSS JOIN (SELECT unnest([{_IVF_NP_LIST}]) AS np) t
+      WHERE crk <= np
+    ),
+    cand AS (
+      SELECT np, p.q_id, c.vec_id AS neighbor_id,
+             {_COS.format(A='p.q_emb', B='c.embedding', NA='p.q_nrm', NB='c.nrm')} AS cos
+      FROM probes p JOIN cells c ON c.cid = p.cid AND c.vec_id <> p.q_id
+    ),
+    approx AS (
+      SELECT np, q_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY np, q_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+        FROM cand
+      ) WHERE rk <= {sim.IVF_TOPK}
+    ),
+    exact3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_COS.format(A='q.q_emb', B='e.embedding',
+                                       NA='q.q_nrm', NB='e.nrm')} DESC,
+                          e.vec_id) AS rk
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rk <= {sim.IVF_TOPK}
+    ),
+    nc AS (SELECT np, CAST(count(*) AS BIGINT) AS n_candidates
+           FROM cand GROUP BY 1),
+    nh AS (SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+           FROM approx JOIN exact3 USING (q_id, neighbor_id) GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact3),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+    SELECT CAST(np AS BIGINT) AS nprobe, n_queries, n_candidates,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, n_exact,
+           round(coalesce(n_hits, 0) / CAST(n_exact AS DOUBLE), 6) AS recall
+    FROM nc LEFT JOIN nh USING (np), tot, nq
+    """,
+)
+
+register(
+    "trade_matrix",
+    tpch.trade_matrix,
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+
+_SPLIT_CASE = f"""
+      CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 31, 2))::BIGINT
+                  % 100 < {100 - ta.SPLIT_VAL_PCT - ta.SPLIT_TEST_PCT}
+             THEN 'train'
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 31, 2))::BIGINT
+                  % 100 < {100 - ta.SPLIT_TEST_PCT} THEN 'val'
+           ELSE 'test' END
+"""
+
+register(
+    "split_oov",
+    ta.split_oov,
+    f"""
+    WITH toks AS (
+      SELECT {_SPLIT_CASE} AS split, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    t2 AS (SELECT split, w FROM toks WHERE w != ''),
+    tv AS (SELECT DISTINCT w FROM t2 WHERE split = 'train'),
+    ev AS (
+      SELECT t2.split, t2.w, tv.w AS tw
+      FROM t2 LEFT JOIN tv ON t2.w = tv.w
+      WHERE t2.split != 'train'
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov_tokens,
+           CAST(count(DISTINCT CASE WHEN tw IS NULL THEN w END) AS BIGINT)
+             AS n_oov_types,
+           round(sum(CASE WHEN tw IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+    FROM ev GROUP BY split
+    """,
+)
+
+register(
+    "split_contamination",
+    ta.split_contamination,
+    f"""
+    WITH sh0 AS (
+      SELECT DISTINCT {_SPLIT_CASE} AS split,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS t(i)
+    ),
+    tr AS (SELECT DISTINCT s FROM sh0 WHERE split = 'train'),
+    held AS (SELECT split, s FROM sh0 WHERE split != 'train')
+    SELECT held.split, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           round(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS shared_rate
+    FROM held LEFT JOIN tr ON held.s = tr.s
+    GROUP BY held.split
+    """,
+)
+
+# pv_holt oracle helpers — same VARCHAR-fold workaround as pv_ewma
+# (DuckDB 1.0.0 list_reduce corrupts STRUCT accumulators): the
+# accumulator is 'level~trend' in BIGINT micro-units, re-parsed each
+# step; rounding is floor((q+5)/10.0) — floor of an exact-integer
+# double division, matching Spark (never `//`, whose negative-operand
+# semantics differ).
+_HOLT_PL = "CAST(split_part(acc, '~', 1) AS BIGINT)"
+_HOLT_PB = "CAST(split_part(acc, '~', 2) AS BIGINT)"
+_HOLT_XU = "CAST(split_part(x, '~', 1) AS BIGINT)"
+_HOLT_LVL = (
+    f"CAST(floor(({ts.HOLT_ALPHA_NUM} * {_HOLT_XU}"
+    f" + {10 - ts.HOLT_ALPHA_NUM} * ({_HOLT_PL} + {_HOLT_PB}) + 5) / 10.0)"
+    " AS BIGINT)"
+)
+_HOLT_B = (
+    f"CAST(floor(({ts.HOLT_BETA_NUM} * ({_HOLT_LVL} - {_HOLT_PL})"
+    f" + {10 - ts.HOLT_BETA_NUM} * {_HOLT_PB} + 5) / 10.0) AS BIGINT)"
+)
+
+register(
+    "pv_holt",
+    ts.pv_holt,
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pu AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+             list(n ORDER BY day) AS xs
+      FROM daily GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, n_days,
+             list_reduce(
+               list_transform(xs,
+                 x -> concat(CAST(x * 10000 AS VARCHAR), '~', '0')),
+               (acc, x) -> concat(CAST({_HOLT_LVL} AS VARCHAR), '~',
+                                  CAST({_HOLT_B} AS VARCHAR))) AS s
+      FROM pu
+    )
+    SELECT user_id, n_days,
+           CAST(split_part(s, '~', 1) AS BIGINT) / 10000.0 AS level,
+           CAST(split_part(s, '~', 2) AS BIGINT) / 10000.0 AS trend,
+           (CAST(split_part(s, '~', 1) AS BIGINT)
+            + {ts.HOLT_HORIZON} * CAST(split_part(s, '~', 2) AS BIGINT))
+             / 10000.0 AS forecast_7d
+    FROM f
+    """,
+)
+
+register(
+    "return_rates",
+    tpch.return_rates,
+    """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS returned_cents,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS return_rate
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -6704,6 +7019,18 @@ _DEMOTED_STABLE = [
     # thirty-fourth wave
     "spell_candidates",
     "dedup_method_agreement",
+    # thirty-fifth wave
+    "shipping_delay",
+    "order_gaps",
+    "bm25_param_sweep",
+    "ivf_nprobe_sweep",
+    # thirty-sixth wave
+    "trade_matrix",
+    "split_oov",
+    "split_contamination",
+    # thirty-seventh wave
+    "pv_holt",
+    "return_rates",
 ]
 
 

@@ -173,6 +173,15 @@ def _empty_sf(spark, tmp_path):
         "conversion_latency",
         "quality_ppl_corr",
         "spell_candidates",
+        "shipping_delay",
+        "order_gaps",
+        "bm25_param_sweep",
+        "ivf_nprobe_sweep",
+        "trade_matrix",
+        "split_oov",
+        "split_contamination",
+        "pv_holt",
+        "return_rates",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

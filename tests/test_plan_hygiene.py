@@ -108,6 +108,8 @@ ALLOWED_NESTED_LOOP = {
     "conversion_lift",  # 1-row global-totals broadcast (z-test denominator)
     "quality_ppl_corr",  # composes doc_perplexity (1-row vocab-size broadcast)
     "dedup_method_agreement",  # 1-row set-size combines + jaccard hot-set
+    "bm25_param_sweep",  # 1-row corpus-stats + 4-row config broadcasts
+    "ivf_nprobe_sweep",  # centroid-set broadcasts + 1-row totals, like ann_ivf
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /

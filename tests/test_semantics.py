@@ -2482,3 +2482,77 @@ def test_kmeans_silhouette_bounds_and_coverage(spark):
     ).count()
     for r in rows:
         assert -1.0 <= r["mean_silhouette"] <= 1.0
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    """Probing more cells can only add candidates, so pooled recall@3
+    must be non-decreasing in nprobe — the invariant that makes the
+    sweep a trustworthy tuning curve (minhash_band_sweep's nested-
+    configs discipline applied to IVF)."""
+    from hedera_spark.operators.similarity import ivf_nprobe_sweep
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        ivf_nprobe_sweep(spark, SF_DIR).collect(), key=lambda r: r["nprobe"]
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 3]
+    recalls = [r["recall"] for r in rows]
+    cands = [r["n_candidates"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert cands == sorted(cands)
+
+
+def test_bm25_sweep_default_matches_bm25_topk(spark):
+    """The (1.2, 0.75) arm of the sweep must reproduce bm25_topk's
+    top-10 doc set exactly — the sweep is a generalization, not a
+    second implementation drifting on its own."""
+    from hedera_spark.operators.ir import bm25_param_sweep, bm25_topk
+    from tests.conftest import SF_DIR
+
+    sweep = {
+        (r["pos"], r["doc_id"])
+        for r in bm25_param_sweep(spark, SF_DIR).collect()
+        if r["k1"] == 1.2 and r["b"] == 0.75
+    }
+    from pyspark.sql import Window, functions as F
+
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    base = {
+        (r["pos"], r["doc_id"])
+        for r in bm25_topk(spark, SF_DIR)
+        .select(F.row_number().over(w).cast("long").alias("pos"), "doc_id")
+        .collect()
+    }
+    assert sweep == base
+
+
+def test_pv_holt_constant_and_trending_series(spark, tmp_path):
+    """Constant series: level == the constant, trend == 0, forecast ==
+    level. Strictly increasing series: positive trend, forecast above
+    the final level."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for day in range(12):
+        for _ in range(5):  # user 1: constant 5/day
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=day), 1, "view", 1.0, "{}"))
+        for _ in range(1 + 2 * day):  # user 2: 1, 3, 5, ... increasing
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=day), 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = tmp_path / "holt"
+    df.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.timeseries import pv_holt
+
+    res = {r["user_id"]: r for r in pv_holt(spark, str(out)).collect()}
+    assert res[1]["level"] == 5.0
+    assert res[1]["trend"] == 0.0
+    assert res[1]["forecast_7d"] == 5.0
+    assert res[2]["trend"] > 0
+    assert res[2]["forecast_7d"] > res[2]["level"]
