@@ -975,3 +975,43 @@ def bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("pos") <= 10)
     )
+
+
+AUTOCOMPLETE_PREFIX_LEN = 3
+AUTOCOMPLETE_MIN_FREQ = 5
+AUTOCOMPLETE_TOP_K = 3
+
+
+def autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-ahead completion table: for every 3-character prefix in the
+    corpus vocabulary, the top-3 completions by occurrence frequency —
+    the precomputed structure behind a search box (spell_candidates
+    fixes typos; this finishes correct prefixes).
+
+    Exactness: integer frequencies; (freq DESC, token) total tie-break.
+
+    Scale: one |vocab|-bounded frequency agg, one prefix-keyed window
+    over the vocab (≤ |alphabet|³ groups) — the corpus is touched
+    once."""
+    from hedera_spark.operators.anchors import _doc_tokens
+
+    freq = (
+        _doc_tokens(spark, sf_dir, distinct=False)
+        .groupBy(F.col("anchor").alias("token"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(
+            (F.length("token") >= AUTOCOMPLETE_PREFIX_LEN)
+            & (F.col("freq") >= AUTOCOMPLETE_MIN_FREQ)
+        )
+        .withColumn(
+            "prefix", F.substring("token", 1, AUTOCOMPLETE_PREFIX_LEN)
+        )
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("freq"), "token")
+    return (
+        freq.select(
+            "prefix", "token", "freq",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= AUTOCOMPLETE_TOP_K)
+    )

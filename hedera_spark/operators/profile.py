@@ -410,3 +410,102 @@ def erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_erased") / F.col("n_total"), 6),
         ).alias("frac"),
     )
+
+
+FP_COLUMNS = {
+    "customer": ["c_custkey", "c_name", "c_mktsegment"],
+    "documents": ["doc_id", "lang", "source", "n_chars", "__text_md5"],
+    "embeddings": ["vec_id", "label"],
+    "events": ["event_id", "user_id", "event_type", "__ts_date", "props"],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "__ship_date",
+    ],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus", "__order_date",
+        "o_orderpriority",
+    ],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size"],
+    "region": ["r_regionkey", "r_name"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey"],
+}
+# expression STRINGS, not Columns: building Columns at import time
+# requires an active SparkContext the registry import must not assume
+_FP_DERIVED = {
+    "__text_md5": "md5(text)",
+    "__ts_date": "CAST(CAST(ts AS DATE) AS STRING)",
+    "__ship_date": "CAST(CAST(l_shipdate AS DATE) AS STRING)",
+    "__order_date": "CAST(CAST(o_orderdate AS DATE) AS STRING)",
+}
+
+
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable table fingerprints: per table, the row count
+    and an ORDER-INDEPENDENT 60-bit checksum (bit_xor of a per-row md5
+    over the stable column set) — the 'did any input change?' primitive
+    an incremental pipeline (index_delta / corpus_delta /
+    dedup_incremental) keys its reuse decisions on. XOR is commutative
+    and exact, so the checksum is identical under any partitioning or
+    row order; doubles and float arrays are excluded from the serial
+    (their string forms are engine-specific), with the doc text folded
+    in as md5(text).
+
+    Scale: ten independent scans, each map-side hash + 1-row partial
+    agg — no shuffle wider than the aggregate, no joins at all."""
+    blocks = []
+    for name, cols in FP_COLUMNS.items():
+        df = load_table(spark, sf_dir, name)
+        exprs = [
+            F.expr(_FP_DERIVED[c]).alias(c) if c.startswith("__")
+            else F.col(c).cast("string").alias(c)
+            for c in cols
+        ]
+        serial = F.concat_ws("|", *[F.col(c) for c in cols])
+        h = F.conv(F.substring(F.md5(serial), 1, 15), 16, 10).cast("long")
+        blocks.append(
+            df.select(*exprs)
+            .select(h.alias("h"))
+            .agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.expr("bit_xor(h)"), F.lit(0))
+                .cast("long")
+                .alias("checksum"),
+            )
+        )
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+EVENT_CHECKSUM_SERIAL = (
+    "concat_ws('|', CAST(event_id AS STRING), CAST(user_id AS STRING),"
+    " event_type, CAST(CAST(ts AS DATE) AS STRING), props)"
+)
+
+
+def checksum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition-key integrity checksums: for each event_type, the
+    row count and the order-independent 60-bit XOR checksum over the
+    stable event serial — table_fingerprint at the grain an incremental
+    ingest actually reconciles (compare per-type checksums between the
+    lake and the stream's running state to catch drops/dupes without a
+    row-level diff). stream_checksum is the streaming twin maintaining
+    the same number incrementally — XOR's self-inverse makes the state
+    mergeable AND auditable against this batch value.
+
+    Scale: map-side hash + one |types|-bounded partial agg."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.expr(EVENT_CHECKSUM_SERIAL)), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        ev.select("event_type", h.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+        )
+    )

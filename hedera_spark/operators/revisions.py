@@ -433,3 +433,48 @@ def page_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conflict_score"),
         )
     )
+
+
+def editor_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-editor contribution profile over the revision log: edit
+    count, distinct pages touched, active days, first/last edit day,
+    and edits per active day — the contributor dashboard of the
+    reference's revision analytics (the `props.k` field plays the
+    editor id; `user_id` is the page, as across group A).
+
+    Exactness: integer counts and date bounds; the intensity ratio is
+    one rounded division.
+
+    Scale: one map-side JSON extract, one |editors|-bounded agg with a
+    single distinct rewrite (no Expand)."""
+    from hedera_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.get_json_object("props", "$.k").cast("int").alias("editor"),
+        F.col("user_id").alias("page_id"),
+        F.to_date("ts").alias("day"),
+    ).where(F.col("editor").isNotNull())
+    per_day = e.groupBy("editor", "day").agg(F.count(F.lit(1)).alias("n"))
+    pages = (
+        e.select("editor", "page_id")
+        .distinct()
+        .groupBy("editor")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    days_agg = per_day.groupBy("editor").agg(
+        F.sum("n").cast("long").alias("n_edits"),
+        F.count(F.lit(1)).alias("n_active_days"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+        F.round(F.sum("n") / F.count(F.lit(1)), 6).alias("edits_per_day"),
+    )
+    return days_agg.join(pages, "editor").select(
+        "editor",
+        "n_edits",
+        "n_pages",
+        "n_active_days",
+        "first_day",
+        "last_day",
+        "edits_per_day",
+    )

@@ -1537,3 +1537,108 @@ def pv_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     )
+
+
+def pv_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day percentile bands of per-entity activity: for each
+    calendar day, the p10/p50/p90 of per-user event counts plus user
+    and event totals — the fan-chart backdrop the per-entity anomaly
+    dials (pv_anomaly, pv_ewma, pv_cusum) are read against.
+
+    Exactness: counts are integers; interpolated exact percentiles
+    mirror value_percentiles.
+
+    Scale: one (user, day) agg, one |days|-bounded percentile agg."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return daily.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(F.expr("percentile(n, 0.1)"), 6).alias("p10"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n, 0.9)"), 6).alias("p90"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+
+
+def value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types: the F-statistic
+    that says whether the type label explains any of the value variance
+    — the formal version of eyeballing value_percentiles per type.
+
+    Exactness: values enter as integer cents via floor(value·100) —
+    floor never ties, and the same double product floors identically in
+    both engines; SSB/SSW come from exact integer (n, Σ, Σ²) per group
+    carried in DECIMAL(38,0) (Σx² overflows BIGINT at warehouse scale),
+    combined in ONE deterministic double chain at the end. eta² is the
+    variance-explained companion.
+
+    Scale: one |types|-bounded partial agg, a ≤|types|-row final
+    combine."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("decimal(38,0)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").alias("n_all"),
+        F.sum("s").alias("s_all"),
+        F.sum("ss").alias("ss_all"),
+        # Σ s²/n is the ONE float accumulation here: each term is an
+        # exact-integer ratio, but agg order differs across engines, so
+        # the k terms are folded SEQUENTIALLY in event_type order
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(event_type, s, n))),"
+            " CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE)"
+            " / CAST(x.n AS DOUBLE))"
+        ).alias("sb_raw"),
+    )
+    n_all = F.col("n_all").cast("double")
+    ss_all = F.col("ss_all").cast("double")
+    s_all = F.col("s_all").cast("double")
+    sst = ss_all - s_all * s_all / n_all
+    ssb = F.col("sb_raw") - s_all * s_all / n_all
+    ssw = sst - ssb
+    k = F.col("k").cast("double")
+    f_stat = (ssb / (k - 1)) / (ssw / (n_all - k))
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n_all").cast("long").alias("n_events"),
+        F.when((F.col("k") > 1) & (ssw > 0), F.round(f_stat, 6)).alias(
+            "f_stat"
+        ),
+        F.when(sst > 0, F.round(ssb / sst, 6)).alias("eta_sq"),
+    )
+
+
+def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of event value per type — the robust
+    spread statistic next to value_percentiles (winsorized moments live
+    in robust_stats; MAD survives arbitrarily heavy tails).
+
+    Exactness: both medians are exact interpolated percentiles; the
+    deviation pass re-reads the scan with the per-type median joined
+    back (broadcastable |types| rows), so every number is deterministic
+    to the rounding.
+
+    Scale: two one-shuffle percentile aggs with a tiny broadcast
+    between — affordable exactly twice; the sketch path stays
+    approx_stats."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    return dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("med"), 6).alias("median"),
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"),
+    )

@@ -6760,6 +6760,178 @@ register(
     """,
 )
 
+_FP_SQL_DERIVED = {
+    "__text_md5": "md5(text)",
+    "__ts_date": "CAST(CAST(ts AS DATE) AS VARCHAR)",
+    "__ship_date": "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)",
+    "__order_date": "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+}
+
+
+def _fp_arm(name: str, cols: list[str]) -> str:
+    parts = ", ".join(
+        _FP_SQL_DERIVED[c] if c.startswith("__") else f"CAST({c} AS VARCHAR)"
+        for c in cols
+    )
+    return (
+        f"SELECT '{name}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(coalesce(bit_xor(('0x' || substr(md5(concat_ws('|', {parts})),"
+        f" 1, 15))::BIGINT), 0) AS BIGINT) AS checksum FROM {name}"
+    )
+
+
+register(
+    "table_fingerprint",
+    prof.table_fingerprint,
+    "\n    UNION ALL\n    ".join(
+        _fp_arm(n, c) for n, c in prof.FP_COLUMNS.items()
+    ),
+)
+
+register(
+    "autocomplete_prefix",
+    ir.autocomplete_prefix,
+    f"""
+    WITH freq AS (
+      SELECT w AS token, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w != '' GROUP BY w
+      HAVING count(*) >= {ir.AUTOCOMPLETE_MIN_FREQ}
+    ),
+    f2 AS (
+      SELECT token, freq, substr(token, 1, {ir.AUTOCOMPLETE_PREFIX_LEN})
+               AS prefix
+      FROM freq WHERE length(token) >= {ir.AUTOCOMPLETE_PREFIX_LEN}
+    ),
+    r AS (
+      SELECT prefix, token, freq,
+             CAST(row_number() OVER (PARTITION BY prefix
+                                     ORDER BY freq DESC, token)
+                  AS BIGINT) AS rnk
+      FROM f2
+    )
+    SELECT prefix, token, freq, rnk FROM r WHERE rnk <= {ir.AUTOCOMPLETE_TOP_K}
+    """,
+)
+
+register(
+    "pv_daily_bands",
+    ts.pv_daily_bands,
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(quantile_cont(n, 0.1), 6) AS p10,
+           round(quantile_cont(n, 0.5), 6) AS p50,
+           round(quantile_cont(n, 0.9), 6) AS p90,
+           CAST(max(n) AS BIGINT) AS max_n
+    FROM daily GROUP BY day
+    """,
+)
+
+register(
+    "checksum_by_type",
+    prof.checksum_by_type,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(bit_xor(('0x' || substr(md5(
+                  concat_ws('|', CAST(event_id AS VARCHAR),
+                            CAST(user_id AS VARCHAR), event_type,
+                            CAST(CAST(ts AS DATE) AS VARCHAR), props)),
+                  1, 15))::BIGINT) AS BIGINT) AS checksum
+    FROM events GROUP BY event_type
+    """,
+)
+
+register(
+    "editor_activity",
+    rev.editor_activity,
+    """
+    WITH e AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) AS editor,
+             user_id AS page_id, CAST(ts AS DATE) AS day
+      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    pd AS (SELECT editor, day, CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY 1, 2),
+    pg AS (SELECT editor, CAST(count(*) AS BIGINT) AS n_pages
+           FROM (SELECT DISTINCT editor, page_id FROM e) GROUP BY editor),
+    da AS (
+      SELECT editor, CAST(sum(n) AS BIGINT) AS n_edits,
+             CAST(count(*) AS BIGINT) AS n_active_days,
+             min(day) AS first_day, max(day) AS last_day,
+             round(sum(n) / CAST(count(*) AS DOUBLE), 6) AS edits_per_day
+      FROM pd GROUP BY editor
+    )
+    SELECT editor, n_edits, n_pages, n_active_days, first_day, last_day,
+           edits_per_day
+    FROM da JOIN pg USING (editor)
+    """,
+)
+
+register(
+    "value_anova",
+    ts.value_anova,
+    """
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(floor(value * 100) AS HUGEINT)) AS s,
+             sum(CAST(floor(value * 100) AS HUGEINT)
+                 * CAST(floor(value * 100) AS HUGEINT)) AS ss
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(n) AS n_all, sum(s) AS s_all, sum(ss) AS ss_all,
+             list_reduce(
+               list_transform(
+                 list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE) ORDER BY event_type),
+                 x -> x),
+               (a, b) -> a + b) AS sb_raw
+      FROM g
+    ),
+    d AS (
+      SELECT k, CAST(n_all AS DOUBLE) AS n_all,
+             CAST(ss_all AS DOUBLE) AS ss_all,
+             CAST(s_all AS DOUBLE) AS s_all, sb_raw
+      FROM tot
+    ),
+    x AS (
+      SELECT k, n_all,
+             ss_all - s_all * s_all / n_all AS sst,
+             sb_raw - s_all * s_all / n_all AS ssb
+      FROM d
+    )
+    SELECT k AS n_groups, CAST(n_all AS BIGINT) AS n_events,
+           CASE WHEN k > 1 AND (sst - ssb) > 0
+                THEN round((ssb / (CAST(k AS DOUBLE) - 1))
+                           / ((sst - ssb) / (n_all - CAST(k AS DOUBLE))), 6)
+           END AS f_stat,
+           CASE WHEN sst > 0 THEN round(ssb / sst, 6) END AS eta_sq
+    FROM x
+    """,
+)
+
+register(
+    "value_mad",
+    ts.value_mad,
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(any_value(med), 6) AS median,
+           round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+    FROM events JOIN med USING (event_type)
+    GROUP BY event_type
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -7031,6 +7203,16 @@ _DEMOTED_STABLE = [
     # thirty-seventh wave
     "pv_holt",
     "return_rates",
+    # thirty-eighth wave
+    "table_fingerprint",
+    "autocomplete_prefix",
+    "pv_daily_bands",
+    # thirty-ninth wave
+    "checksum_by_type",
+    # fortieth wave
+    "editor_activity",
+    "value_anova",
+    "value_mad",
 ]
 
 

@@ -1,0 +1,42 @@
+"""Streaming integrity checksums — the incremental twin of
+operators/profile.checksum_by_type.
+
+An ingest pipeline reconciles "did the stream deliver exactly the rows
+the lake holds?" by comparing per-key checksums, not by diffing rows.
+XOR of a per-row hash is the right running state for that: commutative
+(arrival order never matters), self-inverse (a replayed duplicate
+cancels itself OUT — visibly corrupting the checksum rather than
+silently inflating a count), and O(1) per key. The streaming aggregate
+below maintains exactly the batch operator's number; the
+replay-equals-batch test pins the two together.
+
+Scale: state is one (count, 60-bit xor) pair per event_type — bounded
+by the key universe, mergeable across micro-batches and shuffle
+partitions (bit_xor is a declarative aggregate with a partial merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_spark.operators.profile import EVENT_CHECKSUM_SERIAL
+from hedera_spark.streaming.source import event_stream
+
+
+def stream_checksum(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Running (n_events, checksum) per event_type over the event
+    stream — complete-mode aggregate, same serial and 60-bit md5-XOR as
+    checksum_by_type."""
+    events = event_stream(spark, src_dir)
+    h = F.conv(
+        F.substring(F.md5(F.expr(EVENT_CHECKSUM_SERIAL)), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        events.select("event_type", h.alias("h"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+        )
+    )

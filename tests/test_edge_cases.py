@@ -182,6 +182,10 @@ def _empty_sf(spark, tmp_path):
         "split_contamination",
         "pv_holt",
         "return_rates",
+        "autocomplete_prefix",
+        "pv_daily_bands",
+        "editor_activity",
+        "value_mad",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -306,3 +310,18 @@ def test_agreement_reports_tolerate_empty_input(spark, tmp_path):
     da = dedup_method_agreement(spark, sf).collect()
     assert len(da) == 3
     assert all(r["n_a"] == 0 and r["n_b"] == 0 and r["n_common"] == 0 for r in da)
+    from hedera_spark.operators.timeseries import value_anova
+
+    va = value_anova(spark, sf).collect()
+    assert len(va) == 1 and va[0]["n_groups"] == 0 and va[0]["f_stat"] is None
+
+
+def test_table_fingerprint_empty_input_reports_all_tables(spark, tmp_path):
+    """Fixed-shape report: empty tables must still yield one row per
+    table with n_rows = 0 and the neutral checksum 0."""
+    from hedera_spark.operators.profile import FP_COLUMNS, table_fingerprint
+
+    sf = _empty_sf(spark, tmp_path)
+    rows = {r["table_name"]: r for r in table_fingerprint(spark, sf).collect()}
+    assert set(rows) == set(FP_COLUMNS)
+    assert all(r["n_rows"] == 0 and r["checksum"] == 0 for r in rows.values())

@@ -530,3 +530,104 @@ def test_pack_efficiency_matches_direct(spark, tmp_path_factory, lengths):
         assert r["padding_share"] == round(
             (sum(ns) * L - sum(pos)) / (sum(ns) * L), 6
         )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(
+        st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=14),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_sequential_folds_match_python_replay(
+    spark, tmp_path_factory, series
+):
+    """pv_ewma / pv_holt / pv_cusum must equal a pure-Python integer
+    replay of their documented recurrences for ANY daily count series —
+    the micro-unit folds have no float freedom to hide in."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmpdir = str(tmp_path_factory.mktemp("foldprop"))
+    rows = []
+    eid = 0
+    for uid, counts in enumerate(series):
+        for day_idx, n in enumerate(counts):
+            for _ in range(n):
+                rows.append(
+                    (
+                        eid,
+                        datetime.datetime(2024, 3, 1, 9)
+                        + datetime.timedelta(days=day_idx),
+                        uid,
+                        "view",
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/events.parquet")
+
+    from hedera_spark.operators.timeseries import pv_cusum, pv_ewma, pv_holt
+
+    def fmt(u):
+        frac = str(u % 10000).zfill(4).rstrip("0") or "0"
+        return f"{u // 10000}.{frac}"
+
+    ewma = {r["user_id"]: r for r in pv_ewma(spark, tmpdir).collect()}
+    holt = {r["user_id"]: r for r in pv_holt(spark, tmpdir).collect()}
+    cusum = {r["user_id"]: r for r in pv_cusum(spark, tmpdir).collect()}
+    for uid, counts in enumerate(series):
+        # EWMA replay
+        u = counts[0] * 10000
+        parts = [fmt(u)]
+        for x in counts[1:]:
+            u = (3 * x * 10000 + 7 * u + 5) // 10
+            parts.append(fmt(u))
+        r = ewma[uid]
+        assert r["n_days"] == len(counts)
+        assert r["ewma_series"] == ",".join(parts)
+        assert r["ewma_last"] == u / 10000.0
+        # Holt replay
+        lv, tr = counts[0] * 10000, 0
+        for x in counts[1:]:
+            ln = (3 * x * 10000 + 7 * (lv + tr) + 5) // 10
+            tr = (2 * (ln - lv) + 8 * tr + 5) // 10
+            lv = ln
+        h = holt[uid]
+        assert h["level"] == lv / 10000.0
+        assert h["trend"] == tr / 10000.0
+        assert h["forecast_7d"] == (lv + 7 * tr) / 10000.0
+        # CUSUM replay (reflected prefix-sum identity, all ints)
+        n, s = len(counts), sum(counts)
+        p, runmin, runmax = 0, 0, 0
+        sp, sn = [], []
+        for x in counts:
+            p += n * x - s
+            runmin = min(runmin, p)
+            runmax = max(runmax, p)
+            sp.append(p - min(0, runmin))
+            sn.append(max(0, runmax) - p)
+        c = cusum[uid]
+        assert c["n_days"] == n and c["total"] == s
+        assert c["max_pos"] == max(sp)
+        assert c["pos_idx"] == sp.index(max(sp)) + 1
+        assert c["max_neg"] == max(sn)
+        assert c["neg_idx"] == sn.index(max(sn)) + 1

@@ -1114,3 +1114,25 @@ def test_stream_drift_equals_batch_twin(spark):
     want = batch_drift_twin(spark, SF_DIR, fences=fences).toPandas()
     assert_frames_match(got, want, "stream_drift")
     assert set(got["bucket"]) == set(range(1, 11))
+
+
+def test_stream_checksum_equals_batch(spark):
+    """The streaming XOR checksum after consuming the whole file must
+    equal checksum_by_type — arrival order cannot matter (XOR is
+    commutative), so replay == batch exactly, per key."""
+    from hedera_spark.operators.profile import checksum_by_type
+    from hedera_spark.streaming.integrity import stream_checksum
+
+    out = stream_checksum(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("checksum_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from checksum_stream").toPandas()
+    want = checksum_by_type(spark, SF_DIR).toPandas()
+    assert_frames_match(got, want, "stream_checksum")
