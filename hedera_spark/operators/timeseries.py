@@ -1642,3 +1642,102 @@ def value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("med"), 6).alias("median"),
         F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"),
     )
+
+
+BOOTSTRAP_REPLICATES = 20
+# Poisson(1) CDF at k = 0..8, scaled to integer millionths: a replicate
+# weight is the count of thresholds <= the row's uniform draw, i.e. the
+# inverse-CDF step function evaluated on exact integers.
+POISSON_CUM_1E6 = [
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999,
+]
+
+
+def bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean event value — the resampling
+    scheme that actually works on a cluster (Chamandy et al., "Teaching
+    Statistics at Google Scale": per-row independent Poisson(1) weights
+    replace sampling-with-replacement, so each replicate is one
+    weighted pass, no global shuffle, mergeable partials). 20
+    deterministic replicates; the consumer reads the spread as the CI.
+
+    Exactness: the uniform draw is md5(event_id, b) reduced to integer
+    millionths; the weight is an integer comparison count against the
+    scaled Poisson CDF; values enter as floor(value·100) cents summed
+    in BIGINT — the only float op is the final weighted-mean division.
+
+    Scale: one ×B map-side explode, one B-bounded partial agg. At
+    100 TB this is B scans' worth of CPU in ONE scan's I/O."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(BOOTSTRAP_REPLICATES - 1))
+    ).alias("b")
+    rows = ev.select(
+        "event_id", F.floor(F.col("value") * 100).cast("long").alias("cents"), b
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "~",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    thresholds = F.array(*[F.lit(t) for t in POISSON_CUM_1E6])
+    w = F.size(F.filter(thresholds, lambda t: u >= t)).cast("long")
+    return (
+        rows.select(F.col("b").cast("long").alias("b"), w.alias("w"), "cents")
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("wsum_cents"),
+        )
+        .select(
+            "b",
+            "n_eff",
+            F.when(
+                F.col("n_eff") > 0,
+                F.round(
+                    F.col("wsum_cents") / F.col("n_eff") / F.lit(100.0), 6
+                ),
+            ).alias("mean_value"),
+        )
+    )
+
+
+def hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy dial for the HyperLogLog distinct sketch: per
+    event_type, the exact distinct user count next to
+    approx_count_distinct's estimate and the relative error — the last
+    approximate structure in the repo without a measured audit
+    (quantile sketch, minhash, simhash, LSH, IVF, PQ, SQ all have one).
+    Rows-only by design: the sketch estimate is engine-specific, which
+    is exactly what the audit is for (the bounds test pins |rel_error|
+    under the documented ~2% rsd at these cardinalities).
+
+    Scale: the exact side is the expensive one (two-stage distinct) —
+    at 100 TB you run THIS audit on a sample or a partition slice, then
+    trust the one-pass mergeable sketch everywhere else."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id").alias("n_approx"),
+    )
+    return g.select(
+        "event_type",
+        "n_exact",
+        "n_approx",
+        F.round(
+            F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_error"),
+    )

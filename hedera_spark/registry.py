@@ -6932,6 +6932,36 @@ register(
     """,
 )
 
+_POISSON_LIST = ", ".join(str(t) for t in ts.POISSON_CUM_1E6)
+
+register(
+    "bootstrap_means",
+    ts.bootstrap_means,
+    f"""
+    WITH r AS (
+      SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents, b
+      FROM events
+      CROSS JOIN (SELECT unnest(range(0, {ts.BOOTSTRAP_REPLICATES})) AS b) t
+    ),
+    wts AS (
+      SELECT b, cents,
+             CAST(len(list_filter([{_POISSON_LIST}],
+                    t -> (('0x' || substr(md5(concat_ws('~',
+                            CAST(event_id AS VARCHAR), CAST(b AS VARCHAR))),
+                            1, 12))::BIGINT % 1000000) >= t)) AS BIGINT) AS w
+      FROM r
+    )
+    SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+           CASE WHEN sum(w) > 0
+                THEN round(CAST(sum(w * cents) AS BIGINT)
+                           / CAST(sum(w) AS DOUBLE) / 100.0, 6)
+           END AS mean_value
+    FROM wts GROUP BY b
+    """,
+)
+
+register("hll_error", ts.hll_error)  # rows-only: audits the engine sketch
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -7213,6 +7243,9 @@ _DEMOTED_STABLE = [
     "editor_activity",
     "value_anova",
     "value_mad",
+    # forty-first wave
+    "bootstrap_means",
+    "hll_error",
 ]
 
 

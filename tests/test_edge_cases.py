@@ -186,6 +186,8 @@ def _empty_sf(spark, tmp_path):
         "pv_daily_bands",
         "editor_activity",
         "value_mad",
+        "bootstrap_means",
+        "hll_error",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -2556,3 +2556,38 @@ def test_pv_holt_constant_and_trending_series(spark, tmp_path):
     assert res[1]["forecast_7d"] == 5.0
     assert res[2]["trend"] > 0
     assert res[2]["forecast_7d"] > res[2]["level"]
+
+
+def test_bootstrap_means_concentrate_around_true_mean(spark):
+    """Poisson-bootstrap replicate means must cluster around the plain
+    mean (weights are Poisson(1): E[n_eff] = n), and every replicate's
+    effective sample size must be within a loose CLT band of n."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.timeseries import bootstrap_means
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.avg(F.floor(F.col("value") * 100) / 100.0)).alias("mean"),
+    ).collect()[0]
+    rows = bootstrap_means(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert abs(r["n_eff"] - base["n"]) < 6 * (base["n"] ** 0.5)
+        assert abs(r["mean_value"] - base["mean"]) / abs(base["mean"]) < 0.1
+
+
+def test_hll_error_within_sketch_guarantee(spark):
+    """approx_count_distinct's default rsd is ~2.3%; at the testdata
+    cardinalities every per-type estimate must sit well inside 10%."""
+    from hedera_spark.operators.timeseries import hll_error
+    from tests.conftest import SF_DIR
+
+    rows = hll_error(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] > 0
+        assert r["rel_error"] < 0.1

@@ -25,7 +25,13 @@ print(f"ENTRY OK: {len(rows)} rows, schema={[f.name for f in df.schema.fields]}"
 
 import duckdb
 con = duckdb.connect()
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+args = sys.argv[1:]
+only = None
+if "--only" in args:
+    i = args.index("--only")
+    only = set(args[i + 1].split(","))
+    args = args[:i] + args[i + 2:]
+SF = args[0] if args else "/root/testdata/sf0.01"
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
@@ -33,6 +39,8 @@ from tests.oracle_compare import assert_frames_match
 qs, os_ = e.queries(), e.oracle_sql()
 ok, fail = 0, 0
 for name, fn in sorted(qs.items()):
+    if only is not None and name not in only:
+        continue
     try:
         # local mode shares ONE heap between driver and executors: frames
         # persisted by iterative operators (kcore/pagerank/kmeans return
