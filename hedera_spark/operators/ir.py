@@ -1015,3 +1015,45 @@ def autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= AUTOCOMPLETE_TOP_K)
     )
+
+
+RRF_K = 60
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the
+    BM25 and query-likelihood top-10 lists: score(d) = Σ_sys
+    1/(RRF_K + rank_sys(d)) over the systems that retrieved d — the
+    production-standard way to combine lexical rankers (and, in a real
+    corpus, lexical + vector) WITHOUT comparing their incommensurable
+    scores. Completes the fusion trio next to retrieval_interleave
+    (serving-time A/B) and retrieval_ndcg (offline order agreement).
+
+    Determinism: ranks are exact integers; each term 1/(60+r) and the
+    ≤ 2-term sum are identical doubles cross-engine; one final round(6).
+    With k=60 and 10-deep lists, ANY doc in both lists (≥ 2/70) beats
+    any doc in one list (≤ 1/61) — the property test pins this.
+
+    Plan: two 10-row ranked inputs full-outer-joined on doc_id — the
+    audited bm25_topk / ql_topk plans are the scale story, the fusion
+    itself touches ≤ 20 rows."""
+    wb = Window.orderBy(F.desc("score"), "doc_id")
+    b = bm25_topk(spark, sf_dir).select(
+        "doc_id", F.row_number().over(wb).alias("r_bm25")
+    )
+    q = ql_topk(spark, sf_dir).select(
+        "doc_id", F.row_number().over(wb).alias("r_ql")
+    )
+    fused = b.join(q, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_ql")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        (
+            F.col("r_bm25").isNotNull().cast("long")
+            + F.col("r_ql").isNotNull().cast("long")
+        ).alias("n_systems"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)

@@ -1,0 +1,233 @@
+"""Frequency sketches and membership filters — the two remaining
+mergeable summary structures a 100 TB pipeline leans on that the repo
+had not yet built and MEASURED (quantiles, HLL, minhash, simhash, LSH,
+IVF, PQ, SQ each already have an audit dial):
+
+- Count-Min sketch (Cormode & Muthukrishnan 2005): a fixed d×w counter
+  grid estimating per-key frequency with one-sided error. On a cluster
+  the grid is the whole point — each executor folds its partition into
+  d·w integers, partials merge by cell-wise addition (a map-side
+  combined groupBy on ≤ d·w keys), and the final sketch answers
+  heavy-hitter queries without ever shuffling the raw key space.
+- Bloom filter (Bloom 1970): the runtime semi-join filter. Build a
+  fixed m-bit bitmap over the selective side's join keys, broadcast it,
+  and drop probe-side rows whose key cannot be present BEFORE the
+  shuffle — Spark's own runtime row-level filtering / DPP does exactly
+  this; here the structure is built explicitly so its false-positive
+  rate is measured, not assumed.
+
+Both structures are built from deterministic md5-derived hashes so the
+DuckDB oracle replays them bit-for-bit — the `table_fingerprint` /
+`dedup_minhash` discipline. Reference parity: the reference's
+experiments ship approximate counting over massive revision logs
+(java/experiments BigFunctions-style aggregations); the sketches here
+are the Spark-idiomatic mergeable equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hedera_spark.sources.tables import load_table
+
+# Count-Min geometry: depth 4 rows × width 256 buckets = 1024 cells.
+# At width w the per-row overestimate is ~N/w in expectation; depth d
+# takes the min over d independent rows.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+
+# Bloom geometry: 8192 bits as 256 × 32-bit words (32-bit words keep
+# every mask positive and far from BIGINT shift-overflow in both
+# engines), k = 3 probes per key.
+BLOOM_BITS = 8192
+BLOOM_WORD = 32
+BLOOM_K = 3
+# The selective build-side predicate for the semi-join demo: urgent
+# high-value orders (~6% of orders at every SF).
+BLOOM_PRICE_MIN = 350000.0
+
+
+def _hash_mod(j, key, mod: int):
+    """Deterministic bucket in [0, mod): md5("j~key") reduced from the
+    first 12 hex chars (48 bits, exact in BIGINT in both engines)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("~", j.cast("string"), key.cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def _cms_counters(events: DataFrame) -> DataFrame:
+    """(j, bucket, cnt) counter grid over events.user_id — ≤ d·w rows.
+
+    Scale: the explode is map-side (×d before the partial agg, which
+    collapses each partition to ≤ d·w cells), so the shuffle moves at
+    most d·w rows per partition regardless of input size."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
+    rows = events.select(F.col("user_id"), j)
+    return (
+        rows.select(
+            F.col("j").cast("long").alias("j"),
+            _hash_mod(F.col("j"), F.col("user_id"), CMS_WIDTH).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters with their measured error: the
+    top-20 users by exact event count, each next to the sketch's
+    estimate min_j counter[j][h_j(u)] and the (always ≥ 0)
+    overestimate. The audit companion to hll_error — CMS was the last
+    unmeasured sketch family.
+
+    Scale: the sketch side is ONE map-side-combined pass into 1024
+    cells; the exact side (a full groupBy on the key) exists only to
+    grade the sketch — at 100 TB you run the exact side on a slice,
+    then trust the mergeable grid everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    counters = _cms_counters(ev)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    top = exact.orderBy(F.desc("n_exact"), "user_id").limit(CMS_TOPK)
+    j = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
+    probes = top.select("user_id", "n_exact", j).select(
+        "user_id",
+        "n_exact",
+        F.col("j").cast("long").alias("j"),
+        _hash_mod(F.col("j"), F.col("user_id"), CMS_WIDTH).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("n_cms"))
+        .select(
+            "user_id",
+            "n_exact",
+            "n_cms",
+            (F.col("n_cms") - F.col("n_exact")).alias("overestimate"),
+        )
+    )
+
+
+def _bloom_words(keys: DataFrame, key: str) -> DataFrame:
+    """(word, mask) bitmap rows for a Bloom filter over `keys[key]` —
+    ≤ BLOOM_BITS/BLOOM_WORD rows, built with one map-side-combined
+    bit_or aggregate."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    pos = _hash_mod(F.col("j"), F.col(key), BLOOM_BITS)
+    return (
+        keys.select(F.col(key), j)
+        .select(pos.alias("pos"))
+        .select(
+            (F.col("pos") / BLOOM_WORD).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").cast("long").alias("mask"))
+    )
+
+
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi-join with a measured false-positive rate:
+    build an 8192-bit Bloom filter over the order keys of urgent
+    high-value orders, probe every distinct lineitem order key through
+    it, then verify against the true member set. One summary row:
+    filter geometry, build/probe cardinalities, pass/true/false-positive
+    counts, and the realized fp_rate among true negatives.
+
+    Scale: this is the join-pruning story made explicit — the ≤ 256-row
+    (word, mask) bitmap broadcasts, each probe is K equality-join bit
+    tests (O(1), no nested loop over the bitmap), and at 100 TB the
+    pass filter runs BEFORE the lineitem shuffle so the join moves
+    ~6% of the rows. No false negatives by construction (asserted by
+    test: n_true_pass == n_member)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = (
+        orders.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > BLOOM_PRICE_MIN)
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    words = _bloom_words(build, "o_orderkey")
+
+    probe = li.select(F.col("l_orderkey").alias("key")).distinct()
+    j = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    pos = _hash_mod(F.col("j"), F.col("key"), BLOOM_BITS)
+    tests = (
+        probe.select("key", j)
+        .select("key", pos.alias("pos"))
+        .select(
+            "key",
+            (F.col("pos") / BLOOM_WORD).cast("long").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT))"
+            ).alias("bit"),
+        )
+    )
+    hits = (
+        tests.join(F.broadcast(words), "word", "left")
+        .select(
+            "key",
+            F.when(
+                F.col("mask").isNotNull()
+                & (F.col("mask").bitwiseAND(F.col("bit")) != 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("key")
+        .agg((F.sum("hit") == BLOOM_K).alias("pass"))
+    )
+    verdicts = hits.join(
+        build.select(F.col("o_orderkey").alias("key"), F.lit(1).alias("member")),
+        "key",
+        "left",
+    )
+    stats = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.col("pass").cast("long")).cast("long").alias("n_pass"),
+        F.sum(F.coalesce(F.col("member"), F.lit(0))).cast("long").alias("n_member"),
+        F.sum(
+            (F.col("pass") & F.col("member").isNotNull()).cast("long")
+        ).cast("long").alias("n_true_pass"),
+        F.sum(
+            (F.col("pass") & F.col("member").isNull()).cast("long")
+        ).cast("long").alias("n_false_pos"),
+    )
+    n_keys = build.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    return stats.where(F.col("n_probe") > 0).crossJoin(F.broadcast(n_keys)).select(
+        F.lit(BLOOM_BITS).cast("long").alias("m_bits"),
+        F.lit(BLOOM_K).cast("long").alias("k_hashes"),
+        "n_keys",
+        "n_probe",
+        "n_pass",
+        "n_member",
+        "n_true_pass",
+        "n_false_pos",
+        F.when(
+            (F.col("n_probe") - F.col("n_member")) > 0,
+            F.round(
+                F.col("n_false_pos")
+                / (F.col("n_probe") - F.col("n_member")),
+                6,
+            ),
+        ).alias("fp_rate"),
+    )

