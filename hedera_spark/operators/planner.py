@@ -1,0 +1,224 @@
+"""Planning / lakehouse-operations tooling — the numbers an engine (or
+an engineer) computes BEFORE running a 100 TB job, built as first-class
+audited queries like everything else in the repo:
+
+- `join_size_estimate`: the CBO cardinality estimation loop made
+  visible — predict a skew-sensitive join's output size from per-key
+  statistics (exact most-common-values + uniform tail, the
+  histogram+MCV scheme every optimizer uses) and grade the prediction
+  against the exact answer WITHOUT materializing the join.
+- `partition_planner`: the small-files / `maxPartitionBytes` sizing
+  pass — schema-driven per-row byte estimates per table and the
+  partition count that lands each table at the 128 MB target.
+- `mv_refresh_plan`: partition-level incremental-refresh planning —
+  diff per-day XOR fingerprints between a materialized view's as-built
+  state and the current table to emit exactly the days that need
+  rebuilding (the `table_fingerprint` idea pointed at the lakehouse
+  MERGE/refresh loop; complements index_delta/corpus_delta which
+  maintain the VIEW, this plans WHICH partitions to touch).
+
+Reference parity: the reference's pipelines hand-tune reducer counts
+and job splits per dump (pig scripts' PARALLEL clauses, python/dumps
+partition accounting); these operators are the Spark-era equivalents
+computed from the data itself.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hedera_spark.operators.profile import EVENT_CHECKSUM_SERIAL
+from hedera_spark.sources.tables import TABLES, load_table
+
+# join_size_estimate: number of exact most-common-values kept; the tail
+# is modeled as uniform over its distinct keys.
+MCV_K = 100
+
+# partition_planner: the classic 128 MB scan-partition target.
+PARTITION_TARGET_BYTES = 128 * 1024 * 1024
+
+# mv_refresh_plan: the view is "as built" 7 days before the newest
+# event, and rows with event_id % MV_LATE_MOD == 0 arrived late (after
+# the build), so historical days containing one are stale.
+MV_STALE_DAYS = 7
+MV_LATE_MOD = 97
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict |lineitem ⋈ lineitem on l_partkey| (the skew-sensitive
+    self-join shape behind every blocked dedup/ANN candidate join in
+    this repo) from per-key counts only: exact c(k)² for the top-100
+    keys, n_tail²/d_tail for the rest (uniformity assumption), graded
+    against the exact Σ c(k)². One summary row with the relative error
+    of the estimate.
+
+    Scale: ONE groupBy on the join key produces every number — the
+    join itself is never materialized (Σ c² at 100 TB can be 10^15
+    rows; the whole point is to know that before submitting). The MCV
+    split is how AQE-style skow handling decides what to salt.
+    Integer-exact: counts are BIGINT, the tail model uses integer
+    division, so both engines produce identical numbers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    total = counts.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs"),
+    )
+    mcv = (
+        counts.orderBy(F.desc("c"), "l_partkey")
+        .limit(MCV_K)
+        .agg(
+            F.sum("c").cast("long").alias("n_mcv"),
+            F.count(F.lit(1)).cast("long").alias("d_mcv"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("mcv_pairs"),
+        )
+    )
+    est_tail = F.when(
+        (F.col("n_keys") - F.col("d_mcv")) > 0,
+        F.expr(
+            "(n_rows - n_mcv) * (n_rows - n_mcv) div (n_keys - d_mcv)"
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        total.crossJoin(F.broadcast(mcv))
+        .where(F.col("n_rows") > 0)
+        .select(
+            "n_rows",
+            "n_keys",
+            "exact_pairs",
+            (F.col("mcv_pairs") + est_tail).cast("long").alias("est_pairs"),
+        )
+        .select(
+            "*",
+            F.round(
+                (F.col("est_pairs") - F.col("exact_pairs"))
+                / F.col("exact_pairs"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+def _row_bytes(df: DataFrame):
+    """Schema-driven estimated in-memory/encoded bytes per row."""
+    terms = []
+    for f in df.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType,
+                           T.TimestampNTZType)):
+            terms.append(F.lit(8))
+        elif isinstance(dt, (T.IntegerType, T.DateType, T.FloatType)):
+            terms.append(F.lit(4))
+        elif isinstance(dt, T.StringType):
+            terms.append(F.coalesce(F.octet_length(F.col(f.name)), F.lit(0)))
+        elif isinstance(dt, T.ArrayType):
+            w = 4 if isinstance(dt.elementType, T.FloatType) else 8
+            terms.append(
+                F.coalesce(F.size(F.col(f.name)) * w, F.lit(0))
+            )
+        else:
+            terms.append(F.lit(8))
+    return reduce(lambda a, b: a + b, terms).cast("long")
+
+
+def partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-partition sizing for every table: row count, estimated data
+    bytes (schema-driven widths: 8 for 64-bit types, 4 for 32-bit,
+    byte length for strings, element width × length for arrays), and
+    the partition count that lands each table at the 128 MB
+    `spark.sql.files.maxPartitionBytes` target — the small-files /
+    task-granularity audit run before a backfill.
+
+    Scale: one map-side sum per table, |tables| bounded rows out. The
+    estimate is the ENCODED working-set size, deliberately ignoring
+    parquet compression (partition sizing is about decoded bytes a
+    task holds, not bytes on disk)."""
+    blocks = []
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        blocks.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(F.sum(_row_bytes(df)), F.lit(0))
+                .cast("long")
+                .alias("est_bytes"),
+            ).select(F.lit(name).alias("table_name"), "n_rows", "est_bytes")
+        )
+    out = reduce(lambda a, b: a.unionByName(b), blocks)
+    return (
+        out.where(F.col("n_rows") > 0)
+        .select(
+            "*",
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    f"(est_bytes + {PARTITION_TARGET_BYTES - 1})"
+                    f" div {PARTITION_TARGET_BYTES}"
+                ),
+            ).cast("long").alias("parts_128mb"),
+        )
+    )
+
+
+def mv_refresh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which daily partitions of a materialized view need rebuilding:
+    the view over events was built MV_STALE_DAYS before the newest
+    event, and late rows (event_id % 97 == 0) arrived after the build.
+    Per day, compare the as-built (n, XOR-fingerprint) pair with the
+    current one: days absent from the view are 'missing', days whose
+    fingerprint moved are 'stale', untouched days are omitted — the
+    exact partition list an incremental REFRESH would touch.
+
+    Scale: ONE scan, one groupBy on day — the as-built state is
+    reconstructed with conditional aggregates (no second scan, no
+    join), and the plan output is bounded by the day count. This is
+    the table_fingerprint/checksum_by_type XOR discipline doing its
+    real job: deciding what NOT to recompute."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        F.date_sub(F.max(F.col("ts").cast("date")), MV_STALE_DAYS).alias(
+            "cutoff"
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.expr(EVENT_CHECKSUM_SERIAL)), 1, 15), 16, 10
+    ).cast("long")
+    in_mv = (F.col("day") <= F.col("cutoff")) & (
+        F.col("event_id") % MV_LATE_MOD != 0
+    )
+    per_day = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"), "event_id", h.alias("h")
+        )
+        .crossJoin(F.broadcast(cutoff))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_current"),
+            F.expr("bit_xor(h)").cast("long").alias("x_current"),
+            F.sum(in_mv.cast("long")).cast("long").alias("n_mv"),
+            F.expr(
+                f"bit_xor(CASE WHEN day <= cutoff AND"
+                f" event_id % {MV_LATE_MOD} != 0 THEN h END)"
+            ).cast("long").alias("x_mv"),
+        )
+    )
+    return per_day.select(
+        "day",
+        F.when(F.col("n_mv") == 0, F.lit("missing"))
+        .when(
+            (F.col("n_mv") != F.col("n_current"))
+            | (F.col("x_mv") != F.col("x_current")),
+            F.lit("stale"),
+        )
+        .otherwise(F.lit("fresh"))
+        .alias("status"),
+        "n_current",
+        "n_mv",
+    ).where(F.col("status") != "fresh")

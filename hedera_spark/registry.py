@@ -7086,6 +7086,138 @@ register(
     """.format(bm25=ORACLE["bm25_topk"], ql=ORACLE["ql_topk"]),
 )
 
+from hedera_spark.operators import planner as pln  # noqa: E402
+
+register(
+    "join_size_estimate",
+    pln.join_size_estimate,
+    f"""
+    WITH counts AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    total AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c * c) AS BIGINT) AS exact_pairs
+      FROM counts
+    ),
+    mcv AS (
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_mcv,
+             CAST(count(*) AS BIGINT) AS d_mcv,
+             CAST(coalesce(sum(c * c), 0) AS BIGINT) AS mcv_pairs
+      FROM (SELECT l_partkey, c FROM counts
+            ORDER BY c DESC, l_partkey LIMIT {pln.MCV_K}) t
+    ),
+    est AS (
+      SELECT n_rows, n_keys, exact_pairs,
+             CAST(mcv_pairs + CASE WHEN n_keys - d_mcv > 0
+                  THEN (n_rows - n_mcv) * (n_rows - n_mcv)
+                       // (n_keys - d_mcv)
+                  ELSE 0 END AS BIGINT) AS est_pairs
+      FROM total, mcv WHERE n_rows > 0
+    )
+    SELECT n_rows, n_keys, exact_pairs, est_pairs,
+           round((est_pairs - exact_pairs) / CAST(exact_pairs AS DOUBLE), 6)
+             AS rel_error
+    FROM est
+    """,
+)
+
+_PLANNER_WIDTHS = {
+    "region": "4 + coalesce(strlen(r_name), 0)",
+    "nation": "4 + coalesce(strlen(n_name), 0) + 4",
+    "customer": (
+        "8 + coalesce(strlen(c_name), 0) + 4 + 8"
+        " + coalesce(strlen(c_mktsegment), 0)"
+    ),
+    "supplier": "8 + coalesce(strlen(s_name), 0) + 4 + 8",
+    "part": (
+        "8 + coalesce(strlen(p_name), 0) + coalesce(strlen(p_brand), 0)"
+        " + coalesce(strlen(p_type), 0) + 4 + 8"
+    ),
+    "orders": (
+        "8 + 8 + coalesce(strlen(o_orderstatus), 0) + 8 + 8"
+        " + coalesce(strlen(o_orderpriority), 0)"
+    ),
+    "lineitem": (
+        "8 + 8 + 8 + 4 + 8 + 8 + 8 + 8 + coalesce(strlen(l_returnflag), 0)"
+        " + coalesce(strlen(l_linestatus), 0) + 8"
+    ),
+    "events": (
+        "8 + 8 + 8 + coalesce(strlen(event_type), 0) + 8"
+        " + coalesce(strlen(props), 0)"
+    ),
+    "documents": (
+        "8 + coalesce(strlen(text), 0) + coalesce(strlen(lang), 0)"
+        " + coalesce(strlen(source), 0) + 8"
+    ),
+    "embeddings": "8 + coalesce(4 * len(embedding), 0) + 4",
+}
+
+_PLANNER_BLOCKS = "\n      UNION ALL\n".join(
+    f"""
+      SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum({w}), 0) AS BIGINT) AS est_bytes
+      FROM {t} HAVING count(*) > 0"""
+    for t, w in _PLANNER_WIDTHS.items()
+)
+
+register(
+    "partition_planner",
+    pln.partition_planner,
+    f"""
+    SELECT table_name, n_rows, est_bytes,
+           CAST(greatest(1, (est_bytes + {pln.PARTITION_TARGET_BYTES - 1})
+                // {pln.PARTITION_TARGET_BYTES}) AS BIGINT) AS parts_128mb
+    FROM ({_PLANNER_BLOCKS})
+    """,
+)
+
+_MV_SERIAL = (
+    "('0x' || substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),"
+    " CAST(user_id AS VARCHAR), event_type,"
+    " CAST(CAST(ts AS DATE) AS VARCHAR), props)), 1, 15))::BIGINT"
+)
+
+register(
+    "mv_refresh_plan",
+    pln.mv_refresh_plan,
+    f"""
+    WITH cutoff AS (
+      SELECT CAST(max(ts) AS DATE) - {pln.MV_STALE_DAYS} AS cutoff
+      FROM events
+    ),
+    rows_ AS (
+      SELECT CAST(ts AS DATE) AS day, event_id, {_MV_SERIAL} AS h
+      FROM events
+    ),
+    per_day AS (
+      SELECT day,
+             CAST(count(*) AS BIGINT) AS n_current,
+             CAST(bit_xor(h) AS BIGINT) AS x_current,
+             CAST(sum(CASE WHEN day <= cutoff
+                      AND event_id % {pln.MV_LATE_MOD} != 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_mv,
+             CAST(bit_xor(CASE WHEN day <= cutoff
+                          AND event_id % {pln.MV_LATE_MOD} != 0
+                          THEN h END) AS BIGINT) AS x_mv
+      FROM rows_, cutoff
+      GROUP BY day
+    ),
+    statuses AS (
+      SELECT day,
+             CASE WHEN n_mv = 0 THEN 'missing'
+                  WHEN n_mv != n_current OR x_mv != x_current THEN 'stale'
+                  ELSE 'fresh' END AS status,
+             n_current, n_mv
+      FROM per_day
+    )
+    SELECT day, status, n_current, n_mv FROM statuses
+    WHERE status != 'fresh'
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -7374,6 +7506,10 @@ _DEMOTED_STABLE = [
     "cms_topk",
     "bloom_semi_join",
     "rrf_fusion",
+    # forty-third wave
+    "join_size_estimate",
+    "partition_planner",
+    "mv_refresh_plan",
 ]
 
 

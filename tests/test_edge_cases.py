@@ -191,6 +191,9 @@ def _empty_sf(spark, tmp_path):
         "cms_topk",
         "bloom_semi_join",
         "rrf_fusion",
+        "join_size_estimate",
+        "partition_planner",
+        "mv_refresh_plan",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -80,6 +80,8 @@ ALLOWED_NESTED_LOOP = {
     "pipeline_funnel",  # 1-row raw-count broadcast (funnel percentages)
     "bloom_semi_join",  # 1-row build-cardinality broadcast onto the summary
     "rrf_fusion",  # composes bm25_topk + ql_topk (their 1-row stats)
+    "join_size_estimate",  # 1-row total-stats x 1-row MCV-stats broadcast
+    "mv_refresh_plan",  # 1-row build-cutoff broadcast
     "dedup_semantic",  # composes kmeans_embeddings (K-row centroid broadcast)
     "hits_anchors",  # 1-row integer maxima broadcast
     "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe

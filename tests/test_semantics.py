@@ -2650,3 +2650,79 @@ def test_rrf_fusion_both_lists_dominate(spark):
     )
     if min_both is not None and max_single is not None:
         assert min_both > max_single
+
+
+def test_join_size_estimate_exact_and_sane(spark):
+    """The exact pair count must equal the materialized self-join's
+    row count (on the small fixture only — the operator's whole point
+    is NOT doing this at scale), and the MCV+uniform-tail estimate must
+    land within 50% of it on this mildly-skewed key."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.planner import join_size_estimate
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    r = join_size_estimate(spark, SF_DIR).collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey")
+    truth = li.alias("a").join(li.alias("b"), "l_partkey").count()
+    assert r["exact_pairs"] == truth
+    assert abs(r["rel_error"]) < 0.5
+
+
+def test_partition_planner_covers_tables_with_sane_bytes(spark):
+    """Every non-empty table gets one row; byte estimates are at least
+    the numeric floor (rows x 8) and the 128MB partition count is
+    consistent with est_bytes."""
+    from hedera_spark.operators.planner import (
+        PARTITION_TARGET_BYTES,
+        partition_planner,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {r["table_name"]: r for r in partition_planner(spark, SF_DIR).collect()}
+    assert len(rows) == 10
+    for r in rows.values():
+        assert r["est_bytes"] >= 8 * r["n_rows"]
+        expected = max(1, -(-r["est_bytes"] // PARTITION_TARGET_BYTES))
+        assert r["parts_128mb"] == expected
+    assert rows["documents"]["est_bytes"] > rows["region"]["est_bytes"]
+
+
+def test_mv_refresh_plan_statuses(spark):
+    """Days after the build cutoff are 'missing'; historical days are
+    listed iff they contain a late (event_id % 97 == 0) row, as
+    'stale'; and no listed day is fresh."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.planner import (
+        MV_LATE_MOD,
+        MV_STALE_DAYS,
+        mv_refresh_plan,
+    )
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_id"
+    )
+    cutoff = ev.agg(F.date_sub(F.max("day"), MV_STALE_DAYS)).collect()[0][0]
+    got = {r["day"]: r for r in mv_refresh_plan(spark, SF_DIR).collect()}
+    late_hist_days = {
+        r["day"]
+        for r in ev.where(
+            (F.col("day") <= F.lit(cutoff))
+            & (F.col("event_id") % MV_LATE_MOD == 0)
+        ).select("day").distinct().collect()
+    }
+    new_days = {
+        r["day"]
+        for r in ev.where(F.col("day") > F.lit(cutoff))
+        .select("day").distinct().collect()
+    }
+    assert set(got) == late_hist_days | new_days
+    for d in new_days:
+        assert got[d]["status"] == "missing"
+    for d in late_hist_days:
+        assert got[d]["status"] == "stale"
+        assert got[d]["n_mv"] < got[d]["n_current"]
