@@ -222,3 +222,95 @@ def mv_refresh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_current",
         "n_mv",
     ).where(F.col("status") != "fresh")
+
+
+# zonemap_prune_stats: storage-unit simulation — 100 arithmetic
+# ingestion chunks vs date partitions, graded on a single-day predicate
+# placed 14 days before the newest event.
+ZONEMAP_CHUNKS = 100
+ZONEMAP_TARGET_AGE_DAYS = 14
+
+
+def zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the table a single-day predicate has to READ under
+    two physical layouts: (a) 100 insertion-order chunks (zone maps =
+    per-chunk min/max day, the parquet-footer reality of an unsorted
+    ingest) and (b) date-partitioned storage. One row per layout with
+    units scanned/pruned and the row fraction actually read — the
+    number that justifies clustering/partitioning a 100 TB events
+    table before anyone queries it.
+
+    Scale: both layouts are computed arithmetically (chunk id from the
+    event_id span, partition id = the day itself) — one scan, two
+    bounded aggs, no global sort; at scale the per-chunk min/max come
+    free from parquet footers and THIS operator is how you'd grade a
+    proposed re-cluster without rewriting the data.
+
+    Determinism: chunk ids are integer arithmetic on the event_id
+    span; the probe day is max(day) − 14; fractions round(…, 6)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("date").alias("day")
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("id_lo"),
+        F.max("event_id").alias("id_hi"),
+        F.date_sub(F.max("day"), ZONEMAP_TARGET_AGE_DAYS).alias("probe_day"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    rows = ev.crossJoin(F.broadcast(bounds))
+    chunked = rows.select(
+        F.expr(
+            f"CAST((event_id - id_lo) * {ZONEMAP_CHUNKS}"
+            f" div (id_hi - id_lo + 1) AS BIGINT)"
+        ).alias("unit"),
+        "day",
+        "probe_day",
+        "n_total",
+    )
+
+    def _layout(per_unit: DataFrame, name: str) -> DataFrame:
+        return per_unit.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum(F.col("overlap").cast("long")).cast("long").alias("n_scanned_units"),
+            F.sum(
+                F.when(F.col("overlap"), F.col("n_rows")).otherwise(F.lit(0))
+            ).cast("long").alias("rows_scanned"),
+            F.sum(
+                F.when(F.col("overlap"), F.col("n_match")).otherwise(F.lit(0))
+            ).cast("long").alias("rows_matched"),
+            F.max("n_total").alias("n_total"),
+        ).where(F.col("n_units") > 0).select(
+            "layout",
+            "n_units",
+            "n_scanned_units",
+            (F.col("n_units") - F.col("n_scanned_units")).alias("n_pruned_units"),
+            "rows_scanned",
+            "rows_matched",
+            F.round(F.col("rows_scanned") / F.col("n_total"), 6).alias(
+                "scan_fraction"
+            ),
+        )
+
+    chunk_units = chunked.groupBy("unit").agg(
+        (
+            (F.min("day") <= F.max("probe_day"))
+            & (F.max("day") >= F.max("probe_day"))
+        ).alias("overlap"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            (F.col("day") == F.col("probe_day")).cast("long")
+        ).cast("long").alias("n_match"),
+        F.max("n_total").alias("n_total"),
+    )
+    day_units = rows.groupBy("day").agg(
+        F.max(F.col("day") == F.col("probe_day")).alias("overlap"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            (F.col("day") == F.col("probe_day")).cast("long")
+        ).cast("long").alias("n_match"),
+        F.max("n_total").alias("n_total"),
+    )
+    return _layout(chunk_units, "insertion_chunks").unionByName(
+        _layout(day_units, "date_partitions")
+    )

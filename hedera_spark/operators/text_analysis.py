@@ -1748,3 +1748,98 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+RAKE_STOP_K = 8
+RAKE_MAX_LEN = 4
+RAKE_TOP_K = 3
+
+
+def keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): split each
+    document at stop tokens, score every surviving phrase (≤ 4 words)
+    by the sum of its words' degree/frequency ratios computed over ALL
+    phrase occurrences in the corpus, and keep each document's top 3.
+    The stop set is data-derived — the RAKE_STOP_K highest-df tokens —
+    the same corpus-driven stop discipline as the anchor_cooccur
+    hot-set. The phrase-level complement to tfidf_topk (single terms)
+    and bigram_pmi (fixed-length pairs).
+
+    Plan shape: one doc_id-keyed window builds segment ids (the stop
+    hot-set rides a 1-row broadcast), phrase grouping rides the same
+    doc_id shuffle, word stats are one vocab-bounded agg joined back by
+    word equality. No self-joins; per-doc cost is linear in tokens.
+
+    Determinism: freq/degree are exact integers; a phrase score sums
+    ≤ 4 deg/freq doubles before one round(6) (the ql_topk few-term-sum
+    discipline); ranking ties break on the phrase string."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).where(F.col("token") != "")
+    stops = (
+        toks.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(RAKE_STOP_K)
+        .agg(F.collect_set("token").alias("stops"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.crossJoin(F.broadcast(stops)).select(
+        "doc_id",
+        "pos",
+        "token",
+        F.array_contains(F.col("stops"), F.col("token")).alias("is_stop"),
+    )
+    segged = marked.select(
+        "doc_id",
+        "pos",
+        "token",
+        "is_stop",
+        F.sum(F.col("is_stop").cast("int")).over(w).alias("seg"),
+    ).where(~F.col("is_stop"))
+    phrases = (
+        segged.groupBy("doc_id", "seg")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "token"))
+            ).alias("wl"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .where(F.col("n_words") <= RAKE_MAX_LEN)
+        .select(
+            "doc_id",
+            "seg",
+            "n_words",
+            F.concat_ws(
+                " ", F.transform(F.col("wl"), lambda x: x["token"])
+            ).alias("phrase"),
+            F.transform(F.col("wl"), lambda x: x["token"]).alias("words"),
+        )
+    )
+    occ_words = phrases.select(
+        "doc_id", "seg", "phrase", "n_words", F.explode("words").alias("word")
+    )
+    word_stats = occ_words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    )
+    occ_scored = (
+        occ_words.join(word_stats, "word")
+        .groupBy("doc_id", "seg", "phrase", "n_words")
+        .agg(F.sum(F.col("deg") / F.col("freq")).alias("occ_score"))
+    )
+    per_phrase = occ_scored.groupBy("doc_id", "phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occur"),
+        F.round(F.max("occ_score"), 6).alias("score"),
+    )
+    rw = Window.partitionBy("doc_id").orderBy(F.desc("score"), "phrase")
+    return (
+        per_phrase.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .where(F.col("rnk") <= RAKE_TOP_K)
+    )

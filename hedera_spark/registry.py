@@ -7218,6 +7218,175 @@ register(
     """,
 )
 
+register(
+    "zonemap_prune_stats",
+    pln.zonemap_prune_stats,
+    f"""
+    WITH ev AS (SELECT event_id, CAST(ts AS DATE) AS day FROM events),
+    bounds AS (
+      SELECT min(event_id) AS id_lo, max(event_id) AS id_hi,
+             max(day) - {pln.ZONEMAP_TARGET_AGE_DAYS} AS probe_day,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM ev
+    ),
+    chunks AS (
+      SELECT CAST((event_id - id_lo) * {pln.ZONEMAP_CHUNKS}
+                  // (id_hi - id_lo + 1) AS BIGINT) AS unit,
+             day, probe_day, n_total
+      FROM ev, bounds
+    ),
+    cu AS (
+      SELECT unit,
+             (min(day) <= max(probe_day) AND max(day) >= max(probe_day))
+               AS overlap,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN day = probe_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+             max(n_total) AS n_total
+      FROM chunks GROUP BY unit
+    ),
+    du AS (
+      SELECT day,
+             bool_or(day = probe_day) AS overlap,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN day = probe_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+             max(n_total) AS n_total
+      FROM ev, bounds GROUP BY day
+    ),
+    layouts AS (
+      SELECT 'insertion_chunks' AS layout,
+             CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(CASE WHEN overlap THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scanned_units,
+             CAST(sum(CASE WHEN overlap THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+             CAST(sum(CASE WHEN overlap THEN n_match ELSE 0 END) AS BIGINT)
+               AS rows_matched,
+             max(n_total) AS n_total
+      FROM cu HAVING count(*) > 0
+      UNION ALL
+      SELECT 'date_partitions', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN overlap THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN overlap THEN n_rows ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN overlap THEN n_match ELSE 0 END) AS BIGINT),
+             max(n_total)
+      FROM du HAVING count(*) > 0
+    )
+    SELECT layout, n_units, n_scanned_units,
+           n_units - n_scanned_units AS n_pruned_units,
+           rows_scanned, rows_matched,
+           round(rows_scanned / CAST(n_total AS DOUBLE), 6) AS scan_fraction
+    FROM layouts
+    """,
+)
+
+register(
+    "dim_truncation_recall",
+    sim.dim_truncation_recall,
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding[1:{sim.TRUNC_DIMS}] AS temb,
+             sqrt(list_reduce(list_transform(embedding[1:{sim.TRUNC_DIMS}],
+                  x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, temb AS q_emb, nrm AS q_nrm
+      FROM e WHERE vec_id % {sim.QUERY_MOD} = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             {_COS.format(A='q.q_emb', B='e.temb', NA='q.q_nrm', NB='e.nrm')}
+               AS cos
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    ),
+    tr AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= {sim.TOPK}
+    ),
+    ex AS (
+      SELECT q_id, neighbor_id FROM ({ORACLE["ann_topk"]}) t
+    ),
+    exact_g AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+                FROM ex GROUP BY 1),
+    hits AS (
+      SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM tr t JOIN ex ON t.q_id = ex.q_id
+                 AND t.neighbor_id = ex.neighbor_id
+      GROUP BY 1
+    )
+    SELECT g.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / CAST(g.n_exact AS DOUBLE), 6)
+             AS recall
+    FROM exact_g g LEFT JOIN hits h ON g.q_id = h.q_id
+    """,
+)
+
+register(
+    "keyword_rake",
+    ta.keyword_rake,
+    f"""
+    WITH tp AS (
+      SELECT doc_id, toks[i] AS token, CAST(i AS BIGINT) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, len(toks))) AS t(i)
+      WHERE toks[i] <> ''
+    ),
+    stops AS (
+      SELECT token FROM (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tp GROUP BY 1
+        ORDER BY df DESC, token LIMIT {ta.RAKE_STOP_K})
+    ),
+    segged AS (
+      SELECT doc_id, pos, token,
+             token IN (SELECT token FROM stops) AS is_stop,
+             sum(CASE WHEN token IN (SELECT token FROM stops)
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+      FROM tp
+    ),
+    phr AS (
+      SELECT doc_id, seg,
+             CAST(count(*) AS BIGINT) AS n_words,
+             string_agg(token, ' ' ORDER BY pos) AS phrase,
+             list(token ORDER BY pos) AS words
+      FROM segged WHERE NOT is_stop
+      GROUP BY doc_id, seg
+      HAVING count(*) <= {ta.RAKE_MAX_LEN}
+    ),
+    occ AS (
+      SELECT doc_id, seg, phrase, n_words, unnest(words) AS word FROM phr
+    ),
+    ws AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(n_words) AS BIGINT) AS deg
+      FROM occ GROUP BY 1
+    ),
+    oscore AS (
+      SELECT o.doc_id, o.seg, o.phrase, o.n_words,
+             sum(w.deg / CAST(w.freq AS DOUBLE)) AS occ_score
+      FROM occ o JOIN ws w ON o.word = w.word
+      GROUP BY 1, 2, 3, 4
+    ),
+    pp AS (
+      SELECT doc_id, phrase,
+             CAST(max(n_words) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_occur,
+             round(max(occ_score), 6) AS score
+      FROM oscore GROUP BY 1, 2
+    )
+    SELECT doc_id, phrase, n_words, n_occur, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, phrase) AS rnk FROM pp)
+    WHERE rnk <= {ta.RAKE_TOP_K}
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -7510,6 +7679,9 @@ _DEMOTED_STABLE = [
     "join_size_estimate",
     "partition_planner",
     "mv_refresh_plan",
+    "zonemap_prune_stats",
+    "dim_truncation_recall",
+    "keyword_rake",
 ]
 
 

@@ -194,6 +194,9 @@ def _empty_sf(spark, tmp_path):
         "join_size_estimate",
         "partition_planner",
         "mv_refresh_plan",
+        "zonemap_prune_stats",
+        "dim_truncation_recall",
+        "keyword_rake",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -82,6 +82,9 @@ ALLOWED_NESTED_LOOP = {
     "rrf_fusion",  # composes bm25_topk + ql_topk (their 1-row stats)
     "join_size_estimate",  # 1-row total-stats x 1-row MCV-stats broadcast
     "mv_refresh_plan",  # 1-row build-cutoff broadcast
+    "zonemap_prune_stats",  # 1-row span/probe-day bounds broadcast
+    "dim_truncation_recall",  # labeled brute-force baselines (ann_topk shape)
+    "keyword_rake",  # 1-row stop-token hot-set broadcast
     "dedup_semantic",  # composes kmeans_embeddings (K-row centroid broadcast)
     "hits_anchors",  # 1-row integer maxima broadcast
     "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe
