@@ -238,14 +238,10 @@ BM25_B = 0.75
 BM25_QUERY_TERMS = ["spark", "query", "stream"]
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 docs by Okapi BM25 for a fixed query token set — the
-    ranking function actually used by the retrieval stacks the
-    reference's index experiments feed
-    (experiments/.../WikiRevIndex4NonTemporalSearch.java builds the
-    index; this is the scorer on top). idf is the Lucene-style
-    ln((N-df+0.5)/(df+0.5)+1) ≥ 0 form; length normalization uses the
-    corpus-average token count.
+def _bm25_doc_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, s): the unrounded per-(doc, term) BM25
+    contribution for the fixed query terms — shared by bm25_topk (sums
+    it) and wand_bounds (also maxes it per term).
 
     Plan shape: tf rows for the 3 query terms (filter pushes into the
     bow aggregate), df and the 1-row (N, avgdl) aggregate broadcast;
@@ -263,7 +259,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    scored = (
+    return (
         tf_.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -271,16 +267,74 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "idf",
             F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
         )
-        .withColumn(
-            "s",
-            F.col("idf")
-            * (F.col("tf") * 2.2)
-            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
         )
+    )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs by Okapi BM25 for a fixed query token set — the
+    ranking function actually used by the retrieval stacks the
+    reference's index experiments feed
+    (experiments/.../WikiRevIndex4NonTemporalSearch.java builds the
+    index; this is the scorer on top). idf is the Lucene-style
+    ln((N-df+0.5)/(df+0.5)+1) ≥ 0 form; length normalization uses the
+    corpus-average token count. Plan shape: see
+    _bm25_doc_term_scores."""
+    scored = (
+        _bm25_doc_term_scores(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.round(F.sum("s"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(10)
+
+
+def wand_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-score / WAND pruning audit (Broder et al. 2003; Ding & Suel
+    2011 block-max variant): per candidate document of the fixed BM25
+    query, the term-upper-bound score ceiling Σ_t∈doc max_d s(d,t),
+    the true BM25 score, and whether a top-10 engine could have skipped
+    the document entirely because its ceiling is below the 10th-best
+    score θ. The skippable fraction is the number that justifies
+    ordering postings by impact at 100 TB: a WAND cursor never fully
+    scores those documents.
+
+    Plan shape: reuses _bm25_doc_term_scores (one doc_id shuffle); the
+    per-term upper bounds are a ≤|query|-row broadcast; θ is a 1-row
+    broadcast from the bm25_topk aggregate. No new at-scale shuffles.
+
+    Determinism: s is the identical double expression in both engines;
+    ub_sum/score/θ round(…, 6) before the comparison so the skippable
+    boolean can't sit on an unrounded knife edge."""
+    s = _bm25_doc_term_scores(spark, sf_dir)
+    ub = s.groupBy("term").agg(F.max("s").alias("ub"))
+    theta = bm25_topk(spark, sf_dir).agg(F.min("score").alias("theta"))
+    per_doc = (
+        s.join(F.broadcast(ub), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(F.sum("ub"), 6).alias("ub_sum"),
+            F.round(F.sum("s"), 6).alias("score"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(theta)).select(
+        "doc_id",
+        "n_terms",
+        "ub_sum",
+        "score",
+        (F.col("ub_sum") < F.col("theta")).alias("skippable"),
+    )
 
 
 def doc_vectors_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

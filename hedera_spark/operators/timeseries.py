@@ -1763,3 +1763,55 @@ def hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_error"),
     )
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set-overlap matrix: for every unordered pair of event
+    types, the exact distinct-user counts |A|, |B|, the intersection,
+    the inclusion–exclusion union, and Jaccard — the segment-overlap
+    dashboard behind campaign planning and the ground truth any
+    sketch-based overlap estimate (theta/HLL set algebra) is graded
+    against. Complements campaign_cooccur (ranks raw pair counts);
+    this one normalizes to set similarity.
+
+    Scale: NOT |types|² semi-joins — one user_id shuffle builds each
+    user's type set (≤ |types| elements), pairs explode array-side
+    (≤ |types|²/2 per user), and the final joins are over the
+    |types|-row count table. At 100 TB the only big movement is the
+    distinct on (user, type).
+
+    Determinism: all counts exact integers; jaccard round(…, 6)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", "event_type").distinct()
+    c = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    sets = d.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) ->"
+                " transform(slice(types, i + 2, size(types)),"
+                " y -> struct(x AS type_a, y AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    both = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    allp = ca.crossJoin(cb).where(F.col("type_a") < F.col("type_b"))
+    n_both = F.coalesce("n_both", F.lit(0)).cast("long")
+    n_union = (F.col("n_a") + F.col("n_b") - n_both).cast("long")
+    return allp.join(both, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        n_both.alias("n_both"),
+        n_union.alias("n_union"),
+        F.round(n_both / n_union.cast("double"), 6).alias("jaccard"),
+    )

@@ -197,6 +197,10 @@ def _empty_sf(spark, tmp_path):
         "zonemap_prune_stats",
         "dim_truncation_recall",
         "keyword_rake",
+        "skew_salt_plan",
+        "salted_join",
+        "wand_bounds",
+        "audience_overlap",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

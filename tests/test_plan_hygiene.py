@@ -85,6 +85,10 @@ ALLOWED_NESTED_LOOP = {
     "zonemap_prune_stats",  # 1-row span/probe-day bounds broadcast
     "dim_truncation_recall",  # labeled brute-force baselines (ann_topk shape)
     "keyword_rake",  # 1-row stop-token hot-set broadcast
+    "skew_salt_plan",  # 1-row hot-key set broadcast
+    "salted_join",  # 1-row hot-key set broadcast on both join inputs
+    "wand_bounds",  # 1-row theta broadcast
+    "audience_overlap",  # |event_types|-row count-table pair matrix
     "dedup_semantic",  # composes kmeans_embeddings (K-row centroid broadcast)
     "hits_anchors",  # 1-row integer maxima broadcast
     "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe

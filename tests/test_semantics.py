@@ -2824,3 +2824,111 @@ def test_keyword_rake_planted_phrase_wins(spark, tmp_path):
             assert not set(r["phrase"].split()) & set(stops8.split())
     # the phrase-free doc still reports its filler unigrams
     assert all(r["n_words"] == 1 for r in by_doc[11])
+
+
+def test_skew_salt_plan_spreads_planted_hot_key(spark, tmp_path):
+    """On a planted log where ONE key owns half the rows, the salted
+    layout must strictly reduce the max bucket occupancy (the hot key's
+    rows now land on SALT_FACTOR buckets) while conserving total rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.operators.planner import skew_salt_plan
+
+    keys, lines = [], []
+    for i in range(500):  # the hot key: 500 rows
+        keys.append(7)
+        lines.append(i)
+    for k in range(500):  # 500 singleton keys
+        keys.append(1000 + k)
+        lines.append(1)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"l_orderkey": keys, "l_linenumber": lines}),
+        str(sf / "lineitem.parquet"),
+    )
+    rows = {r["layout"]: r for r in skew_salt_plan(spark, str(sf)).collect()}
+    assert set(rows) == {"plain", "salted"}
+    assert rows["plain"]["n_rows"] == rows["salted"]["n_rows"] == 1000
+    # plain: >= 500 rows pile into the hot key's single bucket
+    assert rows["plain"]["max_rows"] >= 500
+    assert rows["salted"]["max_rows"] < rows["plain"]["max_rows"]
+    assert rows["salted"]["skew_ratio"] < rows["plain"]["skew_ratio"]
+
+
+def test_salted_join_matches_plain_join_and_shuffles(spark):
+    """The salted join must (a) reproduce the plain join's aggregate
+    exactly and (b) actually run as a shuffle join on the salted key —
+    a broadcast would dodge the skew instead of spreading it."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.planner import salted_join
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    got = salted_join(spark, SF_DIR)
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    want = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+
+
+def test_wand_bounds_ceiling_and_top10_consistency(spark):
+    """The upper-bound sum must dominate the true score for every
+    candidate, the bm25 top-10 docs must all be non-skippable (their
+    real score meets θ, so their ceiling does too), and every skippable
+    doc's ceiling must sit strictly below the 10th-best score."""
+    from hedera_spark.operators.ir import bm25_topk, wand_bounds
+    from tests.conftest import SF_DIR
+
+    rows = wand_bounds(spark, SF_DIR).collect()
+    assert rows
+    top = {r["doc_id"]: r["score"] for r in bm25_topk(spark, SF_DIR).collect()}
+    theta = min(top.values())
+    by_doc = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert r["ub_sum"] >= r["score"]
+        assert r["skippable"] == (r["ub_sum"] < theta)
+    for doc_id in top:
+        assert not by_doc[doc_id]["skippable"]
+    # the audit only earns its keep if pruning is real on this corpus
+    assert any(r["skippable"] for r in rows)
+
+
+def test_audience_overlap_matches_direct_set_algebra(spark):
+    """Every pair row must reproduce exact python set algebra over the
+    (user, type) pairs, and the matrix must cover all C(T, 2) pairs."""
+    from itertools import combinations
+
+    from hedera_spark.operators.timeseries import audience_overlap
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    members: dict[str, set[int]] = {}
+    for u, t in ev.select("user_id", "event_type").distinct().collect():
+        members.setdefault(t, set()).add(u)
+    rows = {(r["type_a"], r["type_b"]): r
+            for r in audience_overlap(spark, SF_DIR).collect()}
+    assert set(rows) == set(combinations(sorted(members), 2))
+    for (a, b), r in rows.items():
+        sa, sb = members[a], members[b]
+        assert r["n_a"] == len(sa) and r["n_b"] == len(sb)
+        assert r["n_both"] == len(sa & sb)
+        assert r["n_union"] == len(sa | sb)
+        assert r["jaccard"] == round(len(sa & sb) / len(sa | sb), 6)
