@@ -1175,3 +1175,68 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+DRIFT_MICRO = 1_000_000  # micro-unit quantization (the embedding_pca discipline)
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-space drift monitor between two embedding snapshots
+    (stand-in split: even vs odd vec_id — in production, yesterday's
+    ingest vs today's): per label, the cosine between the two
+    snapshots' mean vectors and the L2 shift of the mean — the
+    dashboard that catches a silently retrained / re-normalized
+    encoder before a week of vectors lands in the same index as the
+    old ones. The vector-space counterpart of profile_drift / ks_drift
+    (which watch scalar columns).
+
+    Scale: ONE pass — posexplode to (label, dim) and a conditional
+    two-snapshot agg (map-side combined, ≤ |labels|×64 rows out), then
+    a |labels|-row fold. No joins, no second scan.
+
+    Determinism: per-dim means are quantized to exact integer
+    micro-units (round(avg·1e6) as BIGINT, the embedding_pca
+    discipline), so the cosine/shift numerators and norms are EXACT
+    integer sums in both engines — one division + round(…, 6) at the
+    very end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        ),
+    )
+    lvl1 = cells.groupBy("label", "pos").agg(
+        F.round(F.avg(F.when(F.col("is_a"), F.col("x"))) * DRIFT_MICRO, 0)
+        .cast("long")
+        .alias("ua"),
+        F.round(F.avg(F.when(~F.col("is_a"), F.col("x"))) * DRIFT_MICRO, 0)
+        .cast("long")
+        .alias("ub"),
+        F.sum(F.col("is_a").cast("long")).cast("long").alias("na"),
+        F.sum((~F.col("is_a")).cast("long")).cast("long").alias("nb"),
+    )
+    return (
+        lvl1.groupBy("label")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.sum(F.col("ua") * F.col("ub")).cast("long").alias("num"),
+            F.sum(F.col("ua") * F.col("ua")).cast("long").alias("na2"),
+            F.sum(F.col("ub") * F.col("ub")).cast("long").alias("nb2"),
+            F.sum((F.col("ua") - F.col("ub")) * (F.col("ua") - F.col("ub")))
+            .cast("long")
+            .alias("shift2"),
+        )
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("num") / (F.sqrt("na2") * F.sqrt("nb2")), 6
+            ).alias("mean_cosine"),
+            F.round(F.sqrt("shift2") / DRIFT_MICRO, 6).alias("mean_shift"),
+        )
+    )

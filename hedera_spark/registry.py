@@ -7520,6 +7520,42 @@ register(
     """,
 )
 
+register(
+    "embedding_drift",
+    sim.embedding_drift,
+    f"""
+    WITH e AS (
+      SELECT label, (vec_id % 2 = 0) AS is_a,
+             list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT label, is_a, t.i AS pos, emb[t.i] AS x
+      FROM e CROSS JOIN range(1, 65) t(i)
+    ),
+    lvl1 AS (
+      SELECT label, pos,
+             CAST(round(avg(CASE WHEN is_a THEN x END)
+                        * {sim.DRIFT_MICRO}, 0) AS BIGINT) AS ua,
+             CAST(round(avg(CASE WHEN NOT is_a THEN x END)
+                        * {sim.DRIFT_MICRO}, 0) AS BIGINT) AS ub,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           round(CAST(sum(ua * ub) AS BIGINT)
+                 / (sqrt(CAST(sum(ua * ua) AS BIGINT))
+                    * sqrt(CAST(sum(ub * ub) AS BIGINT))), 6) AS mean_cosine,
+           round(sqrt(CAST(sum((ua - ub) * (ua - ub)) AS BIGINT))
+                 / {sim.DRIFT_MICRO}, 6) AS mean_shift
+    FROM lvl1 GROUP BY label
+    HAVING max(na) > 0 AND max(nb) > 0
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -7819,6 +7855,7 @@ _DEMOTED_STABLE = [
     "salted_join",
     "wand_bounds",
     "audience_overlap",
+    "embedding_drift",
 ]
 
 

@@ -201,6 +201,7 @@ def _empty_sf(spark, tmp_path):
         "salted_join",
         "wand_bounds",
         "audience_overlap",
+        "embedding_drift",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

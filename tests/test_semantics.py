@@ -2932,3 +2932,47 @@ def test_audience_overlap_matches_direct_set_algebra(spark):
         assert r["n_both"] == len(sa & sb)
         assert r["n_union"] == len(sa | sb)
         assert r["jaccard"] == round(len(sa & sb) / len(sa | sb), 6)
+
+
+def test_embedding_drift_identical_snapshots_read_flat(spark, tmp_path):
+    """When both snapshots contain the SAME vectors, the mean vectors
+    coincide: cosine must read exactly 1.0 and shift exactly 0.0 for
+    every label; a planted shifted label must read cosine < 1 and
+    shift > 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.operators.similarity import embedding_drift
+
+    vecs, labels, ids = [], [], []
+    base = [0.5] * 64
+    shifted = [0.5] * 32 + [-0.5] * 32
+    vid = 0
+    for _ in range(6):  # label 0: identical halves
+        vecs.append(base)
+        labels.append(0)
+        ids.append(vid)
+        vid += 1
+    for k in range(6):  # label 1: even ids at base, odd ids shifted
+        vecs.append(base if k % 2 == 0 else shifted)
+        labels.append(1)
+        ids.append(vid)
+        vid += 1
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        str(sf / "embeddings.parquet"),
+    )
+    rows = {r["label"]: r for r in embedding_drift(spark, str(sf)).collect()}
+    assert rows[0]["mean_cosine"] == 1.0
+    assert rows[0]["mean_shift"] == 0.0
+    assert rows[0]["n_a"] == rows[0]["n_b"] == 3
+    assert rows[1]["mean_cosine"] < 1.0
+    assert rows[1]["mean_shift"] > 0.0
