@@ -464,3 +464,125 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# zorder_layout_audit geometry: 5 bits per dimension (day index and
+# user bucket both < 32), 64 storage chunks, probes pinned 14 days
+# before the newest day / at user bucket 7.
+ZORDER_BITS = 5
+ZORDER_CHUNKS = 64
+ZORDER_PROBE_USER = 7
+ZORDER_PROBE_AGE_DAYS = 14
+
+
+def _interleave_expr(d: str, u: str, intdiv: str) -> str:
+    """Bit-interleaved z-value of two ZORDER_BITS-wide non-negative
+    ints as portable integer arithmetic (`intdiv` = 'div' for Spark
+    SQL, '//' for DuckDB; inputs are non-negative so the engines'
+    negative-division semantics never diverge)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({d} {intdiv} {2 ** i}) % 2) * {4 ** i}")
+        terms.append(f"(({u} {intdiv} {2 ** i}) % 2) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER vs single-column clustering, graded by what a zone-map
+    scan actually reads: lay the events table out in 64 chunks three
+    ways — day-sorted, user-bucket-sorted, and bit-interleaved
+    z-order — keep per-chunk min/max of BOTH dimensions (the parquet
+    footer), and probe each layout with a single-day predicate and a
+    single-user-bucket predicate. One row per (layout, predicate) with
+    units scanned and the row fraction read. The expected shape IS the
+    Delta/Iceberg OPTIMIZE ZORDER pitch: each single-column sort serves
+    its own predicate and fully scans the other's; z-order serves both
+    at ~sqrt cost. Extends zonemap_prune_stats (1-D) to the
+    multi-dimensional clustering decision.
+
+    Scale: no global sort is simulated — each layout's chunk id is
+    integer arithmetic on the clustering key's value range, so the
+    audit is ONE scan + three ≤ 64-row aggs; at 100 TB the per-chunk
+    min/max come free from footers and this query grades a proposed
+    re-cluster before rewriting a single byte.
+
+    Determinism: day index = datediff from the corpus min (capped at
+    31), user bucket = user_id % 32, z = exact bit arithmetic;
+    fractions round(…, 6)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    bounds = ev.agg(
+        F.min("day").alias("day_lo"),
+        F.datediff(F.max("day"), F.min("day")).alias("day_span"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    nbit = (1 << ZORDER_BITS) - 1  # 31
+    rows = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(F.datediff(F.col("day"), F.col("day_lo")), F.lit(nbit))
+        .cast("long")
+        .alias("d"),
+        F.pmod(F.col("user_id"), F.lit(nbit + 1)).cast("long").alias("u"),
+        F.greatest(
+            F.least(F.col("day_span"), F.lit(nbit))
+            - ZORDER_PROBE_AGE_DAYS,
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("probe_d"),
+        "n_total",
+    ).withColumn(
+        "z", F.expr(_interleave_expr("d", "u", "div")).cast("long")
+    )
+
+    layouts = [
+        ("day_sorted", "d", nbit + 1),
+        ("user_sorted", "u", nbit + 1),
+        ("zorder", "z", (nbit + 1) ** 2),
+    ]
+    blocks = []
+    for name, keyname, rng in layouts:
+        units = rows.select(
+            F.expr(
+                f"CAST({keyname} * {ZORDER_CHUNKS} div {rng} AS BIGINT)"
+            ).alias("unit"),
+            "d",
+            "u",
+            "probe_d",
+            "n_total",
+        ).groupBy("unit").agg(
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.min("u").alias("min_u"),
+            F.max("u").alias("max_u"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max("probe_d").alias("probe_d"),
+            F.max("n_total").alias("n_total"),
+        )
+        for pred, lo, hi, probe in (
+            ("day_eq", "min_d", "max_d", F.col("probe_d")),
+            ("user_eq", "min_u", "max_u", F.lit(ZORDER_PROBE_USER)),
+        ):
+            scanned = F.when(
+                (F.col(lo) <= probe) & (F.col(hi) >= probe), F.lit(1)
+            ).otherwise(F.lit(0))
+            blocks.append(
+                units.agg(
+                    F.lit(name).alias("layout"),
+                    F.lit(pred).alias("predicate"),
+                    F.count(F.lit(1)).cast("long").alias("n_units"),
+                    F.sum(scanned).cast("long").alias("n_scanned_units"),
+                    F.sum(scanned * F.col("n_rows"))
+                    .cast("long")
+                    .alias("rows_scanned"),
+                    F.round(
+                        F.sum(scanned * F.col("n_rows"))
+                        / F.max("n_total").cast("double"),
+                        6,
+                    ).alias("scan_fraction"),
+                ).where(F.col("n_units") > 0)
+            )
+    out = blocks[0]
+    for b in blocks[1:]:
+        out = out.unionByName(b)
+    return out

@@ -7556,6 +7556,69 @@ register(
     """,
 )
 
+def _zorder_oracle() -> str:
+    """Mirror of pln.zorder_layout_audit: same interleave arithmetic
+    (via the shared generator, '//' spelling), same chunking, same
+    probes."""
+    side = 1 << pln.ZORDER_BITS
+    cap = side - 1
+    units, selects = [], []
+    for name, key, rng in (
+        ("day_sorted", "d", side),
+        ("user_sorted", "u", side),
+        ("zorder", "z", side * side),
+    ):
+        units.append(f"""
+    u_{name} AS (
+      SELECT CAST({key} * {pln.ZORDER_CHUNKS} // {rng} AS BIGINT) AS unit,
+             min(d) AS min_d, max(d) AS max_d,
+             min(u) AS min_u, max(u) AS max_u,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             max(probe_d) AS probe_d, max(n_total) AS n_total
+      FROM z_ GROUP BY 1
+    )""")
+        for pred, lo, hi, probe in (
+            ("day_eq", "min_d", "max_d", "probe_d"),
+            ("user_eq", "min_u", "max_u", str(pln.ZORDER_PROBE_USER)),
+        ):
+            hit = f"{lo} <= {probe} AND {hi} >= {probe}"
+            selects.append(f"""
+      SELECT '{name}' AS layout, '{pred}' AS predicate,
+             CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scanned_units,
+             CAST(sum(CASE WHEN {hit} THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+             round(sum(CASE WHEN {hit} THEN n_rows ELSE 0 END)
+                   / CAST(max(n_total) AS DOUBLE), 6) AS scan_fraction
+      FROM u_{name} HAVING count(*) > 0""")
+    return f"""
+    WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    bounds AS (
+      SELECT min(day) AS day_lo,
+             date_diff('day', min(day), max(day)) AS day_span,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM ev
+    ),
+    rows_ AS (
+      SELECT CAST(least(date_diff('day', day_lo, day), {cap}) AS BIGINT) AS d,
+             CAST(user_id % {side} AS BIGINT) AS u,
+             CAST(greatest(least(day_span, {cap})
+                  - {pln.ZORDER_PROBE_AGE_DAYS}, 0) AS BIGINT) AS probe_d,
+             n_total
+      FROM ev, bounds
+    ),
+    z_ AS (
+      SELECT *, CAST({pln._interleave_expr("d", "u", "//")} AS BIGINT) AS z
+      FROM rows_
+    ),
+    {",".join(units)}
+    {" UNION ALL ".join(selects)}
+    """
+
+
+register("zorder_layout_audit", pln.zorder_layout_audit, _zorder_oracle())
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -7856,6 +7919,7 @@ _DEMOTED_STABLE = [
     "wand_bounds",
     "audience_overlap",
     "embedding_drift",
+    "zorder_layout_audit",
 ]
 
 

@@ -202,6 +202,7 @@ def _empty_sf(spark, tmp_path):
         "wand_bounds",
         "audience_overlap",
         "embedding_drift",
+        "zorder_layout_audit",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -89,6 +89,7 @@ ALLOWED_NESTED_LOOP = {
     "salted_join",  # 1-row hot-key set broadcast on both join inputs
     "wand_bounds",  # 1-row theta broadcast
     "audience_overlap",  # |event_types|-row count-table pair matrix
+    "zorder_layout_audit",  # 1-row day-span bounds broadcast
     "dedup_semantic",  # composes kmeans_embeddings (K-row centroid broadcast)
     "hits_anchors",  # 1-row integer maxima broadcast
     "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe

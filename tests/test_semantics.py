@@ -2976,3 +2976,26 @@ def test_embedding_drift_identical_snapshots_read_flat(spark, tmp_path):
     assert rows[0]["n_a"] == rows[0]["n_b"] == 3
     assert rows[1]["mean_cosine"] < 1.0
     assert rows[1]["mean_shift"] > 0.0
+
+
+def test_zorder_serves_both_predicates(spark):
+    """The clustering pitch, asserted: each single-column sort scans
+    ~1 unit for its own predicate and EVERYTHING for the other; z-order
+    must scan a small fraction (< 0.5, > the single-sort optimum) for
+    BOTH predicates."""
+    from hedera_spark.operators.planner import zorder_layout_audit
+    from tests.conftest import SF_DIR
+
+    rows = {
+        (r["layout"], r["predicate"]): r
+        for r in zorder_layout_audit(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 6
+    assert rows[("day_sorted", "user_eq")]["scan_fraction"] == 1.0
+    assert rows[("user_sorted", "day_eq")]["scan_fraction"] == 1.0
+    assert rows[("day_sorted", "day_eq")]["n_scanned_units"] <= 2
+    assert rows[("user_sorted", "user_eq")]["n_scanned_units"] <= 2
+    for pred in ("day_eq", "user_eq"):
+        z = rows[("zorder", pred)]
+        assert z["scan_fraction"] < 0.5
+        assert z["n_scanned_units"] < z["n_units"]
