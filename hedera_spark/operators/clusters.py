@@ -43,6 +43,7 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .withColumn("comp", F.col("node"))
         .persist()
     )
+    cached = labels
     for _ in range(MAX_ITERATIONS):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -60,12 +61,13 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
             )
             .persist()
         )
+        # ONE action per iteration: the convergence agg also materializes
+        # `updated` into the cache, so next iteration's labels (a pure
+        # projection of it) needs no separate persist+count job.
         n_changed = updated.agg(F.sum("changed")).first()[0] or 0
-        new_labels = updated.select("node", "comp").persist()
-        new_labels.count()  # materialize before dropping the parent
-        labels.unpersist()
-        updated.unpersist()
-        labels = new_labels
+        cached.unpersist()
+        cached = updated
+        labels = updated.select("node", "comp")
         if n_changed == 0:
             break
     else:
