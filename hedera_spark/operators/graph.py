@@ -44,11 +44,15 @@ def pagerank_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = anchor_cooccur(spark, sf_dir).select(
         F.col("a1").alias("src"), F.col("a2").alias("dst"), F.col("n_docs")
     )
+    # persist the symmetrized edges BEFORE deriving out-weights: the
+    # transition table references sym twice (the agg branch and the
+    # join probe), and without the cache each branch would re-run the
+    # whole anchor_cooccur pipeline underneath
     sym = edges.union(
         edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "n_docs"
         )
-    )
+    ).persist()
     # per-source normalized transition weight; broadcast-size for the
     # anchor graph, partial-agg bounded by |V| in general
     outw = sym.groupBy("src").agg(F.sum("n_docs").alias("out_w"))
@@ -59,31 +63,35 @@ def pagerank_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = trans.select(F.col("src").alias("anchor")).distinct().persist()
     n = nodes.count()  # |V|: one scalar to the driver, not data
+    sym.unpersist()  # trans/nodes are materialized; sym is done
     if n == 0:  # empty graph (empty corpus / no co-mention meets the cut)
         trans.unpersist()
         nodes.unpersist()
         return spark.createDataFrame([], "anchor string, rank double")
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # Fixed iteration count and each iterate feeds exactly ONE consumer
+    # (the next iterate), so the whole chain stays LAZY — no
+    # per-iteration persist/count jobs; one final materialization runs
+    # the 5 power steps as stages of a single job. (Convergence-checked
+    # loops — dedup_clusters, graph_kcore — still need an action per
+    # round; this one doesn't.)
     for _ in range(PR_ITERATIONS):
         contribs = (
             trans.join(ranks, trans["src"] == ranks["anchor"])
             .groupBy(F.col("dst").alias("anchor2"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
-        new_ranks = (
-            nodes.join(contribs, nodes["anchor"] == contribs["anchor2"], "left")
-            .select(
-                "anchor",
-                (
-                    F.lit(PR_TELEPORT / n)
-                    + PR_DAMPING * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .persist()
+        ranks = nodes.join(
+            contribs, nodes["anchor"] == contribs["anchor2"], "left"
+        ).select(
+            "anchor",
+            (
+                F.lit(PR_TELEPORT / n)
+                + PR_DAMPING * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
         )
-        new_ranks.count()  # materialize before dropping the parent
-        ranks.unpersist()
-        ranks = new_ranks
+    ranks = ranks.persist()
+    ranks.count()  # materialize before releasing trans/nodes
     out = ranks.select("anchor", F.round("rank", 8).alias("rank"))
     trans.unpersist()
     nodes.unpersist()
