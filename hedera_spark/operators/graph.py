@@ -342,14 +342,17 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.unpersist()
         nodes.unpersist()
         return spark.createDataFrame([], "anchor string, community string")
-    labels = nodes.withColumn("label", F.col("anchor")).persist()
+    labels = nodes.withColumn("label", F.col("anchor"))
+    # fixed round count, each frontier read exactly once by the next
+    # round → keep the chain LAZY and materialize once at the end (the
+    # pagerank_anchors discipline); sym/nodes stay cached across rounds
     for _ in range(LPA_ITERATIONS):
         votes = (
             sym.join(labels, sym["dst"] == labels["anchor"])
             .groupBy(F.col("src"), F.col("label"))
             .agg(F.sum("w").alias("sum_w"))
         )
-        new_labels = (
+        labels = (
             votes.groupBy(F.col("src").alias("anchor"))
             .agg(
                 F.min_by(
@@ -357,11 +360,9 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct((-F.col("sum_w")).alias("nw"), F.col("label")),
                 ).alias("label")
             )
-            .persist()
         )
-        new_labels.count()  # materialize before dropping the parent
-        labels.unpersist()
-        labels = new_labels
+    labels = labels.persist()
+    labels.count()  # materialize before releasing sym/nodes
     out = labels.select("anchor", F.col("label").alias("community"))
     sym.unpersist()
     nodes.unpersist()
