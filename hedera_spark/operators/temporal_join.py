@@ -341,3 +341,136 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("micro") / 100000.0, 6).alias("attributed_revenue"),
         )
     )
+
+
+MARKOV_ITERATIONS = 10
+
+
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014, "Mapping
+    the customer journey") — the data-driven member of the attribution
+    trio (attribution_last_touch credits the final touch,
+    attribution_linear splits equally; this one asks the first-order
+    Markov chain what each channel is WORTH): build the user-journey
+    transition matrix over event types (START at each user's first
+    event, 'purchase' absorbed as CONV, sequence end as NULL), compute
+    the chain's conversion probability from START, recompute it with
+    each channel removed (its outgoing edges dropped, inbound mass
+    redirected to NULL), and credit each channel its normalized removal
+    effect. Absorption probabilities use MARKOV_ITERATIONS fixed,
+    lazily-chained value-iteration steps (the pagerank_anchors
+    discipline; the chain's depth makes 10 steps ≈ fixpoint).
+
+    Scale: the at-scale work is ONE user_id-keyed window over the event
+    log (journey edges); everything after is algebra on the
+    ≤ |states|²·|scenarios| probability table (tens of rows no matter
+    the corpus size — scenarios ride a column, not separate passes).
+
+    Determinism: transition weights are exact integer-count ratios;
+    value iteration sums ≤ |states| doubles per step unrounded (the
+    pagerank precedent) and every output column rounds once at the
+    end."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.coalesce(F.lead("event_type").over(w), F.lit("NULL")).alias(
+            "dst_raw"
+        ),
+        F.row_number().over(w).alias("rn"),
+    )
+    edges = (
+        seq.where(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("src"), "dst_raw")
+        .unionByName(
+            seq.where(F.col("rn") == 1).select(
+                F.lit("START").alias("src"),
+                F.col("event_type").alias("dst_raw"),
+            )
+        )
+        .select(
+            "src",
+            F.when(F.col("dst_raw") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("dst_raw"))
+            .alias("dst"),
+        )
+    )
+    counts = edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    probs = counts.select(
+        "src",
+        "dst",
+        (F.col("c") / F.sum("c").over(Window.partitionBy("src"))).alias("w"),
+    ).persist()
+    scenarios = (
+        probs.select(F.col("src").alias("scenario"))
+        .where(F.col("scenario") != "START")
+        .distinct()
+        .unionByName(probs.limit(1).agg(F.lit("BASE").alias("scenario")))
+    )
+    tp = (
+        probs.crossJoin(F.broadcast(scenarios))
+        .where(F.col("src") != F.col("scenario"))
+        .select(
+            "scenario",
+            "src",
+            F.when(F.col("dst") == F.col("scenario"), F.lit("NULL"))
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "w",
+        )
+        .persist()
+    )
+    p = (
+        tp.select("scenario", F.col("src").alias("state"))
+        .distinct()
+        .withColumn("p", F.lit(0.0))
+    )
+    for _ in range(MARKOV_ITERATIONS):
+        p = (
+            tp.join(
+                p.select("scenario", F.col("state").alias("dst"), "p"),
+                ["scenario", "dst"],
+                "left",
+            )
+            .groupBy("scenario", "src")
+            .agg(
+                F.sum(
+                    F.col("w")
+                    * F.when(F.col("dst") == "CONV", F.lit(1.0))
+                    .when(F.col("dst") == "NULL", F.lit(0.0))
+                    .otherwise(F.coalesce(F.col("p"), F.lit(0.0)))
+                ).alias("p")
+            )
+            .select("scenario", F.col("src").alias("state"), "p")
+        )
+    sp = p.where(F.col("state") == "START").select("scenario", "p")
+    base = sp.where(F.col("scenario") == "BASE").select(
+        F.col("p").alias("p_base")
+    )
+    rem = (
+        sp.where(F.col("scenario") != "BASE")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("channel"),
+            "p",
+            "p_base",
+            F.when(F.col("p_base") > 0, 1 - F.col("p") / F.col("p_base")).alias(
+                "rem"
+            ),
+        )
+    )
+    tot = rem.agg(F.sum("rem").alias("tot"))
+    # probs/tp stay persisted — both feed every scenario branch of the
+    # lazy result (the hits_anchors convention); an eager unpersist
+    # would recompute the journey window per branch
+    return rem.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round("p", 6).alias("conv_prob_without"),
+        F.round("p_base", 6).alias("base_conv_prob"),
+        F.round("rem", 6).alias("removal_effect"),
+        F.round(
+            F.when(F.col("tot") > 0, F.col("rem") / F.col("tot")), 6
+        ).alias("attribution"),
+    )

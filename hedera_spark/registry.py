@@ -7619,6 +7619,85 @@ def _zorder_oracle() -> str:
 
 register("zorder_layout_audit", pln.zorder_layout_audit, _zorder_oracle())
 
+def _markov_oracle() -> str:
+    """Mirror of tj.markov_attribution: same journey edges, same
+    removal scenarios, same MARKOV_ITERATIONS value-iteration steps
+    unrolled as chained CTEs (the kmeans/pagerank oracle pattern)."""
+    steps = []
+    prev = "p0"
+    for i in range(1, tj.MARKOV_ITERATIONS + 1):
+        steps.append(f"""
+    p{i} AS (
+      SELECT t.scenario, t.src AS state,
+             sum(t.w * CASE WHEN t.dst = 'CONV' THEN 1.0
+                            WHEN t.dst = 'NULL' THEN 0.0
+                            ELSE coalesce(q.p, 0.0) END) AS p
+      FROM tp t LEFT JOIN {prev} q
+        ON q.scenario = t.scenario AND q.state = t.dst
+      GROUP BY 1, 2
+    )""")
+        prev = f"p{i}"
+    return f"""
+    WITH seqd AS (
+      SELECT event_type,
+             coalesce(lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id), 'NULL')
+               AS dst_raw,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    edges AS (
+      SELECT src,
+             CASE WHEN dst_raw = 'purchase' THEN 'CONV' ELSE dst_raw END
+               AS dst
+      FROM (
+        SELECT event_type AS src, dst_raw FROM seqd
+        WHERE event_type <> 'purchase'
+        UNION ALL
+        SELECT 'START', event_type FROM seqd WHERE rn = 1
+      )
+    ),
+    counts AS (SELECT src, dst, count(*) AS c FROM edges GROUP BY 1, 2),
+    probs AS (
+      SELECT src, dst,
+             c / CAST(sum(c) OVER (PARTITION BY src) AS DOUBLE) AS w
+      FROM counts
+    ),
+    scenarios AS (
+      SELECT DISTINCT src AS scenario FROM probs WHERE src <> 'START'
+      UNION ALL SELECT 'BASE' WHERE EXISTS (SELECT 1 FROM probs)
+    ),
+    tp AS (
+      SELECT s.scenario, p.src,
+             CASE WHEN p.dst = s.scenario THEN 'NULL' ELSE p.dst END AS dst,
+             p.w
+      FROM probs p CROSS JOIN scenarios s
+      WHERE p.src <> s.scenario
+    ),
+    p0 AS (
+      SELECT DISTINCT scenario, src AS state, CAST(0 AS DOUBLE) AS p FROM tp
+    ),
+    {",".join(steps)},
+    sp AS (SELECT scenario, p FROM {prev} WHERE state = 'START'),
+    base AS (SELECT p AS p_base FROM sp WHERE scenario = 'BASE'),
+    rem AS (
+      SELECT scenario AS channel, p, p_base,
+             CASE WHEN p_base > 0 THEN 1 - p / p_base END AS rem
+      FROM sp, base WHERE scenario <> 'BASE'
+    ),
+    tot AS (SELECT sum(rem) AS tot FROM rem)
+    SELECT channel,
+           round(p, 6) AS conv_prob_without,
+           round(p_base, 6) AS base_conv_prob,
+           round(rem, 6) AS removal_effect,
+           round(CASE WHEN tot > 0 THEN rem / tot END, 6) AS attribution
+    FROM rem, tot
+    """
+
+
+register("markov_attribution", tj.markov_attribution, _markov_oracle())
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -7920,6 +7999,7 @@ _DEMOTED_STABLE = [
     "audience_overlap",
     "embedding_drift",
     "zorder_layout_audit",
+    "markov_attribution",
 ]
 
 

@@ -203,6 +203,7 @@ def _empty_sf(spark, tmp_path):
         "audience_overlap",
         "embedding_drift",
         "zorder_layout_audit",
+        "markov_attribution",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -2999,3 +2999,56 @@ def test_zorder_serves_both_predicates(spark):
         z = rows[("zorder", pred)]
         assert z["scan_fraction"] < 0.5
         assert z["n_scanned_units"] < z["n_units"]
+
+
+def test_markov_attribution_planted_journeys(spark, tmp_path):
+    """On a planted log where every conversion flows through 'view' and
+    'click' journeys never convert, the removal effect of view must be
+    1 (removing it kills all conversions), click's must be 0, and the
+    normalized attribution must hand view everything."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.operators.temporal_join import markov_attribution
+
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 1, 1)
+
+    def add(u, typ, k):
+        nonlocal eid
+        rows.append((eid, t0 + dt.timedelta(minutes=k), u, typ, 1.0, "{}"))
+        eid += 1
+
+    for u in range(6):  # view -> purchase
+        add(u, "view", 0)
+        add(u, "purchase", 1)
+    for u in range(6, 9):  # click -> click -> (end)
+        add(u, "click", 0)
+        add(u, "click", 1)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ids, ts, us, tys, vals, props = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(us, pa.int64()),
+                "event_type": pa.array(tys),
+                "value": pa.array(vals),
+                "props": pa.array(props),
+            }
+        ),
+        str(sf / "events.parquet"),
+    )
+    got = {r["channel"]: r for r in markov_attribution(spark, str(sf)).collect()}
+    assert set(got) == {"view", "click"}
+    assert got["view"]["base_conv_prob"] == round(2 / 3, 6)
+    assert got["view"]["removal_effect"] == 1.0
+    assert got["view"]["attribution"] == 1.0
+    assert got["click"]["removal_effect"] == 0.0
+    assert got["click"]["attribution"] == 0.0
+    assert got["click"]["conv_prob_without"] == round(2 / 3, 6)
