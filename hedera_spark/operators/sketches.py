@@ -231,3 +231,103 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("fp_rate"),
     )
+
+
+# HyperLogLog geometry: p = 8 → 256 registers; the md5-derived 48-bit
+# hash splits into an 8-bit bucket and a 40-bit rank word, so
+# rho ∈ [1, 41]. Alpha is the standard m = 256 bias constant, computed
+# ONCE here and interpolated into the oracle so both engines fold the
+# identical double literal.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_W_BITS = 48 - HLL_P  # 40
+HLL_RHO_MAX = HLL_W_BITS + 1  # 41
+
+
+def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability audit for the HyperLogLog sketch (Flajolet et al.
+    2007) — the property that makes it THE distributed distinct
+    counter: build one 256-register sketch per day from a deterministic
+    md5 hash, estimate each day's distinct users, then merge the 30
+    per-day sketches by register-wise max into the month estimate —
+    never re-reading the raw data — and grade both levels against
+    exact distinct counts. hll_error audits the engine's builtin
+    (rows-only, engine-specific); this one is a from-scratch HLL both
+    engines replay bit-for-bit, so the union step itself is
+    value-oracled.
+
+    Scale: the sketch side is one map-side-combined pass into
+    |days|×256 cells; the merge is a 256-row agg OVER THE SKETCHES.
+    The exact side (per-day + global distinct) exists only to grade —
+    at 100 TB you run it on a slice and trust the mergeable registers
+    everywhere, shipping 2 KB per partition instead of the key set.
+
+    Determinism: registers are exact integers; Σ 2^-rho sums dyadic
+    rationals (exact in doubles); the one libm exposure (ln in the
+    small-range correction) is absorbed by round(…, 4) on the estimate
+    (the doc_perplexity precedent)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").cast("string").alias("day"), "user_id"
+    )
+    h = ev.select(
+        "day",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("~", F.lit("0"), F.col("user_id"))), 1, 12
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    parts = h.select(
+        "day",
+        (F.col("hv") % HLL_M).alias("bucket"),
+        F.expr(f"hv div {HLL_M}").alias("w"),
+    )
+    rho = F.when(
+        F.col("w") > 0, F.lit(HLL_RHO_MAX) - F.length(F.bin(F.col("w")))
+    ).otherwise(F.lit(HLL_RHO_MAX))
+    regs = (
+        parts.select("day", "bucket", rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .persist()
+    )
+    merged = regs.groupBy("bucket").agg(F.max("r").alias("r")).select(
+        F.lit("MERGED").alias("day"), "bucket", "r"
+    )
+
+    def _estimate(r: DataFrame) -> DataFrame:
+        per = r.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("n_present"),
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z_present"),
+        )
+        z = (F.lit(HLL_M) - F.col("n_present")) + F.col("z_present")
+        v = (F.lit(HLL_M) - F.col("n_present")).cast("double")
+        raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / z
+        est = F.when(
+            (raw <= 2.5 * HLL_M) & (v > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+        ).otherwise(raw)
+        return per.select("day", F.round(est, 4).alias("n_hll"))
+
+    exact_day = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    exact_all = ev.agg(
+        F.lit("MERGED").alias("day"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+    )
+    est = _estimate(regs).unionByName(_estimate(merged))
+    exact = exact_day.unionByName(exact_all)
+    return est.join(exact, "day").select(
+        F.col("day").alias("scope"),
+        "n_exact",
+        "n_hll",
+        F.round(
+            F.abs(F.col("n_hll") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_error"),
+    )

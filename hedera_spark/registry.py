@@ -7698,6 +7698,61 @@ def _markov_oracle() -> str:
 
 register("markov_attribution", tj.markov_attribution, _markov_oracle())
 
+register(
+    "hll_union",
+    sk.hll_union,
+    f"""
+    WITH ev AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id FROM events
+    ),
+    h AS (
+      SELECT day,
+             ('0x' || substr(md5(concat_ws('~', '0',
+                CAST(user_id AS VARCHAR))), 1, 12))::BIGINT AS hv
+      FROM ev
+    ),
+    parts AS (
+      SELECT day, hv % {sk.HLL_M} AS bucket, hv // {sk.HLL_M} AS w FROM h
+    ),
+    regs AS (
+      SELECT day, bucket,
+             max(CASE WHEN w > 0 THEN {sk.HLL_RHO_MAX} - length(bin(w))
+                      ELSE {sk.HLL_RHO_MAX} END) AS r
+      FROM parts GROUP BY 1, 2
+    ),
+    allregs AS (
+      SELECT day, bucket, r FROM regs
+      UNION ALL
+      SELECT 'MERGED', bucket, max(r) FROM regs GROUP BY 2
+    ),
+    est AS (
+      SELECT day,
+             round(CASE WHEN {sk.HLL_ALPHA * sk.HLL_M * sk.HLL_M!r}
+                          / (({sk.HLL_M} - count(*))
+                             + sum(power(2.0, -r))) <= {2.5 * sk.HLL_M}
+                        AND {sk.HLL_M} - count(*) > 0
+                   THEN {float(sk.HLL_M)!r}
+                        * ln({float(sk.HLL_M)!r}
+                             / CAST({sk.HLL_M} - count(*) AS DOUBLE))
+                   ELSE {sk.HLL_ALPHA * sk.HLL_M * sk.HLL_M!r}
+                          / (({sk.HLL_M} - count(*))
+                             + sum(power(2.0, -r)))
+                   END, 4) AS n_hll
+      FROM allregs GROUP BY 1
+    ),
+    exact AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM ev GROUP BY 1
+      UNION ALL
+      SELECT 'MERGED', CAST(count(DISTINCT user_id) AS BIGINT) FROM ev
+    )
+    SELECT e.day AS scope, x.n_exact, e.n_hll,
+           round(abs(e.n_hll - x.n_exact) / CAST(x.n_exact AS DOUBLE), 6)
+             AS rel_error
+    FROM est e JOIN exact x ON e.day = x.day
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -8000,6 +8055,7 @@ _DEMOTED_STABLE = [
     "embedding_drift",
     "zorder_layout_audit",
     "markov_attribution",
+    "hll_union",
 ]
 
 

@@ -204,6 +204,7 @@ def _empty_sf(spark, tmp_path):
         "embedding_drift",
         "zorder_layout_audit",
         "markov_attribution",
+        "hll_union",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -3052,3 +3052,50 @@ def test_markov_attribution_planted_journeys(spark, tmp_path):
     assert got["click"]["removal_effect"] == 0.0
     assert got["click"]["attribution"] == 0.0
     assert got["click"]["conv_prob_without"] == round(2 / 3, 6)
+
+
+def test_hll_union_merge_equals_direct_and_bounded_error(spark):
+    """The merged sketch's registers are register-wise maxima, so the
+    month estimate from merging the 30 day sketches must EQUAL the
+    estimate of one sketch built over the whole month; every scope's
+    relative error must sit inside ~5x the theoretical 1.04/sqrt(256)
+    rsd (generous, but a broken hash/rho would blow past it)."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.sketches import HLL_M, hll_union
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = {r["scope"]: r for r in hll_union(spark, SF_DIR).collect()}
+    assert "MERGED" in rows and len(rows) >= 2
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.agg(F.countDistinct("user_id")).first()[0]
+    merged = rows.pop("MERGED")
+    assert merged["n_exact"] == n_users
+    rsd = 1.04 / (HLL_M ** 0.5)
+    for r in list(rows.values()) + [merged]:
+        assert r["rel_error"] <= 5 * rsd, r
+    # mergeability: the merged estimate must also be what a single
+    # sketch over the undayed stream reads — replay it directly
+    import duckdb
+
+    sql = f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(concat_ws('~', '0',
+                CAST(user_id AS VARCHAR))), 1, 12))::BIGINT AS hv
+      FROM '{SF_DIR}/events.parquet'
+    ),
+    r AS (
+      SELECT hv % {HLL_M} AS bucket,
+             max(CASE WHEN hv // {HLL_M} > 0
+                 THEN 41 - length(bin(hv // {HLL_M})) ELSE 41 END) AS r
+      FROM h GROUP BY 1
+    )
+    SELECT ({0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M!r})
+           / (({HLL_M} - count(*)) + sum(power(2.0, -r))) AS raw,
+           {HLL_M} - count(*) AS v
+    FROM r
+    """
+    raw, v = duckdb.sql(sql).fetchone()
+    direct = HLL_M * __import__("math").log(HLL_M / v) if (raw <= 2.5 * HLL_M and v > 0) else raw
+    assert merged["n_hll"] == round(direct, 4)
