@@ -586,3 +586,78 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in blocks[1:]:
         out = out.unionByName(b)
     return out
+
+
+HIST_BUCKETS = 16
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of l_extendedprice — the other half of the
+    optimizer-statistics story next to join_size_estimate's MCV list:
+    16 exact interpolated quantile boundaries (the CBO histogram every
+    engine keeps per column) plus the realized per-bucket occupancy and
+    its deviation from the ideal 1/16 depth. The depth_ratio column is
+    the health check: a value far from 1.0 means heavy ties are
+    defeating the histogram and the selectivity model needs the MCV
+    path instead.
+
+    Scale: ONE aggregate computes all 17 boundaries (a single sort-based
+    percentile pass; at 100 TB you'd swap in approx_percentile — the
+    audited exact twin is the point here, the value_percentiles
+    pattern), then bucket assignment is a map-side array scan against
+    the 1-row broadcast boundary vector and one ≤ 16-group agg.
+
+    Determinism: boundaries round(…, 6) BEFORE assignment so both
+    engines compare against identical doubles; counts exact BIGINT."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    fr = ", ".join(repr(k / HIST_BUCKETS) for k in range(HIST_BUCKETS + 1))
+    bnds = li.agg(
+        F.expr(f"transform(percentile(x, array({fr})), t -> round(t, 6))")
+        .alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    spine = (
+        bnds.where(F.col("n_total") > 0)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(HIST_BUCKETS))).alias(
+                "bucket"
+            ),
+            "b",
+            "n_total",
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.element_at("b", F.col("bucket")).alias("lo"),
+            F.element_at("b", F.col("bucket") + 1).alias("hi"),
+            "n_total",
+        )
+    )
+    assigned = li.crossJoin(F.broadcast(bnds)).select(
+        (
+            F.size(
+                F.expr(
+                    f"filter(slice(b, 2, {HIST_BUCKETS - 1}), t -> x > t)"
+                )
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    counts = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    return spine.join(counts, "bucket", "left").select(
+        "bucket",
+        "lo",
+        "hi",
+        F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+        F.round(
+            F.coalesce("n_rows", F.lit(0))
+            * HIST_BUCKETS
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("depth_ratio"),
+    )

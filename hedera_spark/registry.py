@@ -7753,6 +7753,42 @@ register(
     """,
 )
 
+register(
+    "equi_depth_histogram",
+    pln.equi_depth_histogram,
+    f"""
+    WITH b AS (
+      SELECT list_transform(
+               quantile_cont(l_extendedprice,
+                 [{", ".join(repr(k / pln.HIST_BUCKETS)
+                             for k in range(pln.HIST_BUCKETS + 1))}]),
+               t -> round(t, 6)) AS b,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM lineitem
+    ),
+    spine AS (
+      SELECT CAST(t.k AS BIGINT) AS bucket, b.b[t.k] AS lo,
+             b.b[t.k + 1] AS hi, b.n_total
+      FROM b, range(1, {pln.HIST_BUCKETS + 1}) t(k)
+      WHERE b.n_total > 0
+    ),
+    assigned AS (
+      SELECT CAST(1 + len(list_filter(b.b[2:{pln.HIST_BUCKETS}],
+                   t -> l.l_extendedprice > t)) AS BIGINT) AS bucket
+      FROM lineitem l, b
+    ),
+    counts AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+      FROM assigned GROUP BY 1
+    )
+    SELECT s.bucket, s.lo, s.hi,
+           CAST(coalesce(c.n_rows, 0) AS BIGINT) AS n_rows,
+           round(coalesce(c.n_rows, 0) * {pln.HIST_BUCKETS}
+                 / CAST(s.n_total AS DOUBLE), 6) AS depth_ratio
+    FROM spine s LEFT JOIN counts c USING (bucket)
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -8056,6 +8092,7 @@ _DEMOTED_STABLE = [
     "zorder_layout_audit",
     "markov_attribution",
     "hll_union",
+    "equi_depth_histogram",
 ]
 
 

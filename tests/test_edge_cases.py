@@ -205,6 +205,7 @@ def _empty_sf(spark, tmp_path):
         "zorder_layout_audit",
         "markov_attribution",
         "hll_union",
+        "equi_depth_histogram",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

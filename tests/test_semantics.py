@@ -3099,3 +3099,32 @@ def test_hll_union_merge_equals_direct_and_bounded_error(spark):
     raw, v = duckdb.sql(sql).fetchone()
     direct = HLL_M * __import__("math").log(HLL_M / v) if (raw <= 2.5 * HLL_M and v > 0) else raw
     assert merged["n_hll"] == round(direct, 4)
+
+
+def test_equi_depth_histogram_depth_and_coverage(spark):
+    """Buckets must cover all rows exactly once, boundaries must be
+    monotone from min to max, and every bucket's depth must be within
+    25% of the ideal 1/16 (the column has few heavy ties, so equi-depth
+    should be nearly flat)."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.planner import HIST_BUCKETS, equi_depth_histogram
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        equi_depth_histogram(spark, SF_DIR).collect(), key=lambda r: r["bucket"]
+    )
+    assert [r["bucket"] for r in rows] == list(range(1, HIST_BUCKETS + 1))
+    li = load_table(spark, SF_DIR, "lineitem")
+    n, lo, hi = li.agg(
+        F.count(F.lit(1)), F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).first()
+    assert sum(r["n_rows"] for r in rows) == n
+    assert rows[0]["lo"] == round(lo, 6)
+    assert rows[-1]["hi"] == round(hi, 6)
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] == b["lo"]
+        assert a["lo"] <= a["hi"]
+    for r in rows:
+        assert 0.75 <= r["depth_ratio"] <= 1.25, r
