@@ -7789,6 +7789,49 @@ register(
     """,
 )
 
+register(
+    "rev_token_provenance",
+    rev.rev_token_provenance,
+    """
+    WITH toks AS (
+      SELECT source AS page_id, doc_id AS rev_seq, tok
+      FROM (
+        SELECT source, doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+      )
+      WHERE tok <> ''
+    ),
+    first_seen AS (
+      SELECT page_id, tok, min(rev_seq) AS first_rev
+      FROM toks GROUP BY 1, 2
+    ),
+    last AS (
+      SELECT page_id, max(rev_seq) AS last_rev FROM toks GROUP BY 1
+    ),
+    final_toks AS (
+      SELECT t.page_id, t.tok
+      FROM toks t JOIN last l
+        ON t.page_id = l.page_id AND t.rev_seq = l.last_rev
+    ),
+    credited AS (
+      SELECT f.page_id, f.tok, s.first_rev
+      FROM final_toks f JOIN first_seen s
+        ON f.page_id = s.page_id AND f.tok = s.tok
+    ),
+    per_page AS (
+      SELECT page_id, CAST(count(*) AS BIGINT) AS n_final_toks
+      FROM credited GROUP BY 1
+    )
+    SELECT c.page_id, c.first_rev AS rev_seq,
+           CAST(count(*) AS BIGINT) AS n_tokens_introduced,
+           round(count(*) / CAST(max(p.n_final_toks) AS DOUBLE), 6)
+             AS survival_share
+    FROM credited c JOIN per_page p ON c.page_id = p.page_id
+    GROUP BY 1, 2
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -8093,6 +8136,7 @@ _DEMOTED_STABLE = [
     "markov_attribution",
     "hll_union",
     "equi_depth_histogram",
+    "rev_token_provenance",
 ]
 
 

@@ -206,6 +206,7 @@ def _empty_sf(spark, tmp_path):
         "markov_attribution",
         "hll_union",
         "equi_depth_histogram",
+        "rev_token_provenance",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

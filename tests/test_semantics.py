@@ -3128,3 +3128,37 @@ def test_equi_depth_histogram_depth_and_coverage(spark):
         assert a["lo"] <= a["hi"]
     for r in rows:
         assert 0.75 <= r["depth_ratio"] <= 1.25, r
+
+
+def test_rev_token_provenance_planted_history(spark, tmp_path):
+    """Planted 3-revision page: rev 1 writes 'alpha beta', rev 2
+    replaces beta with 'gamma', rev 3 (final) keeps 'alpha gamma' and
+    adds 'delta'. Credit: rev 1 → alpha, rev 2 → gamma, rev 3 → delta
+    (beta earned nothing — it didn't survive); shares sum to 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.operators.revisions import rev_token_provenance
+
+    texts = ["alpha beta", "alpha gamma", "alpha gamma delta"]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 3,
+                "source": ["p1"] * 3,
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    rows = {r["rev_seq"]: r for r in rev_token_provenance(spark, str(sf)).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_tokens_introduced"] == 1  # alpha
+    assert rows[2]["n_tokens_introduced"] == 1  # gamma
+    assert rows[3]["n_tokens_introduced"] == 1  # delta
+    # shares are individually rounded to 6 dp (1/3 → 0.333333)
+    assert abs(sum(r["survival_share"] for r in rows.values()) - 1.0) < 1e-5
