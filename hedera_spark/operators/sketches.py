@@ -245,6 +245,34 @@ HLL_W_BITS = 48 - HLL_P  # 40
 HLL_RHO_MAX = HLL_W_BITS + 1  # 41
 
 
+def hll_rho_rows(df: DataFrame) -> DataFrame:
+    """(…, bucket, rho) per input row from the deterministic md5 48-bit
+    hash of user_id — shared by the batch sketch builders (hll_union)
+    and the streaming register maintainer (streaming.integrity
+    .stream_hll); non-user_id columns pass through untouched."""
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("~", F.lit("0"), F.col("user_id"))), 1, 12
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    )
+    rho = F.when(
+        F.col("w") > 0, F.lit(HLL_RHO_MAX) - F.length(F.bin(F.col("w")))
+    ).otherwise(F.lit(HLL_RHO_MAX))
+    return (
+        df.withColumn("hv", hv)
+        .withColumn("bucket", F.col("hv") % HLL_M)
+        .withColumn("w", F.expr(f"hv div {HLL_M}"))
+        .withColumn("rho", rho)
+        .drop("hv", "w", "user_id")
+    )
+
+
 def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeability audit for the HyperLogLog sketch (Flajolet et al.
     2007) — the property that makes it THE distributed distinct
@@ -270,28 +298,8 @@ def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("ts").cast("date").cast("string").alias("day"), "user_id"
     )
-    h = ev.select(
-        "day",
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("~", F.lit("0"), F.col("user_id"))), 1, 12
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("hv"),
-    )
-    parts = h.select(
-        "day",
-        (F.col("hv") % HLL_M).alias("bucket"),
-        F.expr(f"hv div {HLL_M}").alias("w"),
-    )
-    rho = F.when(
-        F.col("w") > 0, F.lit(HLL_RHO_MAX) - F.length(F.bin(F.col("w")))
-    ).otherwise(F.lit(HLL_RHO_MAX))
     regs = (
-        parts.select("day", "bucket", rho.alias("rho"))
+        hll_rho_rows(ev)
         .groupBy("day", "bucket")
         .agg(F.max("rho").alias("r"))
         .persist()

@@ -53,3 +53,22 @@ def stream_cms(spark: SparkSession, src_dir: str) -> DataFrame:
     from hedera_spark.operators.sketches import _cms_counters
 
     return _cms_counters(event_stream(spark, src_dir))
+
+
+def stream_hll(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Running HyperLogLog registers over the event stream — the
+    incremental twin of operators/sketches.hll_union's merged sketch:
+    per micro-batch each register keeps max(rho), state is the fixed
+    ≤ 256-row register table regardless of user cardinality, and after
+    consuming the whole log the registers equal the batch ones
+    bit-for-bit (replay-equals-batch test) — max is commutative and
+    idempotent, which is exactly why HLL survives replays and
+    at-least-once sources. Complete-mode aggregate on bucket."""
+    from hedera_spark.operators.sketches import hll_rho_rows
+
+    events = event_stream(spark, src_dir).select("user_id")
+    return (
+        hll_rho_rows(events)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )

@@ -1159,3 +1159,33 @@ def test_stream_cms_equals_batch(spark):
     got = spark.sql("select * from cms_stream").toPandas()
     want = _cms_counters(load_table(spark, SF_DIR, "events")).toPandas()
     assert_frames_match(got, want, "stream_cms")
+
+
+def test_stream_hll_equals_batch_registers(spark):
+    """The streaming HLL register table after consuming the whole log
+    must equal the batch merged sketch register-for-register — max is
+    commutative/idempotent, so replay == batch exactly."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.sketches import hll_rho_rows
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.integrity import stream_hll
+
+    out = stream_hll(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from hll_stream").toPandas()
+    want = (
+        hll_rho_rows(load_table(spark, SF_DIR, "events").select("user_id"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+        .toPandas()
+    )
+    assert_frames_match(got, want, "stream_hll")
