@@ -661,3 +661,75 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("depth_ratio"),
     )
+
+
+# encoding_advisor decision fences (classic columnar-encoding rules):
+# a column whose every value is unique wants plain/delta; a column
+# dominated by one value wants RLE; a small dictionary wants DICT.
+ENC_DICT_MAX = 1024
+ENC_RLE_TOP1 = 0.5
+ENC_NULL_TOKEN = "∅"  # stands in for NULL in the value histogram
+
+
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding recommendation for the events table — the
+    storage-design dial next to partition_planner (file sizing) and
+    zonemap/zorder (row ordering): per column, the exact distinct
+    count, heaviest-value share, Shannon entropy in bits (the
+    compressibility floor), and the classic rule-based encoding pick
+    (unique → plain/delta, one dominant value → RLE, small vocabulary
+    → dictionary, else plain). At 100 TB this is how you justify a
+    dictionary-encode or a sort-for-RLE rewrite with numbers instead
+    of folklore.
+
+    Scale: the five columns unpivot in ONE scan via a map literal
+    (map-side ×5 fan-out), then a single (column, value) partial agg —
+    the same shape per column as any groupBy — and a |columns|-row
+    fold. No per-column scans.
+
+    Determinism: counts exact; entropy = log2(n) − Σ c·log2(c)/n sums
+    irrational doubles (order noise ≪ the 6-dp round); shares
+    round(…, 6). Values histogram through CAST-to-string, which is
+    injective per column, so counts/distincts/entropy are
+    format-independent (byte widths are NOT — that's
+    partition_planner's job)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.explode(
+            F.create_map(
+                F.lit("event_id"), F.col("event_id").cast("string"),
+                F.lit("ts"), F.col("ts").cast("string"),
+                F.lit("user_id"), F.col("user_id").cast("string"),
+                F.lit("event_type"), F.col("event_type"),
+                F.lit("value"), F.col("value").cast("string"),
+                F.lit("props"), F.col("props"),
+            )
+        ).alias("column_name", "val")
+    ).select(
+        "column_name", F.coalesce(F.col("val"), F.lit(ENC_NULL_TOKEN)).alias("val")
+    )
+    hist = pairs.groupBy("column_name", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_col = hist.groupBy("column_name").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top1"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+    )
+    top1_share = F.col("top1") / F.col("n_rows")
+    entropy = F.log2("n_rows") - F.col("clog") / F.col("n_rows")
+    enc = (
+        F.when(F.col("n_distinct") == F.col("n_rows"), F.lit("plain_delta"))
+        .when(top1_share > ENC_RLE_TOP1, F.lit("rle"))
+        .when(F.col("n_distinct") <= ENC_DICT_MAX, F.lit("dict"))
+        .otherwise(F.lit("plain"))
+    )
+    return per_col.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        F.round(top1_share, 6).alias("top1_share"),
+        F.round(entropy, 6).alias("entropy_bits"),
+        enc.alias("encoding"),
+    )

@@ -7832,6 +7832,51 @@ register(
     """,
 )
 
+register(
+    "encoding_advisor",
+    pln.encoding_advisor,
+    f"""
+    WITH pairs AS (
+      SELECT column_name, coalesce(val, '{pln.ENC_NULL_TOKEN}') AS val
+      FROM (
+        SELECT 'event_id' AS column_name, CAST(event_id AS VARCHAR) AS val
+        FROM events
+        UNION ALL
+        SELECT 'ts', CAST(ts AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'event_type', event_type FROM events
+        UNION ALL
+        SELECT 'value', CAST(value AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'props', props FROM events
+      )
+    ),
+    hist AS (
+      SELECT column_name, val, CAST(count(*) AS BIGINT) AS c
+      FROM pairs GROUP BY 1, 2
+    ),
+    per_col AS (
+      SELECT column_name,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top1,
+             sum(c * log2(c)) AS clog
+      FROM hist GROUP BY 1
+    )
+    SELECT column_name, n_rows, n_distinct,
+           round(top1 / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+           round(log2(n_rows) - clog / n_rows, 6) AS entropy_bits,
+           CASE WHEN n_distinct = n_rows THEN 'plain_delta'
+                WHEN top1 / CAST(n_rows AS DOUBLE) > {pln.ENC_RLE_TOP1}
+                  THEN 'rle'
+                WHEN n_distinct <= {pln.ENC_DICT_MAX} THEN 'dict'
+                ELSE 'plain' END AS encoding
+    FROM per_col
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -8137,6 +8182,7 @@ _DEMOTED_STABLE = [
     "hll_union",
     "equi_depth_histogram",
     "rev_token_provenance",
+    "encoding_advisor",
 ]
 
 

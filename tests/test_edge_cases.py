@@ -207,6 +207,7 @@ def _empty_sf(spark, tmp_path):
         "hll_union",
         "equi_depth_histogram",
         "rev_token_provenance",
+        "encoding_advisor",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -3162,3 +3162,26 @@ def test_rev_token_provenance_planted_history(spark, tmp_path):
     assert rows[3]["n_tokens_introduced"] == 1  # delta
     # shares are individually rounded to 6 dp (1/3 → 0.333333)
     assert abs(sum(r["survival_share"] for r in rows.values()) - 1.0) < 1e-5
+
+
+def test_encoding_advisor_rules(spark):
+    """The rule fences must fire on the events table's known shapes:
+    event_id is unique → plain_delta; event_type has 5 values →
+    dict with entropy ≈ log2(5); every column's entropy is bounded by
+    log2(n_distinct)."""
+    import math
+
+    from hedera_spark.operators.planner import encoding_advisor
+    from tests.conftest import SF_DIR
+
+    rows = {r["column_name"]: r for r in encoding_advisor(spark, SF_DIR).collect()}
+    assert set(rows) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert rows["event_id"]["encoding"] == "plain_delta"
+    assert rows["event_id"]["n_distinct"] == rows["event_id"]["n_rows"]
+    et = rows["event_type"]
+    assert et["encoding"] == "dict"
+    assert et["n_distinct"] == 5
+    assert 2.0 < et["entropy_bits"] <= math.log2(5) + 1e-9
+    for r in rows.values():
+        assert r["entropy_bits"] <= math.log2(r["n_distinct"]) + 1e-9
+        assert 0 < r["top1_share"] <= 1
