@@ -393,3 +393,104 @@ def gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(po, 6).alias("agreement"),
         F.when(pe != 1.0, F.round((po - pe) / (1 - pe), 6)).alias("kappa"),
     )
+
+
+# doremi_weights: one excess-loss exponential-tilt step (DoReMi, Xie et
+# al. 2023) over the static corpus losses, with uniform smoothing. With
+# a FIXED loss table the T-step DoReMi recurrence collapses
+# algebraically to a single tilt (w ∝ share · e^{η·excess}), so one
+# step is the honest static-data instance — the iterative version
+# needs a proxy model retrained per step, which is out of engine scope.
+DOREMI_ETA = 1.0
+DOREMI_ALPHA = 0.2
+_NLL_MICRO = 1_000_000
+
+
+def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting by excess loss — the third mixture
+    recipe next to mix_weights (flatten-to-uniform) and mix_temperature
+    (power scaling), and the loss-aware one: per language, tilt the
+    natural token share by e^{η · max(0, loss_l − loss_ref)} where loss
+    is the corpus-LM negative log-likelihood (doc_perplexity's signal)
+    and the reference is the corpus mean — domains the current model
+    finds HARD get upweighted (the DoReMi idea), then smooth toward
+    uniform with α = 0.2.
+
+    Scale: composes two audited aggregates (doc_perplexity per doc,
+    token_count_by_lang) into a |langs|-row algebra problem; the only
+    at-scale work is what those building blocks already do.
+
+    Determinism: per-doc avg_logprob is already 6-dp-quantized — it is
+    summed as exact integer micro-units (the embedding_pca discipline),
+    every per-lang loss is one exact-integer division, and the lone
+    libm exposure (exp) consumes bit-identical inputs in both engines;
+    weights round(…, 6) after the |langs|-term normalizer."""
+    from hedera_spark.operators.text_analysis import (
+        doc_perplexity,
+        token_count_by_lang,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nll = doc_perplexity(spark, sf_dir).select(
+        "doc_id",
+        F.round(-F.col("avg_logprob") * _NLL_MICRO, 0)
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    per_lang = (
+        docs.join(nll, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nll_micro").cast("long").alias("nll_sum"),
+        )
+    )
+    tok = token_count_by_lang(spark, sf_dir).select("lang", "total_tokens")
+    ref = per_lang.agg(
+        F.sum("nll_sum").cast("long").alias("ref_sum"),
+        F.sum("n_docs").cast("long").alias("ref_n"),
+    )
+    tot = tok.agg(F.sum("total_tokens").cast("long").alias("corpus_tokens"))
+    base = (
+        per_lang.join(tok, "lang")
+        .crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens") / F.col("corpus_tokens")).alias("share"),
+            (F.col("nll_sum") / F.col("n_docs") / _NLL_MICRO).alias("loss"),
+            (F.col("ref_sum") / F.col("ref_n") / _NLL_MICRO).alias("ref_loss"),
+        )
+        .select(
+            "*",
+            F.greatest(F.lit(0.0), F.col("loss") - F.col("ref_loss")).alias(
+                "excess"
+            ),
+        )
+        .select(
+            "*",
+            (F.col("share") * F.exp(F.lit(DOREMI_ETA) * F.col("excess"))).alias(
+                "tilt"
+            ),
+        )
+    )
+    norm = base.agg(
+        F.sum("tilt").alias("z"),
+        F.count(F.lit(1)).cast("double").alias("n_langs"),
+    )
+    return base.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round("share", 6).alias("share"),
+        F.round("loss", 6).alias("mean_nll"),
+        F.round("excess", 6).alias("excess_nll"),
+        F.round(F.col("tilt") / F.col("z"), 6).alias("doremi_weight"),
+        F.round(
+            (1 - DOREMI_ALPHA) * F.col("tilt") / F.col("z")
+            + DOREMI_ALPHA / F.col("n_langs"),
+            6,
+        ).alias("smoothed_weight"),
+    )

@@ -7877,6 +7877,57 @@ register(
     """,
 )
 
+register(
+    "doremi_weights",
+    imp.doremi_weights,
+    """
+    WITH nll AS (
+      SELECT doc_id,
+             CAST(round(-avg_logprob * 1000000, 0) AS BIGINT) AS nll_micro
+      FROM ({DP})
+    ),
+    per_lang AS (
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n.nll_micro) AS BIGINT) AS nll_sum
+      FROM documents d JOIN nll n ON d.doc_id = n.doc_id
+      GROUP BY 1
+    ),
+    tok AS (
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY 1
+    ),
+    ref AS (
+      SELECT CAST(sum(nll_sum) AS BIGINT) AS rs,
+             CAST(sum(n_docs) AS BIGINT) AS rn
+      FROM per_lang
+    ),
+    tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS ct FROM tok),
+    base AS (
+      SELECT p.lang, p.n_docs, t.total_tokens,
+             t.total_tokens / CAST(ct AS DOUBLE) AS share,
+             p.nll_sum / CAST(p.n_docs AS DOUBLE) / 1000000 AS loss,
+             rs / CAST(rn AS DOUBLE) / 1000000 AS ref_loss
+      FROM per_lang p JOIN tok t USING (lang), ref, tot
+    ),
+    tilted AS (
+      SELECT *, share * exp(1.0 * greatest(0.0, loss - ref_loss)) AS tilt
+      FROM base
+    ),
+    norm AS (
+      SELECT sum(tilt) AS z, CAST(count(*) AS DOUBLE) AS n_langs FROM tilted
+    )
+    SELECT lang, n_docs, total_tokens,
+           round(share, 6) AS share,
+           round(loss, 6) AS mean_nll,
+           round(greatest(0.0, loss - ref_loss), 6) AS excess_nll,
+           round(tilt / z, 6) AS doremi_weight,
+           round(0.8 * tilt / z + 0.2 / n_langs, 6) AS smoothed_weight
+    FROM tilted, norm
+    """.replace("{DP}", ORACLE["doc_perplexity"]),
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -8183,6 +8234,7 @@ _DEMOTED_STABLE = [
     "equi_depth_histogram",
     "rev_token_provenance",
     "encoding_advisor",
+    "doremi_weights",
 ]
 
 

@@ -208,6 +208,7 @@ def _empty_sf(spark, tmp_path):
         "equi_depth_histogram",
         "rev_token_provenance",
         "encoding_advisor",
+        "doremi_weights",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

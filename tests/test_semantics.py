@@ -3185,3 +3185,30 @@ def test_encoding_advisor_rules(spark):
     for r in rows.values():
         assert r["entropy_bits"] <= math.log2(r["n_distinct"]) + 1e-9
         assert 0 < r["top1_share"] <= 1
+
+
+def test_doremi_weights_tilt_direction_and_normalization(spark):
+    """Weights must sum to 1 (both raw tilt and smoothed), the hardest
+    language (max excess) must gain weight relative to its natural
+    share, zero-excess languages must lose or hold, and smoothing must
+    pull every weight toward 1/n_langs."""
+    from hedera_spark.operators.importance import DOREMI_ALPHA, doremi_weights
+    from tests.conftest import SF_DIR
+
+    rows = doremi_weights(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    n = len(rows)
+    assert abs(sum(r["doremi_weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["smoothed_weight"] for r in rows) - 1.0) < 1e-4
+    hardest = max(rows, key=lambda r: r["excess_nll"])
+    if hardest["excess_nll"] > 0:
+        assert hardest["doremi_weight"] > hardest["share"] - 1e-9
+    for r in rows:
+        if r["excess_nll"] == 0.0:
+            assert r["doremi_weight"] <= r["share"] + 1e-9
+        uniform = 1.0 / n
+        # smoothing contracts the distance to uniform (1e-5 slack: both
+        # weights are independently 6-dp rounded)
+        assert abs(r["smoothed_weight"] - uniform) <= (
+            (1 - DOREMI_ALPHA) * abs(r["doremi_weight"] - uniform) + 1e-5
+        )
