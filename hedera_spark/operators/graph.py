@@ -688,3 +688,69 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+WALK_STEPS = 4
+
+
+def graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk corpus over the co-mention graph — the data-prep
+    step of DeepWalk/node2vec (Perozzi et al. 2014): one fixed-length
+    walk per start node, each step choosing the neighbor with the
+    minimal md5(start ~ step ~ current ~ neighbor) — a deterministic
+    stand-in for the per-step random draw, so both engines (and every
+    re-run) emit the identical walk corpus; downstream these walks are
+    skipgram_pairs' input, closing the graph-embedding training-data
+    loop.
+
+    Scale: WALK_STEPS fixed joins of the frontier (|V| rows, one walk
+    per node) against the cached symmetrized edge list, each followed
+    by a min_by partial agg — lazily chained and materialized once (the
+    pagerank_anchors discipline). Walk storage is a bounded string; no
+    driver-side stepping.
+
+    Determinism: the md5 pick is a total order (hash, then neighbor);
+    every node in the co-mention graph has ≥ 1 neighbor, so no walk
+    stalls early."""
+    from hedera_spark.operators.anchors import anchor_cooccur
+
+    e = anchor_cooccur(spark, sf_dir).select("a1", "a2")
+    sym = e.union(
+        e.select(F.col("a2").alias("a1"), F.col("a1").alias("a2"))
+    ).select(F.col("a1").alias("src"), F.col("a2").alias("dst")).persist()
+    nodes = sym.select("src").distinct()
+    cur = nodes.select(
+        F.col("src").alias("start"),
+        F.col("src").alias("cur"),
+        F.col("src").alias("walk"),
+    )
+    for t in range(WALK_STEPS):
+        h = F.md5(
+            F.concat_ws(
+                "~", F.col("start"), F.lit(str(t)), F.col("cur"), F.col("dst")
+            )
+        )
+        stepped = cur.join(sym, cur["cur"] == sym["src"]).select(
+            "start", "walk", F.col("dst").alias("nxt"), h.alias("h")
+        )
+        cur = (
+            stepped.groupBy("start", "walk")
+            .agg(
+                F.min_by(
+                    "nxt", F.struct(F.col("h"), F.col("nxt"))
+                ).alias("nxt")
+            )
+            .select(
+                "start",
+                F.concat_ws("->", "walk", "nxt").alias("walk"),
+                F.col("nxt").alias("cur"),
+            )
+        )
+    out = cur.select(
+        F.col("start").alias("start_anchor"),
+        "walk",
+        F.lit(WALK_STEPS + 1).cast("long").alias("walk_len"),
+    ).persist()
+    out.count()  # materialize before releasing the edge cache
+    sym.unpersist()
+    return out

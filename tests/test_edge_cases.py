@@ -209,6 +209,7 @@ def _empty_sf(spark, tmp_path):
         "rev_token_provenance",
         "encoding_advisor",
         "doremi_weights",
+        "graph_walks",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -93,6 +93,7 @@ ALLOWED_NESTED_LOOP = {
     "markov_attribution",  # |channels|+1-row scenario broadcast + 1-row base/tot
     "equi_depth_histogram",  # 1-row boundary-vector broadcast
     "doremi_weights",  # 1-row ref-loss/corpus-total/normalizer broadcasts
+    "graph_walks",  # via _cooccur_tokens (1-row hot stop-token array)
     "dedup_semantic",  # composes kmeans_embeddings (K-row centroid broadcast)
     "hits_anchors",  # 1-row integer maxima broadcast
     "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe

@@ -3212,3 +3212,28 @@ def test_doremi_weights_tilt_direction_and_normalization(spark):
         assert abs(r["smoothed_weight"] - uniform) <= (
             (1 - DOREMI_ALPHA) * abs(r["doremi_weight"] - uniform) + 1e-5
         )
+
+
+def test_graph_walks_validity(spark):
+    """Every walk must have exactly WALK_STEPS+1 hops, start at its
+    start node, and every consecutive hop must be a real co-mention
+    edge; re-running must reproduce the identical corpus
+    (determinism)."""
+    from hedera_spark.operators.anchors import anchor_cooccur
+    from hedera_spark.operators.graph import WALK_STEPS, graph_walks
+    from tests.conftest import SF_DIR
+
+    rows = graph_walks(spark, SF_DIR).collect()
+    assert rows
+    edges = set()
+    for r in anchor_cooccur(spark, SF_DIR).collect():
+        edges.add((r["a1"], r["a2"]))
+        edges.add((r["a2"], r["a1"]))
+    for r in rows:
+        hops = r["walk"].split("->")
+        assert len(hops) == WALK_STEPS + 1 == r["walk_len"]
+        assert hops[0] == r["start_anchor"]
+        for a, b in zip(hops, hops[1:]):
+            assert (a, b) in edges
+    again = {r["start_anchor"]: r["walk"] for r in graph_walks(spark, SF_DIR).collect()}
+    assert again == {r["start_anchor"]: r["walk"] for r in rows}
