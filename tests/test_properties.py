@@ -631,3 +631,96 @@ def test_sequential_folds_match_python_replay(
         assert c["pos_idx"] == sp.index(max(sp)) + 1
         assert c["max_neg"] == max(sn)
         assert c["neg_idx"] == sn.index(max(sn)) + 1
+
+
+def _write_events(tmpdir: str, rows: list[tuple]) -> str:
+    """rows = (event_id, minutes_offset, user_id, event_type, value)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [t0 + dt.timedelta(minutes=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([float(r[4]) for r in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/events.parquet")
+    return tmpdir
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    journeys=st.lists(
+        st.lists(
+            st.sampled_from(["view", "click", "signup", "purchase"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_markov_attribution_invariants(spark, tmp_path_factory, journeys):
+    """For ANY set of user journeys: removal effects live in [0, 1]
+    (removing a channel can only remove conversion paths), attribution
+    sums to 1 whenever any removal effect is positive, and the
+    no-channel-removed conversion probability is shared by every row."""
+    rows, eid = [], 0
+    for u, j in enumerate(journeys):
+        for k, typ in enumerate(j):
+            rows.append((eid, k, u, typ, 1.0))
+            eid += 1
+    d = _write_events(str(tmp_path_factory.mktemp("mk")), rows)
+    from hedera_spark.operators.temporal_join import markov_attribution
+
+    out = markov_attribution(spark, d).collect()
+    if not out:  # no non-purchase channel observed
+        return
+    base = {r["base_conv_prob"] for r in out}
+    assert len(base) == 1
+    if base == {0.0}:  # zero conversions → removal effects undefined
+        assert all(r["removal_effect"] is None for r in out)
+        return
+    for r in out:
+        assert -1e-6 <= r["removal_effect"] <= 1 + 1e-6
+        assert r["conv_prob_without"] <= r["base_conv_prob"] + 1e-6
+    total = sum(r["removal_effect"] for r in out)
+    if total > 1e-6:
+        assert abs(sum(r["attribution"] for r in out) - 1.0) < 1e-4
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    user_ids=st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=300
+    )
+)
+def test_hll_union_merged_error_bound(spark, tmp_path_factory, user_ids):
+    """For ANY id multiset: the MERGED sketch row must grade against the
+    exact distinct count within 5x the m=256 theoretical rsd, and every
+    per-day estimate must be positive."""
+    rows = [(i, i % (24 * 60), uid, "view", 1.0) for i, uid in enumerate(user_ids)]
+    d = _write_events(str(tmp_path_factory.mktemp("hll")), rows)
+    from hedera_spark.operators.sketches import HLL_M, hll_union
+
+    out = {r["scope"]: r for r in hll_union(spark, d).collect()}
+    merged = out["MERGED"]
+    assert merged["n_exact"] == len(set(user_ids))
+    assert merged["rel_error"] <= 5 * 1.04 / (HLL_M ** 0.5)
+    for r in out.values():
+        assert r["n_hll"] > 0
