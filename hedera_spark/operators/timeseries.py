@@ -1815,3 +1815,124 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_union.alias("n_union"),
         F.round(n_both / n_union.cast("double"), 6).alias("jaccard"),
     )
+
+
+STL_HALF = 3  # centered 7-day trend window
+
+
+def pv_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style variance decomposition per entity — the missing third
+    view next to pv_seasonality (dow ANOVA on RAW counts) and pv_holt
+    (forecast trend): zero-fill each entity's daily series over the
+    global calendar, remove a centered 7-day moving-average trend, and
+    report how much variance the trend removed and how much of the
+    REMAINING variance the weekly profile explains. An entity with high
+    trend_share is drifting; high seasonal_share after detrending is
+    genuinely weekly; both low = noise.
+
+    Scale: one user_id shuffle (the zero-filled calendar rides the
+    ts_vector broadcast-span discipline), one ±3-day range window on
+    the |entities|×|days| daily grid, then two bounded partial aggs.
+
+    Determinism (exact-integer throughout): only FULL 7-day windows
+    are kept, so detrended values are EXACT integers in 1/7 units
+    (detr7 = 7·cnt − Σ₇cnt); every variance/SSB term reduces to sums
+    of those integers; the 3 divisions happen once per entity at the
+    end, round(…, 6)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    span = daily.agg(
+        F.min("day").alias("lo"),
+        F.datediff(F.max("day"), F.min("day")).alias("n_span"),
+    )
+    users = daily.select("user_id").distinct()
+    cal = users.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_span"))).alias("day_idx"),
+        "lo",
+    )
+    grid = (
+        cal.join(
+            daily.crossJoin(F.broadcast(span)).select(
+                "user_id",
+                F.datediff("day", "lo").alias("day_idx"),
+                "cnt",
+            ),
+            ["user_id", "day_idx"],
+            "left",
+        )
+        .select(
+            "user_id",
+            "day_idx",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rangeBetween(-STL_HALF, STL_HALF)
+    )
+    detr = (
+        grid.select(
+            "user_id",
+            "day_idx",
+            "cnt",
+            F.sum("cnt").over(w).alias("t7"),
+            F.count(F.lit(1)).over(w).alias("wn"),
+        )
+        .where(F.col("wn") == 2 * STL_HALF + 1)
+        .select(
+            "user_id",
+            "cnt",
+            (7 * F.col("cnt") - F.col("t7")).cast("long").alias("d7"),
+            F.pmod(F.col("day_idx"), F.lit(7)).alias("dow"),
+        )
+    )
+    per_dow = detr.groupBy("user_id", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w"),
+        F.sum("d7").cast("long").alias("s_w"),
+    )
+    # sorted-by-dow fold (≤ 7 terms, fixed order) — the pv_seasonality
+    # determinism discipline for the one float reduction in the plan
+    ssb = per_dow.groupBy("user_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("dow", "n_w", "s_w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s_w"] * x["s_w"] / x["n_w"],
+        ).alias("ssb_term")
+    )
+    glob = detr.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("cnt").cast("long").alias("sc"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ssc"),
+        F.sum("d7").cast("long").alias("s7"),
+        F.sum(F.col("d7") * F.col("d7")).cast("long").alias("ss7"),
+    )
+    var_total = (F.col("ssc") - F.col("sc") * F.col("sc") / F.col("d")) / F.col("d")
+    var_detr = (
+        (F.col("ss7") - F.col("s7") * F.col("s7") / F.col("d"))
+        / F.col("d")
+        / 49.0
+    )
+    sst7 = F.col("ss7") - F.col("s7") * F.col("s7") / F.col("d")
+    return (
+        glob.join(ssb, "user_id")
+        .where((F.col("d") > 1) & (var_total > 0))
+        .select(
+            "user_id",
+            F.col("d").alias("n_days"),
+            F.round(var_total, 6).alias("var_total"),
+            F.round(var_detr, 6).alias("var_detrended"),
+            F.round(1 - var_detr / var_total, 6).alias("trend_share"),
+            F.round(
+                F.when(
+                    sst7 > 0,
+                    (F.col("ssb_term") - F.col("s7") * F.col("s7") / F.col("d"))
+                    / sst7,
+                ),
+                6,
+            ).alias("seasonal_share"),
+        )
+    )

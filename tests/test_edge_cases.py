@@ -210,6 +210,7 @@ def _empty_sf(spark, tmp_path):
         "encoding_advisor",
         "doremi_weights",
         "graph_walks",
+        "pv_stl",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -94,6 +94,7 @@ ALLOWED_NESTED_LOOP = {
     "equi_depth_histogram",  # 1-row boundary-vector broadcast
     "doremi_weights",  # 1-row ref-loss/corpus-total/normalizer broadcasts
     "graph_walks",  # via _cooccur_tokens (1-row hot stop-token array)
+    "pv_stl",  # broadcast calendar span zero-fill (ts_vector discipline)
     "dedup_semantic",  # composes kmeans_embeddings (K-row centroid broadcast)
     "hits_anchors",  # 1-row integer maxima broadcast
     "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe

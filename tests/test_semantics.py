@@ -3237,3 +3237,53 @@ def test_graph_walks_validity(spark):
             assert (a, b) in edges
     again = {r["start_anchor"]: r["walk"] for r in graph_walks(spark, SF_DIR).collect()}
     assert again == {r["start_anchor"]: r["walk"] for r in rows}
+
+
+def test_pv_stl_planted_trend_and_weekly_pattern(spark, tmp_path):
+    """Planted series: user 1 has a pure linear trend (trend removal
+    should eat most variance, weekly share ≈ low), user 2 a pure weekly
+    square wave (trend removes little; dow explains nearly all of the
+    detrended variance). Shares live in [0, 1] (+rounding slack)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.operators.timeseries import pv_stl
+
+    rows, eid = [], 0
+    t0 = dt.datetime(2024, 1, 1)
+    for d in range(28):
+        for _ in range(2 + d):  # user 1: cnt = 2 + day (pure trend)
+            rows.append((eid, t0 + dt.timedelta(days=d), 1))
+            eid += 1
+        for _ in range(10 if d % 7 == 0 else 2):  # user 2: weekly spike
+            rows.append((eid, t0 + dt.timedelta(days=d), 2))
+            eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str((tmp_path / "sf").mkdir() or tmp_path / "sf" / "events.parquet"),
+    )
+    out = {r["user_id"]: r for r in pv_stl(spark, str(tmp_path / "sf")).collect()}
+    assert set(out) == {1, 2}
+    trendy, weekly = out[1], out[2]
+    assert trendy["trend_share"] > 0.95
+    # the 7-day MA reproduces a linear series exactly, so the detrended
+    # variance is 0 and the seasonal share is undefined (NULL)
+    assert trendy["var_detrended"] == 0.0
+    assert trendy["seasonal_share"] is None
+    assert weekly["seasonal_share"] > 0.95
+    assert weekly["trend_share"] < trendy["trend_share"]
+    for r in out.values():
+        if r["seasonal_share"] is not None:
+            assert -1e-6 <= r["seasonal_share"] <= 1 + 1e-6
+        assert r["var_total"] > 0
