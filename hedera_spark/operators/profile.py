@@ -509,3 +509,48 @@ def checksum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h)").cast("long").alias("checksum"),
         )
     )
+
+
+DP_EPSILON = 1.0
+_DP_HASH_SPACE = float(1 << 48)
+
+
+def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private release of the event-type histogram
+    (Dwork et al. 2006 Laplace mechanism, ε = 1, sensitivity 1) with
+    the realized error next to it — the release side of the governance
+    family (k_anonymity audits the raw table; erasure_impact the
+    deletion path; this is what you publish instead of true counts).
+    The Laplace draw is inverse-CDF over a deterministic md5 uniform
+    per released statistic, so the release is reproducible and both
+    engines emit the identical noisy table — the utility/privacy dial
+    (abs_err vs ε) is then a value-oracled fact, not a sample.
+
+    Scale: one partial agg to the |event_types|-row histogram; noise is
+    row-local arithmetic.
+
+    Determinism: u = (md5₄₈ + 0.5)/2⁴⁸ from exact integers; the lone
+    libm exposure (ln) consumes bit-identical doubles; outputs
+    round(…, 4)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("~", F.lit("dp"), F.col("event_type"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(_DP_HASH_SPACE)
+    noise = (
+        F.lit(-1.0 / DP_EPSILON)
+        * F.signum(u - 0.5)
+        * F.log(1 - 2 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "event_type",
+        "n_true",
+        F.round(F.col("n_true") + noise, 4).alias("n_dp"),
+        F.round(F.abs(noise), 4).alias("abs_err"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )

@@ -8040,6 +8040,33 @@ register(
     """,
 )
 
+register(
+    "dp_counts",
+    prof.dp_counts,
+    f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+      FROM events GROUP BY 1
+    ),
+    noisy AS (
+      SELECT event_type, n_true,
+             (-1.0 / {prof.DP_EPSILON}) * sign(u - 0.5)
+               * ln(1 - 2 * abs(u - 0.5)) AS noise
+      FROM (
+        SELECT event_type, n_true,
+               (('0x' || substr(md5(concat_ws('~', 'dp', event_type)),
+                  1, 12))::BIGINT + 0.5) / {prof._DP_HASH_SPACE!r} AS u
+        FROM g
+      )
+    )
+    SELECT event_type, n_true,
+           round(n_true + noise, 4) AS n_dp,
+           round(abs(noise), 4) AS abs_err,
+           {prof.DP_EPSILON} AS epsilon
+    FROM noisy
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -8349,6 +8376,7 @@ _DEMOTED_STABLE = [
     "doremi_weights",
     "graph_walks",
     "pv_stl",
+    "dp_counts",
 ]
 
 

@@ -211,6 +211,7 @@ def _empty_sf(spark, tmp_path):
         "doremi_weights",
         "graph_walks",
         "pv_stl",
+        "dp_counts",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

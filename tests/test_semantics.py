@@ -3287,3 +3287,23 @@ def test_pv_stl_planted_trend_and_weekly_pattern(spark, tmp_path):
         if r["seasonal_share"] is not None:
             assert -1e-6 <= r["seasonal_share"] <= 1 + 1e-6
         assert r["var_total"] > 0
+
+
+def test_dp_counts_noise_properties(spark):
+    """The noisy release must be reproducible (two runs identical),
+    each |noise| must reconcile with n_dp − n_true, the noise must be
+    nonzero (the mechanism actually fired), and with ε = 1 Laplace
+    noise all realized errors should sit well under the ~14-nat 1e-6
+    tail bound."""
+    from hedera_spark.operators.profile import dp_counts
+    from tests.conftest import SF_DIR
+
+    rows = dp_counts(spark, SF_DIR).collect()
+    assert rows
+    again = {r["event_type"]: r["n_dp"] for r in dp_counts(spark, SF_DIR).collect()}
+    for r in rows:
+        assert again[r["event_type"]] == r["n_dp"]
+        assert abs(abs(r["n_dp"] - r["n_true"]) - r["abs_err"]) < 1e-3
+        assert r["abs_err"] > 0
+        assert r["abs_err"] < 14.0  # P(|Lap(1)| > 14) ≈ 1e-6
+        assert r["epsilon"] == 1.0
