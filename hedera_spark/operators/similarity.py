@@ -1240,3 +1240,72 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt("shift2") / DRIFT_MICRO, 6).alias("mean_shift"),
         )
     )
+
+
+# ann_pareto memory model (bytes per stored vector), from this repo's
+# structure constants: flat keeps 64 float32 dims; LSH adds a 1-byte
+# 8-bit signature to the full vectors it reranks; IVF adds an 8-byte
+# cell id; PQ stores only PQ_M 1-byte codes; SQ stores 64 1-byte codes.
+ANN_BYTES = {
+    "flat": EMB_DIM * 4,
+    "lsh": EMB_DIM * 4 + 1,
+    "ivf": EMB_DIM * 4 + 8,
+    "pq": PQ_M,
+    "sq": EMB_DIM,
+}
+
+
+def ann_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN decision table: one row per index structure with its
+    bytes-per-vector memory cost, compression vs flat float32, and the
+    MEASURED mean recall@3 from this repo's own dials (ann_recall /
+    ivf_recall / pq_recall / sq_recall; flat is the recall-1.0
+    baseline). The recall dials exist so "approximate" is a number —
+    this operator is where the numbers meet the memory budget: at
+    100 TB of vectors you read THIS table, not four separate dials,
+    to pick the index.
+
+    Scale: each dial is its audited plan; this adds only 1-row
+    aggregates and a 5-row union.
+
+    Determinism: per-query recalls are already 6-dp-quantized — the
+    means sum them as exact integer micro-units (one division at the
+    end, the embedding_pca discipline)."""
+
+    def _mean(df: DataFrame, method: str) -> DataFrame:
+        return (
+            df.agg(
+                F.sum(F.round(F.col("recall") * 1e6, 0).cast("long"))
+                .cast("long")
+                .alias("su"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .where(F.col("n") > 0)
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(ANN_BYTES[method]).cast("long").alias("bytes_per_vec"),
+                F.round(
+                    F.lit(float(ANN_BYTES["flat"]) )
+                    / ANN_BYTES[method],
+                    4,
+                ).alias("compression_x"),
+                F.round(
+                    F.col("su") / F.col("n").cast("double") / 1e6, 6
+                ).alias("mean_recall"),
+            )
+        )
+
+    lsh = _mean(ann_recall(spark, sf_dir), "lsh")
+    ivf = _mean(ivf_recall(spark, sf_dir), "ivf")
+    pq = _mean(pq_recall(spark, sf_dir), "pq")
+    sq = _mean(sq_recall(spark, sf_dir), "sq")
+    flat = lsh.select(
+        F.lit("flat").alias("method"),
+        F.lit(ANN_BYTES["flat"]).cast("long").alias("bytes_per_vec"),
+        F.lit(1.0).alias("compression_x"),
+        F.lit(1.0).alias("mean_recall"),
+    )
+    out = flat
+    for b in (lsh, ivf, pq, sq):
+        out = out.unionByName(b)
+    return out

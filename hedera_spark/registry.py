@@ -8067,6 +8067,35 @@ register(
     """,
 )
 
+def _ann_pareto_oracle() -> str:
+    """Mirror of sim.ann_pareto: compose the four recall oracles, mean
+    via exact micro-unit sums, plus the flat baseline row (guarded on
+    the lsh dial being non-empty, like the Spark side)."""
+    blocks = []
+    for method, key in (
+        ("lsh", "ann_recall"),
+        ("ivf", "ivf_recall"),
+        ("pq", "pq_recall"),
+        ("sq", "sq_recall"),
+    ):
+        b = sim.ANN_BYTES[method]
+        comp = round(float(sim.ANN_BYTES["flat"]) / b, 4)
+        blocks.append(f"""
+      SELECT '{method}' AS method, CAST({b} AS BIGINT) AS bytes_per_vec,
+             {comp!r} AS compression_x,
+             round(sum(CAST(round(recall * 1000000, 0) AS BIGINT))
+                   / CAST(count(*) AS DOUBLE) / 1000000, 6) AS mean_recall
+      FROM ({ORACLE[key]}) HAVING count(*) > 0""")
+    flat = f"""
+      SELECT 'flat' AS method,
+             CAST({sim.ANN_BYTES["flat"]} AS BIGINT) AS bytes_per_vec,
+             1.0 AS compression_x, 1.0 AS mean_recall
+      FROM ({ORACLE["ann_recall"]}) HAVING count(*) > 0"""
+    return flat + " UNION ALL " + " UNION ALL ".join(blocks)
+
+
+register("ann_pareto", sim.ann_pareto, _ann_pareto_oracle())
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -8377,6 +8406,7 @@ _DEMOTED_STABLE = [
     "graph_walks",
     "pv_stl",
     "dp_counts",
+    "ann_pareto",
 ]
 
 

@@ -212,6 +212,7 @@ def _empty_sf(spark, tmp_path):
         "graph_walks",
         "pv_stl",
         "dp_counts",
+        "ann_pareto",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -95,6 +95,7 @@ ALLOWED_NESTED_LOOP = {
     "doremi_weights",  # 1-row ref-loss/corpus-total/normalizer broadcasts
     "graph_walks",  # via _cooccur_tokens (1-row hot stop-token array)
     "pv_stl",  # broadcast calendar span zero-fill (ts_vector discipline)
+    "ann_pareto",  # composes the four recall dials (ann_topk baselines)
     "dedup_semantic",  # composes kmeans_embeddings (K-row centroid broadcast)
     "hits_anchors",  # 1-row integer maxima broadcast
     "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe

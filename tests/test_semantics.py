@@ -3307,3 +3307,28 @@ def test_dp_counts_noise_properties(spark):
         assert r["abs_err"] > 0
         assert r["abs_err"] < 14.0  # P(|Lap(1)| > 14) ≈ 1e-6
         assert r["epsilon"] == 1.0
+
+
+def test_ann_pareto_structure(spark):
+    """Five rows (flat + 4 structures), flat pinned at recall 1.0 and
+    compression 1.0, PQ the smallest footprint, every recall in (0, 1],
+    and each dial's mean must match the mean of its per-query dial."""
+    from hedera_spark.operators.similarity import (
+        ANN_BYTES,
+        ann_pareto,
+        ann_recall,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {r["method"]: r for r in ann_pareto(spark, SF_DIR).collect()}
+    assert set(rows) == {"flat", "lsh", "ivf", "pq", "sq"}
+    assert rows["flat"]["mean_recall"] == 1.0
+    assert rows["flat"]["compression_x"] == 1.0
+    assert min(rows.values(), key=lambda r: r["bytes_per_vec"])["method"] == "pq"
+    for m, r in rows.items():
+        assert r["bytes_per_vec"] == ANN_BYTES[m]
+        assert 0 < r["mean_recall"] <= 1.0
+        assert abs(r["compression_x"] - round(256 / ANN_BYTES[m], 4)) < 1e-9
+    lsh_rows = [x["recall"] for x in ann_recall(spark, SF_DIR).collect()]
+    want = round(sum(round(v * 1e6) for v in lsh_rows) / len(lsh_rows) / 1e6, 6)
+    assert rows["lsh"]["mean_recall"] == want
