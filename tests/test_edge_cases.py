@@ -213,6 +213,9 @@ def _empty_sf(spark, tmp_path):
         "pv_stl",
         "dp_counts",
         "ann_pareto",
+        "scd2_build",
+        "scd2_resolve",
+        "upsert_merge",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

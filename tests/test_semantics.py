@@ -3332,3 +3332,42 @@ def test_ann_pareto_structure(spark):
     lsh_rows = [x["recall"] for x in ann_recall(spark, SF_DIR).collect()]
     want = round(sum(round(v * 1e6) for v in lsh_rows) / len(lsh_rows) / 1e6, 6)
     assert rows["lsh"]["mean_recall"] == want
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    """SCD2 invariants: per user the validity intervals are contiguous
+    (valid_to == next valid_from), versions are 1..n, exactly one open
+    (is_current) row, adjacent versions change the attribute, and every
+    event resolves to exactly one version whose interval contains it —
+    a change event resolving to the version it opens."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.scd import scd2_build, scd2_resolve
+    from tests.conftest import SF_DIR
+
+    dim = scd2_build(spark, SF_DIR).collect()
+    by_user: dict = {}
+    for r in dim:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr"] != b["attr"]
+
+    res = scd2_resolve(spark, SF_DIR)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert res.count() == n_events
+    assert res.where(F.col("version").isNull()).count() == 0
+    # the change event itself carries the attr it introduced
+    joined = res.join(
+        scd2_resolve(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.max("version").alias("maxv")),
+        "user_id",
+    )
+    assert joined.where(F.col("version") > F.col("maxv")).count() == 0

@@ -1189,3 +1189,66 @@ def test_stream_hll_equals_batch_registers(spark):
         .toPandas()
     )
     assert_frames_match(got, want, "stream_hll")
+
+
+def test_stream_upsert_maintains_latest_per_key(spark, tmp_path):
+    """The foreachBatch CDC upsert must (1) end the replay with exactly
+    the batch latest-per-key state, (2) rewrite only the key buckets a
+    batch touches (bucket-partitioned layout), and (3) be idempotent
+    under a full re-run with a lost checkpoint."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.upsert import (
+        _latest_per_key,
+        read_upsert_state,
+        stream_upsert,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    # daily-file replay layout -> one micro-batch per day
+    src = tmp_path / "src"
+    src.mkdir()
+    days = [r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()]
+    for d in sorted(days):
+        ev.where(F.to_date("ts") == F.lit(d)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"day={d}"))
+
+    state = str(tmp_path / "state")
+
+    def run(ckpt: str) -> None:
+        q = stream_upsert(spark, str(src), state, ckpt)
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    expect = (
+        _latest_per_key(ev)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        read_upsert_state(spark, state)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(expect)
+    # bucket-partitioned layout (the partial-rewrite economics)
+    assert any(e.startswith("bucket=") for e in os.listdir(state))
+
+    # lost checkpoint -> full replay over existing state: identical state
+    run(str(tmp_path / "ckpt2"))
+    got2 = (
+        read_upsert_state(spark, state)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got2.equals(expect)
