@@ -19,6 +19,7 @@ from hedera_spark.operators import dedup
 from hedera_spark.operators import functions_queries as fq
 from hedera_spark.operators import ir
 from hedera_spark.operators import multimodal as mm
+from hedera_spark.operators import pivot as pvt
 from hedera_spark.operators import revisions as rev
 from hedera_spark.operators import scd
 from hedera_spark.operators import similarity as sim
@@ -8169,6 +8170,33 @@ register(
     """,
 )
 
+# --- Pivot / unpivot reshaping (operators/pivot.py) -------------------------
+
+_PV_PIVOT_ORACLE = """
+    SELECT CAST(ts AS DATE) AS day,
+           {cols}
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+""".format(
+    cols=",\n           ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t},\n"
+        f"           coalesce(round(sum(value) FILTER (WHERE event_type = '{t}'), 6), 0.0) AS sum_{t}"
+        for t in pvt.EVENT_TYPES
+    )
+)
+
+register("pv_pivot", pvt.pv_pivot, _PV_PIVOT_ORACLE)
+
+register(
+    "pv_unpivot",
+    pvt.pv_unpivot,
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -8485,6 +8513,8 @@ _DEMOTED_STABLE = [
     "scd2_build",
     "scd2_resolve",
     "upsert_merge",
+    "pv_pivot",
+    "pv_unpivot",
 ]
 
 

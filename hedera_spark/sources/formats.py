@@ -232,3 +232,23 @@ def read_pageviews_ez(
         F.expr("CAST(substring(hv, 2) AS BIGINT)").alias("views"),
         "total",
     )
+
+
+def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet lake whose files span SCHEMA GENERATIONS —
+    mergeSchema unions the per-file footers, so files written before a
+    column existed surface it as NULL instead of failing the scan.
+
+    The reference's dumps have the same property across MediaWiki export
+    versions (WIKIREVISION.md: export-0.x schema drift handled in
+    io/input/WikiRevisionInputFormat.java's tolerant parser); a 100 TB
+    lake accretes columns the same way, and re-writing history on every
+    schema change is not an option. mergeSchema costs one footer read
+    per file at planning time — data pages are untouched — and pairs
+    with the dynamic-partition-overwrite sinks (streaming/sink.py),
+    which never rewrite old generations."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )

@@ -37,3 +37,19 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV interchange sink (the reference's flattened-CSV workflow,
     WIKIREVISION.md §3.1)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC columnar sink — the second columnar format (the reference's
+    SequenceFile role: splittable, typed, compressed). Same pushdown /
+    pruning story as parquet; useful when downstream consumers are
+    Hive/ORC-native."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
