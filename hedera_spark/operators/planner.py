@@ -733,3 +733,53 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(entropy, 6).alias("entropy_bits"),
         enc.alias("encoding"),
     )
+
+
+RETENTION_TTL_DAYS = {
+    "click": 7,
+    "view": 7,
+    "error": 14,
+    "signup": 30,
+    "purchase": 30,
+}
+
+
+def retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL retention plan over the events lake: per (event_type, day)
+    partition, DELETE when the day is older than the type's TTL measured
+    from the newest event in the log, else KEEP — with row counts so the
+    sweep's blast radius is auditable before it runs.
+
+    The point at 100 TB is the partition alignment: because policy is
+    evaluated at the (event_type, day) grain and the lake is laid out the
+    same way (streaming/sink.py partitions by event_date), every DELETE
+    is a directory drop — no file rewrite, no row-level scan. The same
+    anchor-on-max(ts) rule makes the plan reproducible on a frozen log
+    (no wall-clock dependence).
+
+    Reference parity: pig/preprocess/* prune dump slices by time span
+    before processing (begintime/endtime of WIKIREVISION.md §2); this is
+    that pruning turned into a standing lifecycle policy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("a"))
+    ttl = F.create_map(
+        *[x for t, d in sorted(RETENTION_TTL_DAYS.items()) for x in (F.lit(t), F.lit(d))]
+    )
+    return (
+        ev.select(F.col("event_type"), F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .join(F.broadcast(anchor))
+        .select(
+            "event_type",
+            "day",
+            "n_rows",
+            F.when(
+                F.datediff(F.col("a"), F.col("day")) > ttl[F.col("event_type")],
+                F.lit("delete"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+    )

@@ -8170,6 +8170,28 @@ register(
     """,
 )
 
+# --- TTL retention planning (operators/planner.py) --------------------------
+
+_RETENTION_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{t}' THEN {d}" for t, d in sorted(pln.RETENTION_TTL_DAYS.items())
+) + " END"
+
+register(
+    "retention_sweep",
+    pln.retention_sweep,
+    f"""
+    WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+    g AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_rows,
+           CASE WHEN date_diff('day', day, a.anchor) > {_RETENTION_CASE}
+                THEN 'delete' ELSE 'keep' END AS action
+    FROM g, a
+    """,
+)
+
 # --- Pivot / unpivot reshaping (operators/pivot.py) -------------------------
 
 _PV_PIVOT_ORACLE = """
@@ -8515,6 +8537,7 @@ _DEMOTED_STABLE = [
     "upsert_merge",
     "pv_pivot",
     "pv_unpivot",
+    "retention_sweep",
 ]
 
 

@@ -216,6 +216,9 @@ def _empty_sf(spark, tmp_path):
         "scd2_build",
         "scd2_resolve",
         "upsert_merge",
+        "pv_pivot",
+        "pv_unpivot",
+        "retention_sweep",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -128,6 +128,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_method_agreement",  # 1-row set-size combines + jaccard hot-set
     "bm25_param_sweep",  # 1-row corpus-stats + 4-row config broadcasts
     "ivf_nprobe_sweep",  # centroid-set broadcasts + 1-row totals, like ann_ivf
+    "retention_sweep",  # 1-row max-day anchor broadcast
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /
