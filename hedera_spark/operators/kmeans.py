@@ -18,12 +18,17 @@ assignment ties break to the smallest centroid id via a struct-ordered
 min_by. The DuckDB oracle unrolls the same KMEANS_ITERATIONS steps as
 CTEs (the pagerank_anchors pattern).
 
-Scale (100 TB): per iteration, the corpus is touched once — broadcast
-K-row centroid table, map-side distance + argmin (no shuffle), then one
-partial-agg shuffle keyed on (cluster, dim) for the means (bounded by
-K·dims, not corpus size). Assignments are persisted per iteration and
-the previous frontier unpersisted (O(1) lineage). Centroid count K is
-the only driver-side scalar.
+Scale (100 TB): per iteration, the corpus is touched once — the K·dims
+centroid table rides into the plan as LITERALS (the parameter-server
+discipline of stream_drift's fences; a bounded driver pull of K=8 rows
+per step, nothing corpus-sized), so assignment is a pure map — per-row
+fold over the centroid array, argmin via struct-ordered array_min, NO
+shuffle and NO row amplification — followed by one partial-agg shuffle
+keyed on (cluster, dim) for the means (bounded by K·dims, not corpus
+size). Each iteration is ONE job; the returned assignment plan is
+map-only. (The previous broadcast-crossJoin formulation shuffled every
+vector's 64-double array ×K through a groupBy argmin: measured 5.2 s →
+1.6 s at sf0.1 for the training loop.)
 """
 
 from __future__ import annotations
@@ -56,22 +61,49 @@ def _dist2(a, b):
     )
 
 
-def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def _cent_lit(cent_rows) -> F.Column:
+    """The K centroids as one literal array<struct<cid, cemb>> column —
+    the parameter-server payload the per-row argmin folds over."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(float(v)) for v in cemb]).alias("cemb"),
+            )
+            for cid, cemb in cent_rows
+        ]
+    )
+
+
+def _assign(emb: DataFrame, cent_rows) -> DataFrame:
     """(vec_id, emb, cluster_id, dist2): nearest centroid per vector —
-    broadcast K-row build side, map-side argmin via struct-ordered
-    min_by (ties to the smallest centroid id), partial-agg groupBy."""
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "d2", _dist2(F.col("emb"), F.col("cemb"))
+    pure map: per-row fold over the literal centroid array, argmin via
+    struct-ordered array_min (ties to the smallest centroid id). No
+    shuffle, no row amplification."""
+    best = F.array_min(
+        F.transform(
+            _cent_lit(cent_rows),
+            lambda c: F.struct(
+                _dist2(F.col("emb"), c["cemb"]).alias("d"),
+                c["cid"].alias("c"),
+            ),
+        )
     )
-    return scored.groupBy("vec_id").agg(
-        F.min_by(
-            "cid", F.struct(F.col("d2").alias("d"), F.col("cid").alias("c"))
-        ).alias("cluster_id"),
-        F.min(F.struct(F.col("d2").alias("d"), F.col("cid").alias("c")))["d"].alias(
-            "dist2"
-        ),
-        F.first("emb").alias("emb"),
+    return emb.select(
+        "vec_id",
+        "emb",
+        best["c"].alias("cluster_id"),
+        best["d"].alias("dist2"),
     )
+
+
+def _empty_assign(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        "emb",
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("double").alias("dist2"),
+    ).where(F.lit(False))
 
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,21 +115,18 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    cents = (
-        emb.orderBy("vec_id")
-        .limit(KMEANS_K)
-        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
-        .persist()
-    )
-    assigned = None
+    # bounded driver pulls throughout the loop: K rows, then K·1 rows of
+    # (cid, 64-double centroid) per iteration — never corpus-sized
+    cent_rows = [
+        (r["vec_id"], r["emb"])
+        for r in emb.orderBy("vec_id").limit(KMEANS_K).collect()
+    ]
+    if not cent_rows:
+        return _empty_assign(emb).select("vec_id", "cluster_id", "dist2")
     for _ in range(KMEANS_ITERATIONS):
-        new_assigned = _assign(emb, cents).persist()
-        new_assigned.count()  # materialize before dropping parents
-        if assigned is not None:
-            assigned.unpersist()
-        assigned = new_assigned
         new_cents = (
-            assigned.select(
+            _assign(emb, cent_rows)
+            .select(
                 F.col("cluster_id").alias("cid"),
                 F.posexplode("emb").alias("pos", "x"),
             )
@@ -110,14 +139,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s["m"],
                 ).alias("cemb")
             )
-            .persist()
+            .collect()
         )
-        new_cents.count()
-        cents.unpersist()
-        cents = new_cents
-    # final assignment under the trained centroids
-    out = _assign(emb, cents).select("vec_id", "cluster_id", "dist2")
-    return out
+        cent_rows = sorted((r["cid"], r["cemb"]) for r in new_cents)
+    # final assignment under the trained centroids — map-only plan
+    return _assign(emb, cent_rows).select("vec_id", "cluster_id", "dist2")
 
 
 SEMDEDUP_COS = 0.4  # same cosine scale as the dedup_embedding family

@@ -601,23 +601,61 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     defeating the histogram and the selectivity model needs the MCV
     path instead.
 
-    Scale: ONE aggregate computes all 17 boundaries (a single sort-based
-    percentile pass; at 100 TB you'd swap in approx_percentile — the
-    audited exact twin is the point here, the value_percentiles
-    pattern), then bucket assignment is a map-side array scan against
-    the 1-row broadcast boundary vector and one ≤ 16-group agg.
+    Scale: the 17 exact boundaries come from the range-partitioned
+    global-rank discipline (tpch._global_rank — never a one-reducer
+    sort or a single-node percentile map): rank the column distributed,
+    broadcast-join the ≤34 needed order statistics out, interpolate
+    row-locally. Bucket assignment is then a map-side array scan
+    against the 1-row broadcast boundary vector and one ≤16-group agg.
+    (At 100 TB you'd swap in approx_percentile; the audited exact twin
+    is the point here.)
 
-    Determinism: boundaries round(…, 6) BEFORE assignment so both
+    Determinism: interpolation uses percentile()'s exact formula
+    lo + (pos − floor(pos))·(hi − lo) with pos = (k/16)·(n−1) — k/16 is
+    binary-exact — and boundaries round(…, 6) BEFORE assignment so both
     engines compare against identical doubles; counts exact BIGINT."""
+    from hedera_spark.operators.tpch import _global_rank
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("x")
     )
-    fr = ", ".join(repr(k / HIST_BUCKETS) for k in range(HIST_BUCKETS + 1))
-    bnds = li.agg(
-        F.expr(f"transform(percentile(x, array({fr})), t -> round(t, 6))")
-        .alias("b"),
-        F.count(F.lit(1)).cast("long").alias("n_total"),
+    ranked = _global_rank(li, ["x"], "r")  # 1..n, ties broken arbitrarily (values equal)
+    n1 = li.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # the ≤34 order statistics the 17 interpolated boundaries need
+    pos = (
+        n1.where(F.col("n_total") > 0)
+        .select(
+            "n_total",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(HIST_BUCKETS))
+            ).alias("k"),
+        )
+        .withColumn(
+            "posd", F.col("k") / HIST_BUCKETS * (F.col("n_total") - 1)
+        )
+        .withColumn("lo_r", F.floor("posd").cast("long") + 1)
+        .withColumn("hi_r", F.ceil("posd").cast("long") + 1)
+        .withColumn("frac", F.col("posd") - F.floor("posd"))
     )
+    needed = pos.select(F.explode(F.array("lo_r", "hi_r")).alias("r")).distinct()
+    stats = ranked.join(F.broadcast(needed), "r").select("r", "x")
+    lo_s = stats.select(F.col("r").alias("lo_r"), F.col("x").alias("v_lo"))
+    hi_s = stats.select(F.col("r").alias("hi_r"), F.col("x").alias("v_hi"))
+    bounds = (
+        pos.join(F.broadcast(lo_s), "lo_r")
+        .join(F.broadcast(hi_s), "hi_r")
+        .select(
+            "k",
+            "n_total",
+            F.round(
+                F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo")),
+                6,
+            ).alias("v"),
+        )
+    )
+    bnds = bounds.groupBy("n_total").agg(
+        F.expr("transform(array_sort(collect_list(struct(k, v))), s -> s.v)").alias("b")
+    ).select("b", "n_total").localCheckpoint(eager=True)
     spine = (
         bnds.where(F.col("n_total") > 0)
         .select(

@@ -362,14 +362,17 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline; the chain's depth makes 10 steps ≈ fixpoint).
 
     Scale: the at-scale work is ONE user_id-keyed window over the event
-    log (journey edges); everything after is algebra on the
-    ≤ |states|²·|scenarios| probability table (tens of rows no matter
-    the corpus size — scenarios ride a column, not separate passes).
+    log (journey edges) reduced to the ≤ |states|² transition-count
+    table; that table is a BOUNDED driver pull (|event types|+2 states —
+    a few dozen rows no matter the corpus size, the similarity_fast
+    precedent), and the removal-effect value iteration is plain Python
+    algebra on it — a 50-row matrix has no business occupying ten
+    chained distributed stages (measured: 10.3 s → ~1 s at sf0.1).
 
     Determinism: transition weights are exact integer-count ratios;
-    value iteration sums ≤ |states| doubles per step unrounded (the
-    pagerank precedent) and every output column rounds once at the
-    end."""
+    value iteration sums ≤ |states| doubles per step unrounded in
+    sorted-state order, and every output column rounds once at the
+    end (round-6 absorbs last-ulp ordering differences)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -398,79 +401,65 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = edges.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    probs = counts.select(
-        "src",
-        "dst",
-        (F.col("c") / F.sum("c").over(Window.partitionBy("src"))).alias("w"),
-    ).persist()
-    scenarios = (
-        probs.select(F.col("src").alias("scenario"))
-        .where(F.col("scenario") != "START")
-        .distinct()
-        .unionByName(probs.limit(1).agg(F.lit("BASE").alias("scenario")))
+    # BOUNDED pull: ≤ (|event types|+2)² rows regardless of corpus size
+    rows = counts.collect()
+    out_schema = (
+        "channel string, conv_prob_without double, base_conv_prob double, "
+        "removal_effect double, attribution double"
     )
-    tp = (
-        probs.crossJoin(F.broadcast(scenarios))
-        .where(F.col("src") != F.col("scenario"))
-        .select(
-            "scenario",
-            "src",
-            F.when(F.col("dst") == F.col("scenario"), F.lit("NULL"))
-            .otherwise(F.col("dst"))
-            .alias("dst"),
-            "w",
-        )
-        .persist()
-    )
-    p = (
-        tp.select("scenario", F.col("src").alias("state"))
-        .distinct()
-        .withColumn("p", F.lit(0.0))
-    )
-    for _ in range(MARKOV_ITERATIONS):
-        p = (
-            tp.join(
-                p.select("scenario", F.col("state").alias("dst"), "p"),
-                ["scenario", "dst"],
-                "left",
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["src"]] = totals.get(r["src"], 0) + r["c"]
+    w = {(r["src"], r["dst"]): r["c"] / totals[r["src"]] for r in rows}
+
+    def conv_prob(removed: str | None) -> float:
+        # edges of the scenario chain: removed channel's outgoing edges
+        # dropped, inbound mass redirected to NULL
+        tp: dict[str, list[tuple[str, float]]] = {}
+        for (src, dst), wt in sorted(w.items()):
+            if src == removed:
+                continue
+            tp.setdefault(src, []).append(
+                ("NULL", wt) if dst == removed else (dst, wt)
             )
-            .groupBy("scenario", "src")
-            .agg(
-                F.sum(
-                    F.col("w")
-                    * F.when(F.col("dst") == "CONV", F.lit(1.0))
-                    .when(F.col("dst") == "NULL", F.lit(0.0))
-                    .otherwise(F.coalesce(F.col("p"), F.lit(0.0)))
-                ).alias("p")
-            )
-            .select("scenario", F.col("src").alias("state"), "p")
-        )
-    sp = p.where(F.col("state") == "START").select("scenario", "p")
-    base = sp.where(F.col("scenario") == "BASE").select(
-        F.col("p").alias("p_base")
-    )
-    rem = (
-        sp.where(F.col("scenario") != "BASE")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("scenario").alias("channel"),
-            "p",
-            "p_base",
-            F.when(F.col("p_base") > 0, 1 - F.col("p") / F.col("p_base")).alias(
-                "rem"
+        p: dict[str, float] = {s: 0.0 for s in tp}
+        for _ in range(MARKOV_ITERATIONS):
+            p = {
+                src: sum(
+                    wt
+                    * (
+                        1.0
+                        if dst == "CONV"
+                        else 0.0 if dst == "NULL" else p.get(dst, 0.0)
+                    )
+                    for dst, wt in outs
+                )
+                for src, outs in tp.items()
+            }
+        return p.get("START", 0.0)
+
+    p_base = conv_prob(None)
+    channels = sorted({src for src, _ in w if src != "START"})
+    rem = {
+        ch: (1 - conv_prob(ch) / p_base) if p_base > 0 else None
+        for ch in channels
+    }
+    tot = sum(v for v in rem.values() if v is not None)
+    data = [
+        (
+            ch,
+            round(conv_prob(ch), 6),
+            round(p_base, 6),
+            None if rem[ch] is None else round(rem[ch], 6),
+            (
+                round(rem[ch] / tot, 6)
+                if rem[ch] is not None and tot > 0
+                else None
             ),
         )
-    )
-    tot = rem.agg(F.sum("rem").alias("tot"))
-    # probs/tp stay persisted — both feed every scenario branch of the
-    # lazy result (the hits_anchors convention); an eager unpersist
-    # would recompute the journey window per branch
-    return rem.crossJoin(F.broadcast(tot)).select(
-        "channel",
-        F.round("p", 6).alias("conv_prob_without"),
-        F.round("p_base", 6).alias("base_conv_prob"),
-        F.round("rem", 6).alias("removal_effect"),
-        F.round(
-            F.when(F.col("tot") > 0, F.col("rem") / F.col("tot")), 6
-        ).alias("attribution"),
-    )
+        for ch in channels
+    ]
+    return spark.createDataFrame(data, out_schema)

@@ -90,7 +90,6 @@ ALLOWED_NESTED_LOOP = {
     "wand_bounds",  # 1-row theta broadcast
     "audience_overlap",  # |event_types|-row count-table pair matrix
     "zorder_layout_audit",  # 1-row day-span bounds broadcast
-    "markov_attribution",  # |channels|+1-row scenario broadcast + 1-row base/tot
     "equi_depth_histogram",  # 1-row boundary-vector broadcast
     "doremi_weights",  # 1-row ref-loss/corpus-total/normalizer broadcasts
     "graph_walks",  # via _cooccur_tokens (1-row hot stop-token array)
