@@ -28,10 +28,11 @@ from hedera_spark.streaming.dedup import _event_stream
 ATTRIBUTION_WINDOW = "2 hours"
 
 
-def _side(spark: SparkSession, sf_dir: str, kind: str, prefix: str) -> DataFrame:
+def _side_of(ev: DataFrame, kind: str, prefix: str) -> DataFrame:
+    """One watermarked, prefixed side of the correlation join, from any
+    normalized event stream (file replay, rate source, …)."""
     return (
-        _event_stream(spark, sf_dir)
-        .where(F.col("event_type") == kind)
+        ev.where(F.col("event_type") == kind)
         .select(
             F.col("user_id").alias(f"{prefix}_user"),
             F.col("event_id").alias(f"{prefix}_id"),
@@ -40,6 +41,10 @@ def _side(spark: SparkSession, sf_dir: str, kind: str, prefix: str) -> DataFrame
         )
         .withWatermark(f"{prefix}_ts", "1 hour")
     )
+
+
+def _side(spark: SparkSession, sf_dir: str, kind: str, prefix: str) -> DataFrame:
+    return _side_of(_event_stream(spark, sf_dir), kind, prefix)
 
 
 def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,4 +66,41 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_ts",
         "p_value",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("lag_seconds"),
+    )
+
+
+def stream_view_purchase_left_join(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every view, with its attributed
+    purchase where one exists — the null-padded row for a never-converted
+    view is emitted only once the purchase-side watermark proves no match
+    can still arrive (Structured Streaming's outer-join contract; the
+    inner variant above never emits it at all). The conversion-rate
+    dashboard shape: matched and unmatched views in ONE stream.
+
+    Scale: identical state bounds to the inner join — the outer side
+    adds no state, only deferred null emission at watermark passage.
+
+    `base` overrides the event stream (e.g. a multi-file daily replay,
+    whose batch boundaries advance the watermark so null emission is
+    actually observable — the test harness's shape; semantics are
+    source-independent)."""
+    ev = base if base is not None else _event_stream(spark, sf_dir)
+    views = _side_of(ev, "view", "v")
+    purchases = _side_of(ev, "purchase", "p")
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+        "left_outer",
+    ).select(
+        "v_user",
+        "v_id",
+        "v_ts",
+        "p_id",
+        "p_ts",
+        "p_value",
+        (F.col("p_id").isNotNull()).cast("int").alias("converted"),
     )

@@ -1252,3 +1252,109 @@ def test_stream_upsert_maintains_latest_per_key(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got2.equals(expect)
+
+
+def test_stream_scd2_resolve_equals_batch(spark):
+    """Temporal stream-static lookup replayed over the whole log == batch
+    scd2_resolve row-for-row (stateless broadcast join against the SCD2
+    dimension; every event resolves to exactly one version)."""
+    from hedera_spark.operators.scd import scd2_resolve
+    from hedera_spark.streaming.enrich import stream_scd2_resolve
+
+    q = (
+        stream_scd2_resolve(spark, SF_DIR)
+        .writeStream.format("memory")
+        .queryName("scd2_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from scd2_stream").toPandas()
+    want = scd2_resolve(spark, SF_DIR).toPandas()
+    assert len(want) > 0
+    assert_frames_match(got, want, "stream_scd2_resolve")
+
+
+def test_stream_left_outer_join_emits_matches_and_expired_nulls(spark, tmp_path):
+    """LEFT OUTER stream-stream join on a daily-file replay: matched rows
+    equal the batch inner join; a view with no purchase in its window is
+    emitted null-padded once the purchase watermark passes it; no
+    spurious null rows; recent-tail views may legitimately still be held
+    in state at shutdown."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.joins import (
+        ATTRIBUTION_WINDOW,
+        stream_view_purchase_left_join,
+    )
+    from hedera_spark.streaming.source import stream_events_dir
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    days = [r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()]
+    for d in sorted(days):
+        ev.where(F.to_date("ts") == F.lit(d)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"day={d}"))
+
+    base = stream_events_dir(spark, str(src), recursive=True)
+    q = (
+        stream_view_purchase_left_join(spark, SF_DIR, base=base)
+        .writeStream.format("memory")
+        .queryName("vp_left_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from vp_left_stream").toPandas()
+
+    views = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"))
+    )
+    want_inner = (
+        views.join(purchases, cond)
+        .select("v_user", "v_id", "v_ts", "p_id", "p_ts", "p_value")
+        .withColumn("converted", F.lit(1))
+        .toPandas()
+    )
+    got_matched = got[got["p_id"].notna()].copy()
+    got_matched["p_id"] = got_matched["p_id"].astype("int64")
+    got_matched["converted"] = got_matched["converted"].astype("int64")
+    assert len(want_inner) > 0
+    assert_frames_match(got_matched, want_inner, "left_join_matched")
+
+    # unmatched views: emitted nulls must be exactly the batch anti set,
+    # restricted to views old enough that the final watermark passed them
+    anti_ids = {
+        r["v_id"]
+        for r in views.join(purchases, cond, "left_anti").collect()
+    }
+    got_null_ids = set(got[got["p_id"].isna()]["v_id"])
+    assert got_null_ids <= anti_ids  # no spurious null rows
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - pd.Timedelta(hours=3)  # 2h window + 1h watermark
+    old_anti = {
+        r["v_id"]
+        for r in views.join(purchases, cond, "left_anti")
+        .where(F.col("v_ts") < F.lit(horizon))
+        .collect()
+    }
+    assert old_anti <= got_null_ids  # every expired unmatched view emitted
