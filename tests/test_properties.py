@@ -724,3 +724,72 @@ def test_hll_union_merged_error_bound(spark, tmp_path_factory, user_ids):
     assert merged["rel_error"] <= 5 * 1.04 / (HLL_M ** 0.5)
     for r in out.values():
         assert r["n_hll"] > 0
+
+
+def _write_events(tmpdir: str, rows) -> str:
+    """rows: list of (event_id, ts_us, user_id, event_type, value)."""
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/events.parquet")
+    return tmpdir
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=4),  # attr index
+            st.integers(min_value=0, max_value=10**9),  # ts offset us
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scd2_partitions_any_timeline(spark, tmp_path_factory, log):
+    """For ANY generated change log (duplicate timestamps, single-event
+    users, long constant runs): SCD2 intervals are contiguous per user,
+    versions dense from 1, exactly one open current row per user,
+    adjacent versions differ in attr, and scd2_resolve assigns every
+    event exactly one version."""
+    from hedera_spark.operators.scd import scd2_build, scd2_resolve
+
+    types = ["click", "view", "error", "signup", "purchase"]
+    base = 1_700_000_000_000_000
+    rows = [
+        (i, base + off, u, types[a], 1.0)
+        for i, (u, a, off) in enumerate(log)
+    ]
+    sf = _write_events(str(tmp_path_factory.mktemp("scd")), rows)
+
+    dim_rows = scd2_build(spark, sf).collect()
+    by_user: dict = {}
+    for r in dim_rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == {r[2] for r in rows}
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r["is_current"] for r in rs) == 1
+        assert rs[-1]["valid_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr"] != b["attr"]
+
+    res = scd2_resolve(spark, sf)
+    assert res.count() == len(rows)
+    assert res.where("version IS NULL").count() == 0
