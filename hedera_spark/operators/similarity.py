@@ -349,7 +349,43 @@ def ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared ground truth of the four recall dials: brute-force
+    exact top-3 per query. ann_pareto computes this ONCE and hands it to
+    all four dials (it is the expensive side of every dial)."""
+    return (
+        ann_topk(spark, sf_dir)
+        .where(F.col("rk") <= LSH_TOPK)
+        .select("q_id", "neighbor_id")
+    )
+
+
+def _recall_vs_exact(exact3: DataFrame, approx: DataFrame) -> DataFrame:
+    """recall@3 per query: |queries|-bounded joins on (q_id, neighbor_id);
+    a probe with an empty candidate set scores 0, not a dropped row."""
+    hits = approx.join(exact3, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_approx = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        exact3.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(n_approx, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def ann_recall(
+    spark: SparkSession, sf_dir: str, exact3: DataFrame | None = None
+) -> DataFrame:
     """Recall@3 of the LSH probe against the exact top-3 — the evaluation
     loop that turns "approximate" into a measured trade-off (you tune
     N_PLANES/N_TABLES against THIS number, not intuition; ann_lsh_multi's
@@ -361,33 +397,15 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: both sides reuse the audited ann plans; the comparison
     adds only |queries|-bounded joins on (q_id, neighbor_id)."""
-    exact3 = (
-        ann_topk(spark, sf_dir)
-        .where(F.col("rk") <= LSH_TOPK)
-        .select("q_id", "neighbor_id")
-    )
+    if exact3 is None:
+        exact3 = _exact_top3(spark, sf_dir)
     approx = ann_lsh(spark, sf_dir).select("q_id", "neighbor_id")
-    hits = approx.join(exact3, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    n_approx = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
-    return (
-        exact3.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(n_approx, "q_id", "left")
-        .join(hits, "q_id", "left")
-        .select(
-            "q_id",
-            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
-            ).alias("recall"),
-        )
-    )
+    return _recall_vs_exact(exact3, approx)
 
 
-def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_recall(
+    spark: SparkSession, sf_dir: str, exact3: DataFrame | None = None
+) -> DataFrame:
     """Recall@3 of the IVF probe against the exact top-3 — the same
     measured dial ann_recall reads for the LSH probe, pointed at the
     inverted-file structure instead. Together the two recall operators
@@ -398,30 +416,10 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison adds only |queries|-bounded joins on (q_id, neighbor_id).
     A query whose cell holds no other vector scores recall 0, not a
     dropped row (left joins from the exact side)."""
-    exact3 = (
-        ann_topk(spark, sf_dir)
-        .where(F.col("rk") <= IVF_TOPK)
-        .select("q_id", "neighbor_id")
-    )
+    if exact3 is None:
+        exact3 = _exact_top3(spark, sf_dir)
     approx = ann_ivf(spark, sf_dir).select("q_id", "neighbor_id")
-    hits = approx.join(exact3, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    n_approx = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
-    return (
-        exact3.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(n_approx, "q_id", "left")
-        .join(hits, "q_id", "left")
-        .select(
-            "q_id",
-            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
-            ).alias("recall"),
-        )
-    )
+    return _recall_vs_exact(exact3, approx)
 
 
 PQ_M = 8  # subspaces
@@ -521,37 +519,19 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_recall(
+    spark: SparkSession, sf_dir: str, exact3: DataFrame | None = None
+) -> DataFrame:
     """Recall@3 of the IVF-PQ probe against the exact top-3 — the third
     measured ANN dial (ann_recall: LSH; ivf_recall: IVF; this: PQ), so
     the quantization loss of the 8-byte codes is itself a measured
     number, separable from the IVF cell-miss loss ivf_recall isolates
     (same candidate set, coarser distances). Plan shape: reuses the
     audited ann_pq and ann_topk plans plus |queries|-bounded joins."""
-    exact3 = (
-        ann_topk(spark, sf_dir)
-        .where(F.col("rk") <= IVF_TOPK)
-        .select("q_id", "neighbor_id")
-    )
+    if exact3 is None:
+        exact3 = _exact_top3(spark, sf_dir)
     approx = ann_pq(spark, sf_dir).select("q_id", "neighbor_id")
-    hits = approx.join(exact3, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    n_approx = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
-    return (
-        exact3.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(n_approx, "q_id", "left")
-        .join(hits, "q_id", "left")
-        .select(
-            "q_id",
-            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
-            ).alias("recall"),
-        )
-    )
+    return _recall_vs_exact(exact3, approx)
 
 
 def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,35 +685,17 @@ def ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sq_recall(
+    spark: SparkSession, sf_dir: str, exact3: DataFrame | None = None
+) -> DataFrame:
     """Recall@3 of the scalar-quantized probe vs the exact top-3 —
     isolates pure quantization loss (SQ scans the full corpus, so any
     miss is the 8-bit rounding, not candidate pruning). Completes the
     measured-dial set: LSH, IVF, PQ, SQ all report to the same scale."""
-    exact3 = (
-        ann_topk(spark, sf_dir)
-        .where(F.col("rk") <= SQ_TOPK)
-        .select("q_id", "neighbor_id")
-    )
+    if exact3 is None:
+        exact3 = _exact_top3(spark, sf_dir)
     approx = ann_sq(spark, sf_dir).select("q_id", "neighbor_id")
-    hits = approx.join(exact3, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    n_approx = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
-    return (
-        exact3.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(n_approx, "q_id", "left")
-        .join(hits, "q_id", "left")
-        .select(
-            "q_id",
-            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)) / F.col("n_exact"), 6
-            ).alias("recall"),
-        )
-    )
+    return _recall_vs_exact(exact3, approx)
 
 
 EMB_MICRO = 1_000_000
@@ -1265,8 +1227,9 @@ def ann_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB of vectors you read THIS table, not four separate dials,
     to pick the index.
 
-    Scale: each dial is its audited plan; this adds only 1-row
-    aggregates and a 5-row union.
+    Scale: each dial is its audited plan, but the shared brute-force
+    ground truth (_exact_top3 — the expensive side of every dial) is
+    computed ONCE and persisted across all four, instead of four times.
 
     Determinism: per-query recalls are already 6-dp-quantized — the
     means sum them as exact integer micro-units (one division at the
@@ -1295,10 +1258,11 @@ def ann_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    lsh = _mean(ann_recall(spark, sf_dir), "lsh")
-    ivf = _mean(ivf_recall(spark, sf_dir), "ivf")
-    pq = _mean(pq_recall(spark, sf_dir), "pq")
-    sq = _mean(sq_recall(spark, sf_dir), "sq")
+    exact3 = _exact_top3(spark, sf_dir).persist()
+    lsh = _mean(ann_recall(spark, sf_dir, exact3), "lsh")
+    ivf = _mean(ivf_recall(spark, sf_dir, exact3), "ivf")
+    pq = _mean(pq_recall(spark, sf_dir, exact3), "pq")
+    sq = _mean(sq_recall(spark, sf_dir, exact3), "sq")
     flat = lsh.select(
         F.lit("flat").alias("method"),
         F.lit(ANN_BYTES["flat"]).cast("long").alias("bytes_per_vec"),

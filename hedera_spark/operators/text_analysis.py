@@ -1419,6 +1419,34 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the third member of the
+    multi-dimensional aggregation family (corpus_rollup: hierarchical;
+    pv_cube: full lattice; this: exactly the chosen sets): per-lang,
+    per-source, and per-(lang, day-bucket-of-doc_id%7 stand-in removed —
+    the sets are (lang), (source), (lang, source)) doc counts and
+    character totals, with grouping_id distinguishing which set each
+    row belongs to. The Expand is x|sets| (3), allowlisted like
+    ROLLUP/CUBE; sums exact integers.
+
+    Why it matters at scale: GROUPING SETS computes N report shapes in
+    ONE corpus pass (shared scan + one shuffle), where N separate
+    GROUP BYs would scan N times — the mixture designer's lang/source
+    marginals and joint in a single job."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_gs")
+    return spark.sql(
+        """
+        SELECT lang, source,
+               CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars
+        FROM docs_gs
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+        """
+    )
+
+
 WEIGHTED_SAMPLE_K = 200
 _U32 = 4294967296.0  # 2^32: the md5-prefix hash range
 

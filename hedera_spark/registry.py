@@ -8170,6 +8170,21 @@ register(
     """,
 )
 
+# --- GROUPING SETS (operators/text_analysis.py) -----------------------------
+
+register(
+    "corpus_grouping_sets",
+    ta.corpus_grouping_sets,
+    """
+    SELECT lang, source,
+           CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+    """,
+)
+
 # --- TTL retention planning (operators/planner.py) --------------------------
 
 _RETENTION_CASE = "CASE event_type " + " ".join(
@@ -8538,6 +8553,7 @@ _DEMOTED_STABLE = [
     "pv_pivot",
     "pv_unpivot",
     "retention_sweep",
+    "corpus_grouping_sets",
 ]
 
 

@@ -39,6 +39,37 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_parquet_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "Column"],
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Parquet write with in-flight data-quality metrics via Spark's
+    Observation API: the named aggregate expressions are computed ON THE
+    WRITE PASS itself (accumulator-style, no second scan) and returned
+    as a dict — the write-time audit a 100 TB pipeline wants instead of
+    a follow-up validation job re-reading what it just wrote.
+
+    Reference parity: the reference's MapReduce jobs report Hadoop
+    counters per job (row counts, skipped records); this is that
+    counter surface, typed and declarative.
+
+    metrics: name -> aggregate Column (e.g. F.count(F.lit(1)),
+    F.sum("n_chars"), F.count_if(F.col("text").isNull())).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    w = observed.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return obs.get
+
+
 def write_orc(
     df: DataFrame,
     path: str,

@@ -219,6 +219,7 @@ def _empty_sf(spark, tmp_path):
         "pv_pivot",
         "pv_unpivot",
         "retention_sweep",
+        "corpus_grouping_sets",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -256,3 +256,28 @@ def test_sparse_cosine_term_join_is_equality(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_scd2_resolve_has_no_join_operator(spark):
+    """The SCD2 as-of resolve must compile to union + keyed windows —
+    zero join operators: the naive formulation (interval join of events
+    x versions) multiplies every event by its entity's version count
+    before filtering, and a range predicate reaching a join operator
+    degrades to BroadcastNestedLoop at scale."""
+    from hedera_spark.operators.scd import scd2_resolve
+
+    plan = formatted_plan(scd2_resolve(spark, SF_DIR))
+    assert "Join" not in plan
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """The trained k-means assignment plan (what dedup_semantic and the
+    silhouette consume) must be map-only: literal centroids, per-row
+    argmin — no Exchange, no Join."""
+    import re
+
+    from hedera_spark.operators.kmeans import kmeans_embeddings
+
+    plan = formatted_plan(kmeans_embeddings(spark, SF_DIR))
+    assert "Join" not in plan
+    assert not re.findall(r"\(\d+\) Exchange", plan)

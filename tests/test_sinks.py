@@ -53,3 +53,28 @@ def test_read_evolved_parquet_merges_schema_generations(spark, tmp_path):
     assert merged.count() == docs.count()
     assert merged.where(F.col("quality").isNull()).count() == gen1.count()
     assert merged.where(F.col("quality").isNotNull()).count() == gen2.count()
+
+
+def test_write_parquet_observed_reports_write_pass_metrics(spark, tmp_path):
+    """The Observation metrics must equal separately-computed aggregates
+    and the write must land the same rows — one scan, both jobs done."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.sources.sinks import write_parquet_observed
+    from hedera_spark.sources.tables import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = write_parquet_observed(
+        df,
+        str(tmp_path / "obs"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_text": F.count_if(F.col("text").isNull()),
+            "sum_chars": F.sum("n_chars"),
+        },
+    )
+    want_rows = df.count()
+    assert got["n_rows"] == want_rows
+    assert got["n_null_text"] == df.where(F.col("text").isNull()).count()
+    assert got["sum_chars"] == df.agg(F.sum("n_chars")).collect()[0][0]
+    assert spark.read.parquet(str(tmp_path / "obs")).count() == want_rows

@@ -1358,3 +1358,54 @@ def test_stream_left_outer_join_emits_matches_and_expired_nulls(spark, tmp_path)
         .collect()
     }
     assert old_anti <= got_null_ids  # every expired unmatched view emitted
+
+
+def test_stream_upsert_checkpoint_resume_incremental(spark, tmp_path):
+    """Stop-and-resume with the SAME checkpoint: the resumed stream must
+    fold in ONLY the newly-arrived files (exactly-once), ending with the
+    same state as one uninterrupted replay."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.upsert import (
+        _latest_per_key,
+        read_upsert_state,
+        stream_upsert,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    cut = "2024-01-15"
+    src = tmp_path / "src"
+    src.mkdir()
+    day = F.to_date("ts")
+    ev.where(day < F.lit(cut)).coalesce(1).write.parquet(str(src / "a"))
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_upsert(spark, str(src), state, ckpt)
+        q.awaitTermination(180)
+
+    run()
+    n_first = read_upsert_state(spark, state).count()
+    assert n_first > 0
+
+    ev.where(day >= F.lit(cut)).coalesce(1).write.parquet(str(src / "b"))
+    run()
+
+    got = (
+        read_upsert_state(spark, state)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _latest_per_key(ev)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
