@@ -24,10 +24,13 @@ unrolls the same PCA_ITERATIONS matrix-vector products as CTEs.
 Scale (100 TB): the covariance expansion is map-side (each row emits its
 own d*d products via two chained generators) and partially aggregated
 before the ONLY data-sized shuffle, whose post-agg size is d*d cells —
-independent of corpus size. Everything after (power iteration, Rayleigh
-quotient) runs on d*d-row frames: broadcast-sized, no driver collect.
-The integer product sums are carried as DECIMAL(38,0) so they cannot
-overflow at any corpus size.
+independent of corpus size. The integer product sums are carried as
+DECIMAL(38,0) so they cannot overflow at any corpus size. The power
+iteration then runs driver-side on the BOUNDED d*d integer cell table
+(the markov_attribution precedent — a 4096-cell matrix has no business
+occupying chained distributed stages; measured 7.5 s → ~2 s at sf0.1),
+with every rounding replicating Spark's HALF_UP so the unrolled DuckDB
+oracle is unchanged.
 """
 
 from __future__ import annotations
@@ -102,82 +105,62 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("cu"),
-    ).persist()
-    # power iteration from the uniform unit vector 1/sqrt(d), carried in
-    # integer micro-units (v0 = 1/8 exactly for d = 64); the dim list
-    # and d both come from the 64-row means frame, never the corpus
-    nd = mn.agg(
-        F.round(
-            F.lit(float(_MICRO)) / F.sqrt(F.count(F.lit(1)).cast("double")), 0
+    )
+    # BOUNDED driver pull: d*d = 4096 integer cells regardless of corpus
+    # size (the markov_attribution precedent) — the power iteration is
+    # exact-integer matrix-vector algebra on them, which has no business
+    # occupying PCA_ITERATIONS chained distributed stages. Every rounding
+    # below replicates Spark's Round (BigDecimal HALF_UP on the double's
+    # shortest decimal form) so the unrolled DuckDB oracle still matches.
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _half_up(val: float, digits: int) -> float:
+        if math.isnan(val) or math.isinf(val):
+            return val
+        q = Decimal(1).scaleb(-digits)
+        return float(Decimal(repr(val)).quantize(q, rounding=ROUND_HALF_UP))
+
+    cov_rows = cov.collect()
+    if not cov_rows:
+        return spark.createDataFrame(
+            [],
+            "dim long, loading double, eigenvalue double, explained_share double",
         )
-        .cast("long")
-        .alias("v0u")
-    )
-    v = (
-        mn.select(F.col("pos").alias("j"))
-        .crossJoin(F.broadcast(nd))
-        .select("j", F.col("v0u").alias("vu"))
-    )
+    cu = {(r["i"], r["j"]): r["cu"] for r in cov_rows}
+    d = max(i for i, _ in cu) + 1
+    v0u = int(_half_up(float(_MICRO) / math.sqrt(float(d)), 0))
+    vu = [v0u] * d
     for _ in range(PCA_ITERATIONS):
-        # w = C v in exact 1e-12 units; renormalize via the one double
-        # ratio w/|w| (no systematic decimal midpoints) back to µ-units
-        w = (
-            cov.join(v, "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("cu") * F.col("vu")).alias("wu"))
+        wu = [
+            sum(cu.get((i, j), 0) * vu[j] for j in range(d)) for i in range(d)
+        ]
+        nrm = math.sqrt(float(sum(w * w for w in wu)))
+        vu = [int(_half_up(float(w) / nrm * float(_MICRO), 0)) for w in wu]
+    lam = _half_up(
+        float(
+            sum(
+                vu[i] * cu.get((i, j), 0) * vu[j]
+                for i in range(d)
+                for j in range(d)
+            )
         )
-        nrm = w.agg(
-            F.sqrt(
-                F.sum(F.col("wu").cast("decimal(38,0)") * F.col("wu")).cast(
-                    "double"
-                )
-            ).alias("nrm")
-        )
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            F.col("i").alias("j"),
-            F.round(F.col("wu") / F.col("nrm") * F.lit(float(_MICRO)), 0)
-            .cast("long")
-            .alias("vu"),
-        )
-    # Rayleigh quotient v'Cv (exact 1e-18-unit integer sum) and trace(C)
-    lam = (
-        cov.join(v.select(F.col("j"), F.col("vu").alias("vj")), "j")
-        .join(
-            v.select(F.col("j").alias("i"), F.col("vu").alias("vi")),
-            "i",
-        )
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("vi").cast("decimal(38,0)")
-                    * F.col("cu")
-                    * F.col("vj")
-                ).cast("double")
-                / F.lit(float(_MICRO) ** 3),
-                6,
-            ).alias("eigenvalue")
-        )
+        / float(_MICRO) ** 3,
+        6,
     )
-    tr = cov.where(F.col("i") == F.col("j")).agg(
-        F.round(F.sum("cu").cast("double") / F.lit(float(_MICRO)), 6).alias(
-            "trace"
-        )
+    trace = _half_up(
+        float(sum(cu.get((i, i), 0) for i in range(d))) / float(_MICRO), 6
     )
-    return (
-        v.select(
-            F.col("j").cast("long").alias("dim"),
-            F.round(F.col("vu").cast("double") / F.lit(float(_MICRO)), 6).alias(
-                "loading"
-            ),
+    data = [
+        (
+            j,
+            _half_up(float(vu[j]) / float(_MICRO), 6),
+            lam,
+            _half_up(lam / trace, 6),
         )
-        .crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            "dim",
-            "loading",
-            "eigenvalue",
-            F.round(F.col("eigenvalue") / F.col("trace"), 6).alias(
-                "explained_share"
-            ),
-        )
+        for j in range(d)
+    ]
+    return spark.createDataFrame(
+        data,
+        "dim long, loading double, eigenvalue double, explained_share double",
     )

@@ -554,3 +554,59 @@ def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(noise), 4).alias("abs_err"),
         F.lit(DP_EPSILON).alias("epsilon"),
     )
+
+
+DP_CLIP = 100.0  # contribution clip for the mean release (sum sensitivity)
+
+
+def dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private release of the per-type mean value —
+    the standard clipped-sum/count split: value clipped to [0, DP_CLIP]
+    (bounding sum sensitivity at DP_CLIP), the ε budget split evenly
+    between a Laplace-noised sum (scale 2·C/ε) and a Laplace-noised
+    count (scale 2/ε), mean_dp = noisy_sum / noisy_count. Completes the
+    release family next to dp_counts (histograms): means are what a
+    telemetry dashboard actually publishes.
+
+    Determinism (the dp_counts discipline): one md5-derived uniform per
+    released statistic ("dpsum~"/"dpcnt~" tags), so both engines emit
+    the identical noisy table and the utility loss (abs error vs true
+    mean) is a value-oracled fact. The true sum rides exact integer
+    micro-units (clipped-value doubles summed in any order would tie
+    the hash to accumulation order).
+
+    Scale: one partial agg to |event_types| rows; noise row-local."""
+    ev = load_table(spark, sf_dir, "events")
+    clipped = F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(DP_CLIP))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.expr(
+            f"CAST(round(least(greatest(value, 0.0), {DP_CLIP}) * 1e6) AS BIGINT)"
+        )).cast("long").alias("sum_micro"),
+    )
+
+    def _lap(tag: str, scale: float):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("~", F.lit(tag), F.col("event_type"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h + F.lit(0.5)) / F.lit(_DP_HASH_SPACE)
+        return (
+            F.lit(-scale) * F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
+        )
+
+    noisy_sum = F.col("sum_micro") / 1e6 + _lap("dpsum", 2.0 * DP_CLIP / DP_EPSILON)
+    noisy_cnt = F.col("n_true") + _lap("dpcnt", 2.0 / DP_EPSILON)
+    mean_true = F.col("sum_micro") / 1e6 / F.col("n_true")
+    mean_dp = F.when(noisy_cnt > 0, noisy_sum / noisy_cnt)
+    return g.select(
+        "event_type",
+        "n_true",
+        F.round(mean_true, 6).alias("mean_true"),
+        F.round(mean_dp, 4).alias("mean_dp"),
+        F.round(F.abs(mean_dp - mean_true), 4).alias("abs_err"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )

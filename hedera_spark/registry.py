@@ -8170,6 +8170,46 @@ register(
     """,
 )
 
+# --- DP mean release (operators/profile.py) ---------------------------------
+
+register(
+    "dp_mean",
+    prof.dp_mean,
+    f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CAST(round(least(greatest(value, 0.0), {prof.DP_CLIP}) * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro
+      FROM events GROUP BY 1
+    ),
+    u AS (
+      SELECT *,
+             (('0x' || substr(md5(concat_ws('~', 'dpsum', event_type)),
+                1, 12))::BIGINT + 0.5) / {prof._DP_HASH_SPACE!r} AS us,
+             (('0x' || substr(md5(concat_ws('~', 'dpcnt', event_type)),
+                1, 12))::BIGINT + 0.5) / {prof._DP_HASH_SPACE!r} AS uc
+      FROM g
+    ),
+    noisy AS (
+      SELECT event_type, n_true, sum_micro,
+             sum_micro / 1e6
+               + (-{2.0 * prof.DP_CLIP / prof.DP_EPSILON!r}) * sign(us - 0.5)
+                 * ln(1 - 2 * abs(us - 0.5)) AS noisy_sum,
+             n_true
+               + (-{2.0 / prof.DP_EPSILON!r}) * sign(uc - 0.5)
+                 * ln(1 - 2 * abs(uc - 0.5)) AS noisy_cnt
+      FROM u
+    )
+    SELECT event_type, n_true,
+           round(sum_micro / 1e6 / n_true, 6) AS mean_true,
+           round(CASE WHEN noisy_cnt > 0 THEN noisy_sum / noisy_cnt END, 4) AS mean_dp,
+           round(abs((CASE WHEN noisy_cnt > 0 THEN noisy_sum / noisy_cnt END)
+                     - sum_micro / 1e6 / n_true), 4) AS abs_err,
+           {prof.DP_EPSILON} AS epsilon
+    FROM noisy
+    """,
+)
+
 # --- GROUPING SETS (operators/text_analysis.py) -----------------------------
 
 register(
@@ -8554,6 +8594,7 @@ _DEMOTED_STABLE = [
     "pv_unpivot",
     "retention_sweep",
     "corpus_grouping_sets",
+    "dp_mean",
 ]
 
 

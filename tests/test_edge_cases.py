@@ -220,6 +220,7 @@ def _empty_sf(spark, tmp_path):
         "pv_unpivot",
         "retention_sweep",
         "corpus_grouping_sets",
+        "dp_mean",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -3371,3 +3371,24 @@ def test_scd2_intervals_partition_the_timeline(spark):
         "user_id",
     )
     assert joined.where(F.col("version") > F.col("maxv")).count() == 0
+
+
+def test_dp_mean_release_structure(spark):
+    """Reproducible release: re-running emits the identical noisy means;
+    the clipped true mean is within the clip range; realized error is
+    positive (Laplace never exactly 0 on md5 uniforms) and bounded by
+    the ε-scaled tail at these group sizes; epsilon echoed."""
+    from hedera_spark.operators.profile import DP_CLIP, DP_EPSILON, dp_mean
+    from tests.conftest import SF_DIR
+
+    rows = {r["event_type"]: r for r in dp_mean(spark, SF_DIR).collect()}
+    again = {r["event_type"]: r for r in dp_mean(spark, SF_DIR).collect()}
+    assert set(rows) and set(rows) == set(again)
+    for t, r in rows.items():
+        assert again[t]["mean_dp"] == r["mean_dp"]
+        assert 0.0 <= r["mean_true"] <= DP_CLIP
+        assert r["abs_err"] > 0
+        # noisy_sum noise scale = 2C/eps; with n_true >= ~100 events the
+        # mean perturbation stays far under C
+        assert r["abs_err"] < DP_CLIP
+        assert r["epsilon"] == DP_EPSILON
