@@ -339,3 +339,110 @@ def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n_hll") - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_error"),
     )
+
+
+# --- Moments sketch (quantile estimation from power sums) -------------------
+
+# Φ⁻¹(p) for the released quantiles, written once so the Spark and
+# DuckDB formula text is byte-identical.
+MOM_Z = {"p50": 0.0, "p90": 1.2815515655446004, "p99": 2.3263478740408408}
+
+# Central moments from the exact integer power sums, then the
+# Cornish–Fisher expansion. One deterministic double chain, shared
+# verbatim by the Spark plan and the DuckDB oracle so the IEEE ops run
+# in the identical association order in both engines.
+MOM_DERIVED = [
+    ("nd", "CAST(n AS DOUBLE)"),
+    ("m1", "CAST(s1 AS DOUBLE) / nd"),
+    ("m2", "CAST(s2 AS DOUBLE) / nd - m1 * m1"),
+    (
+        "m3",
+        "CAST(s3 AS DOUBLE) / nd - 3.0 * m1 * (CAST(s2 AS DOUBLE) / nd)"
+        " + 2.0 * m1 * m1 * m1",
+    ),
+    (
+        "m4",
+        "CAST(s4 AS DOUBLE) / nd - 4.0 * m1 * (CAST(s3 AS DOUBLE) / nd)"
+        " + 6.0 * m1 * m1 * (CAST(s2 AS DOUBLE) / nd)"
+        " - 3.0 * m1 * m1 * m1 * m1",
+    ),
+    ("sd", "sqrt(m2)"),
+    ("sk", "CASE WHEN m2 > 0 THEN m3 / (m2 * sd) END"),
+    ("kx", "CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END"),
+]
+
+
+def mom_quantile_sql(z: float) -> str:
+    """Cornish–Fisher quantile in value units (cents → value /100).
+
+    The z-polynomial coefficients are folded in Python doubles so each
+    appears once in the SQL text, multiplied straight into a double
+    column — no literal-times-literal decimal chains (whose precision
+    growth the engines cap differently)."""
+    c0 = repr(z)
+    c1 = repr((z * z - 1.0) / 6.0)
+    c2 = repr((z * z * z - 3.0 * z) / 24.0)
+    c3 = repr(-(2.0 * z * z * z - 5.0 * z) / 36.0)
+    w = f"({c0} + {c1} * sk + {c2} * kx + {c3} * sk * sk)"
+    return f"round((m1 + sd * {w}) / 100.0, 4)"
+
+
+def moments_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments sketch: per-type quantile estimates from the first four
+    power sums (Gan et al., "Moment-Based Quantile Sketches", VLDB
+    2018 — here with the closed-form Cornish–Fisher solve instead of
+    maxent), graded in-query against the exact interpolated
+    percentiles. Completes the mergeable-sketch family: HLL = distinct
+    (hll_union), CMS = frequency (cms_topk), moments = quantiles.
+
+    Exactness: values enter as integer cents (the value_anova
+    discipline — the same double product floors identically in both
+    engines); S1..S4 are exact integer sums carried in DECIMAL(38,0)
+    (HUGEINT in the oracle; cents ≤ 5·10⁴ so Σc⁴ stays < 10³¹ even at
+    10¹² rows), and the double chain after them is the byte-identical
+    MOM_DERIVED / mom_quantile_sql text in both engines.
+
+    Scale (100 TB): the sketch is FIVE integers per group — a pure
+    map-side partial agg that merges by addition, no sorted structure,
+    no per-group state beyond the sums; the one shuffle carries
+    |types|×5 cells. The exact-percentile twin it is graded against is
+    the expensive path at scale (per-group sort); the grading join is
+    |types| rows. Reference parity: java/experiments approximate
+    aggregation over revision logs; this is the Spark-idiomatic
+    mergeable quantile summary."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("decimal(38,0)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+        F.sum(cents * cents * cents).alias("s3"),
+        F.sum(cents * cents * cents * cents).alias("s4"),
+    )
+    for name, sql in MOM_DERIVED:
+        g = g.withColumn(name, F.expr(sql))
+    for p, z in MOM_Z.items():
+        g = g.withColumn(f"{p}_mom", F.expr(mom_quantile_sql(z)))
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_exact"),
+    )
+    out = g.join(exact, "event_type")
+    errs = [
+        F.round(F.abs(F.col(f"{p}_mom") - F.col(f"{p}_exact")), 4).alias(
+            f"{p}_err"
+        )
+        for p in MOM_Z
+    ]
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.expr("m1 / 100.0"), 6).alias("mean_value"),
+        F.round(F.expr("sd / 100.0"), 6).alias("stddev_value"),
+        F.round(F.expr("sk"), 6).alias("skewness"),
+        F.round(F.expr("kx"), 6).alias("kurtosis_ex"),
+        *[F.col(f"{p}_mom") for p in MOM_Z],
+        *[F.col(f"{p}_exact") for p in MOM_Z],
+        *errs,
+    )

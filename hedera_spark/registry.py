@@ -8210,6 +8210,59 @@ register(
     """,
 )
 
+# --- Moments quantile sketch (operators/sketches.py) ------------------------
+
+# The derived-column chain and quantile formulas are the byte-identical
+# MOM_DERIVED / mom_quantile_sql strings the Spark plan evaluates, so
+# the IEEE double ops associate identically in both engines.
+_MOM_CTES = ",\n    ".join(
+    f"d{i} AS (SELECT *, {sql} AS {name} FROM {'g' if i == 0 else f'd{i - 1}'})"
+    for i, (name, sql) in enumerate(sk.MOM_DERIVED)
+)
+_MOM_LAST = f"d{len(sk.MOM_DERIVED) - 1}"
+_MOM_QCOLS = ",\n           ".join(
+    f"{sk.mom_quantile_sql(z)} AS {p}_mom" for p, z in sk.MOM_Z.items()
+)
+
+register(
+    "moments_quantiles",
+    sk.moments_quantiles,
+    f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(c) AS s1, sum(c * c) AS s2,
+             sum(c * c * c) AS s3, sum(c * c * c * c) AS s4
+      FROM (SELECT event_type,
+                   CAST(floor(value * 100) AS HUGEINT) AS c FROM events)
+      GROUP BY 1
+    ),
+    {_MOM_CTES},
+    m AS (
+      SELECT *,
+           {_MOM_QCOLS}
+      FROM {_MOM_LAST}
+    ),
+    exact AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS p50_exact,
+             round(quantile_cont(value, 0.9), 6) AS p90_exact,
+             round(quantile_cont(value, 0.99), 6) AS p99_exact
+      FROM events GROUP BY 1
+    )
+    SELECT m.event_type, n,
+           round(m1 / 100.0, 6) AS mean_value,
+           round(sd / 100.0, 6) AS stddev_value,
+           round(sk, 6) AS skewness,
+           round(kx, 6) AS kurtosis_ex,
+           p50_mom, p90_mom, p99_mom,
+           p50_exact, p90_exact, p99_exact,
+           round(abs(p50_mom - p50_exact), 4) AS p50_err,
+           round(abs(p90_mom - p90_exact), 4) AS p90_err,
+           round(abs(p99_mom - p99_exact), 4) AS p99_err
+    FROM m JOIN exact ON m.event_type = exact.event_type
+    """,
+)
+
 # --- GROUPING SETS (operators/text_analysis.py) -----------------------------
 
 register(
@@ -8595,6 +8648,7 @@ _DEMOTED_STABLE = [
     "retention_sweep",
     "corpus_grouping_sets",
     "dp_mean",
+    "moments_quantiles",
 ]
 
 

@@ -221,6 +221,7 @@ def _empty_sf(spark, tmp_path):
         "retention_sweep",
         "corpus_grouping_sets",
         "dp_mean",
+        "moments_quantiles",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

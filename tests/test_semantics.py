@@ -3392,3 +3392,45 @@ def test_dp_mean_release_structure(spark):
         # mean perturbation stays far under C
         assert r["abs_err"] < DP_CLIP
         assert r["epsilon"] == DP_EPSILON
+
+
+def test_moments_quantiles_accuracy_and_mergeability(spark):
+    """The Cornish–Fisher estimates land within a fraction of the
+    group stddev of the exact percentiles, the skew sign matches the
+    heavy-right-tail synthetic distribution, and the sketch state is
+    mergeable: power sums over two disjoint halves add exactly to the
+    full-table sums (the property that makes it a 5-integer partial
+    agg at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.sketches import moments_quantiles
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = moments_quantiles(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        sd = r["stddev_value"]
+        assert r["skewness"] > 0  # synthetic values are right-skewed
+        assert r["p50_err"] < 0.10 * sd
+        assert r["p90_err"] < 0.25 * sd
+        assert r["p99_err"] < 0.50 * sd
+        assert r["p50_mom"] < r["p90_mom"] < r["p99_mom"]
+
+    ev = load_table(spark, SF_DIR, "events")
+    cents = F.floor(F.col("value") * 100).cast("decimal(38,0)")
+    sums = lambda df: {  # noqa: E731
+        r["event_type"]: (r["s1"], r["s4"])
+        for r in df.groupBy("event_type")
+        .agg(
+            F.sum(cents).alias("s1"),
+            F.sum(cents * cents * cents * cents).alias("s4"),
+        )
+        .collect()
+    }
+    full = sums(ev)
+    lo = sums(ev.where(F.col("user_id") % 2 == 0))
+    hi = sums(ev.where(F.col("user_id") % 2 == 1))
+    for t, (s1, s4) in full.items():
+        assert lo[t][0] + hi[t][0] == s1
+        assert lo[t][1] + hi[t][1] == s4
