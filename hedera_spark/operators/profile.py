@@ -610,3 +610,104 @@ def dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(mean_dp - mean_true), 4).alias("abs_err"),
         F.lit(DP_EPSILON).alias("epsilon"),
     )
+
+
+# constraint_audit: the declarative suite. (constraint, table, kind)
+# rows are emitted with exact integer violation counts; a constraint
+# passes iff violations == 0.
+VALUE_CAP = 400.0  # telemetry guardrail: values above this are suspect
+
+
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ /
+    Great-Expectations capability, Spark-native): key uniqueness,
+    referential integrity, completeness, domain membership, and range
+    guardrails over the warehouse tables, each reported as an exact
+    integer violation count with a pass flag — the gate a 100 TB
+    ingest runs before publishing a partition.
+
+    Scale: constraints against the same table share ONE scan (a single
+    multi-metric agg, unpivoted to rows via stack); referential checks
+    are LEFT ANTI equality joins (AQE picks broadcast when the parent
+    key side fits, shuffle otherwise); everything downstream of the
+    aggs is a union of 1-row frames. Exactness: violation counts are
+    integers; no floats anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _rows(agg: DataFrame, *cols: str) -> DataFrame:
+        pairs = ", ".join(f"'{c}', {c}" for c in cols)
+        return agg.select(
+            F.expr(f"stack({len(cols)}, {pairs}) AS (check_name, violations)")
+        )
+
+    ev_agg = ev.agg(
+        F.sum((F.col("value") < 0).cast("long")).alias("events_value_nonneg"),
+        F.sum((F.col("value") > VALUE_CAP).cast("long")).alias(
+            "events_value_cap"
+        ),
+        F.sum(F.col("props").isNull().cast("long")).alias(
+            "events_props_complete"
+        ),
+        F.sum(
+            (~F.col("event_type").isin("view", "click", "purchase", "signup", "error")).cast("long")
+        ).alias("events_type_domain"),
+    )
+    ord_agg = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "orders_key_unique"
+        )
+    )
+    cust_agg = cust.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias(
+            "customer_key_unique"
+        )
+    )
+    li_agg = li.agg(
+        F.sum((~F.col("l_returnflag").isin("A", "N", "R")).cast("long")).alias(
+            "lineitem_returnflag_domain"
+        ),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "long"
+            )
+        ).alias("lineitem_quantity_range"),
+    )
+    fk_orders = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orders_custkey_fk"))
+    )
+    fk_li = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("lineitem_orderkey_fk"))
+    )
+    out = (
+        _rows(
+            ev_agg,
+            "events_value_nonneg",
+            "events_value_cap",
+            "events_props_complete",
+            "events_type_domain",
+        )
+        .unionByName(_rows(ord_agg, "orders_key_unique"))
+        .unionByName(_rows(cust_agg, "customer_key_unique"))
+        .unionByName(
+            _rows(
+                li_agg,
+                "lineitem_returnflag_domain",
+                "lineitem_quantity_range",
+            )
+        )
+        .unionByName(_rows(fk_orders, "orders_custkey_fk"))
+        .unionByName(_rows(fk_li, "lineitem_orderkey_fk"))
+    )
+    # coalesce: sum() over an empty table is NULL in both engines, but
+    # an audit must report 0 violations, never NULL
+    v = F.coalesce(F.col("violations"), F.lit(0)).cast("long")
+    return out.select(
+        "check_name",
+        v.alias("violations"),
+        (v == 0).alias("passed"),
+    )

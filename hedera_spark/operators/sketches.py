@@ -372,6 +372,22 @@ MOM_DERIVED = [
 ]
 
 
+def moment_sums(df: DataFrame) -> DataFrame:
+    """(event_type, n, s1..s4) exact integer cent-unit power sums —
+    the ENTIRE sketch state, shared by the batch estimator
+    (moments_quantiles) and the streaming register maintainer
+    (streaming.integrity.stream_moments); sums merge by addition, so
+    the streaming complete-mode agg equals the batch one exactly."""
+    cents = F.floor(F.col("value") * 100).cast("decimal(38,0)")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+        F.sum(cents * cents * cents).alias("s3"),
+        F.sum(cents * cents * cents * cents).alias("s4"),
+    )
+
+
 def mom_quantile_sql(z: float) -> str:
     """Cornish–Fisher quantile in value units (cents → value /100).
 
@@ -411,14 +427,7 @@ def moments_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over revision logs; this is the Spark-idiomatic
     mergeable quantile summary."""
     ev = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100).cast("decimal(38,0)")
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(cents).alias("s1"),
-        F.sum(cents * cents).alias("s2"),
-        F.sum(cents * cents * cents).alias("s3"),
-        F.sum(cents * cents * cents * cents).alias("s4"),
-    )
+    g = moment_sums(ev)
     for name, sql in MOM_DERIVED:
         g = g.withColumn(name, F.expr(sql))
     for p, z in MOM_Z.items():

@@ -1936,3 +1936,131 @@ def pv_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_share"),
         )
     )
+
+
+# Permutation-test replicate count (odd so (R+1) is round) — the
+# Monte-Carlo randomization standard; md5-derived relabels make the
+# test fully deterministic and value-oracled.
+AB_PERM_REPS = 199
+_PERM_HASH_SPACE = float(1 << 48)
+
+
+def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test for the campaign-1-exposure
+    effect on per-user purchase spend — the nonparametric companion to
+    conversion_lift's two-proportion z-test: no normality assumption,
+    the null distribution is built by re-labeling users AB_PERM_REPS
+    times and re-computing the group mean difference, p = (1 + #{|d_r|
+    >= |d_obs|}) / (R + 1) (the add-one Monte-Carlo estimator).
+
+    Determinism: relabels come from md5("perm~user~r") uniforms
+    (binomial relabeling at the observed exposure rate — a valid
+    randomization null), spends are exact integer cents, and every
+    replicate's mean difference is the same fixed double chain in both
+    engines, so even the boundary |d_r| = |d_obs| resolves identically.
+
+    Scale: per-user reduction first (one user-keyed agg), THEN the
+    ×R replicate expansion map-side on the reduced frame, partially
+    aggregated back to R rows before the only replicate shuffle; the
+    observed stats ride a 1-row broadcast. R·|users| intermediate rows
+    never materialize beyond the map side."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (F.get_json_object("props", "$.k") == "1").cast("long")
+        ).alias("exposed"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    obs = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("exposed").cast("long").alias("n1"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("exposed") * F.col("cents")).cast("long").alias("s1"),
+    )
+    reps = (
+        per_user.crossJoin(F.broadcast(obs))
+        .select(
+            "*",
+            F.explode(F.expr(f"sequence(1, {AB_PERM_REPS})")).alias("r"),
+        )
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "~",
+                            F.lit("perm"),
+                            F.col("user_id").cast("string"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .withColumn(
+            "pseudo",
+            (
+                (F.col("h") + F.lit(0.5))
+                / F.lit(_PERM_HASH_SPACE)
+                * F.col("n").cast("double")
+                < F.col("n1").cast("double")
+            ).cast("long"),
+        )
+    )
+    per_r = reps.groupBy("r").agg(
+        F.max("n").alias("n"),
+        F.max("n1").alias("n1"),
+        F.max("s").alias("s"),
+        F.max("s1").alias("s1"),
+        F.sum("pseudo").cast("long").alias("m1"),
+        F.sum(F.col("pseudo") * F.col("cents")).cast("long").alias("t1"),
+    )
+    d_obs = (
+        "CAST(s1 AS DOUBLE) / 100.0 / CAST(n1 AS DOUBLE)"
+        " - CAST(s - s1 AS DOUBLE) / 100.0 / CAST(n - n1 AS DOUBLE)"
+    )
+    # degenerate relabels (all/none pseudo-exposed) yield NULL and drop
+    # out of the exceedance count identically in both engines (and keep
+    # ANSI mode from raising on the zero divisor)
+    d_r = (
+        "CASE WHEN m1 > 0 AND m1 < n THEN"
+        " CAST(t1 AS DOUBLE) / 100.0 / CAST(m1 AS DOUBLE)"
+        " - CAST(s - t1 AS DOUBLE) / 100.0 / CAST(n - m1 AS DOUBLE) END"
+    )
+    return per_r.agg(
+        F.max("n1").alias("n_exposed"),
+        F.expr("max(n - n1)").alias("n_rest"),
+        F.round(
+            F.expr(f"max(CAST(s1 AS DOUBLE) / 100.0 / CAST(n1 AS DOUBLE))"), 6
+        ).alias("mean_exposed"),
+        F.round(
+            F.expr(
+                "max(CAST(s - s1 AS DOUBLE) / 100.0 / CAST(n - n1 AS DOUBLE))"
+            ),
+            6,
+        ).alias("mean_rest"),
+        F.round(F.expr(f"max({d_obs})"), 6).alias("diff_obs"),
+        F.lit(AB_PERM_REPS).alias("n_reps"),
+        F.round(
+            (
+                F.lit(1)
+                + F.expr(
+                    f"sum(CAST(abs({d_r}) >= abs({d_obs}) AS BIGINT))"
+                )
+            )
+            / F.lit(float(AB_PERM_REPS + 1)),
+            6,
+        ).alias("p_value"),
+    )

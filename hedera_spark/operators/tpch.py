@@ -1118,3 +1118,81 @@ def return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(ret) / F.count(F.lit(1)), 6).alias("return_rate"),
         )
     )
+
+
+# Frequent-itemset support floor: itemset must appear in >= 5 per mille
+# of baskets (integer-exact predicate n*1000 >= N*5 in both engines; at
+# this floor every pair survives but ~98% of candidate triples prune —
+# the A-Priori support cut doing visible work).
+ITEMSET_SUPPORT_PER_MILLE = 5
+
+
+def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Priori / SON frequent itemsets (sizes 2 and 3) over the
+    per-order brand baskets — the generalization of basket_lift's pair
+    association to higher-order co-purchase structure.
+
+    Spark-first shape: the SON insight (Savasere/Omiecinski/Navathe;
+    the standard MapReduce A-Priori) is that candidate generation is
+    per-basket LOCAL work. Each order's distinct-brand set becomes one
+    sorted array (bounded: the brand universe is 25, typical basket
+    ~4), and ALL size-2/size-3 subsets are emitted map-side via nested
+    array transforms — no self-join, no shuffle until the single
+    itemset-count agg, whose key space is bounded by C(25,3)+C(25,2) =
+    2600 itemsets regardless of corpus size. The support floor is the
+    integer-exact predicate n·1000 ≥ N·PER_MILLE (no float threshold to
+    drift cross-engine); N rides a 1-row broadcast.
+
+    Scale (100 TB): one lineitem⋈part equality join, one per-order
+    collect_set (the only data-sized shuffle), then map-side subset
+    expansion bounded by basket size — a 10⁹-order month produces at
+    most ~2600 post-agg rows. Contrast the oracle's three-way
+    self-join restatement, which is the shape this operator avoids."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    # persisted: read twice (subset expansion + the 1-row basket count)
+    # — without it both branches would re-run the lineitem⋈part join
+    baskets = (
+        ob.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("arr"))
+        .persist()
+    )
+    pairs = (
+        "flatten(transform(arr, (x, i) ->"
+        " transform(slice(arr, i + 2, size(arr)), y -> array(x, y))))"
+    )
+    triples = (
+        "flatten(flatten(transform(arr, (x, i) ->"
+        " transform(slice(arr, i + 2, size(arr)), (y, j) ->"
+        " transform(slice(arr, i + j + 3, size(arr)),"
+        " z -> array(x, y, z))))))"
+    )
+    subsets = baskets.select(
+        F.explode(F.expr(f"concat({pairs}, {triples})")).alias("items")
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    return (
+        subsets.groupBy(
+            F.concat_ws("|", F.col("items")).alias("itemset"),
+            F.size("items").alias("k"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .crossJoin(F.broadcast(n_orders))
+        .where(
+            F.col("support") * 1000
+            >= F.col("n_orders") * ITEMSET_SUPPORT_PER_MILLE
+        )
+        .select(
+            "itemset",
+            "k",
+            "support",
+            F.round(F.col("support") / F.col("n_orders"), 6).alias(
+                "support_ratio"
+            ),
+        )
+    )

@@ -8263,6 +8263,173 @@ register(
     """,
 )
 
+# --- Permutation test (operators/timeseries.py) -----------------------------
+
+_PERM_D_OBS = (
+    "CAST(s1 AS DOUBLE) / 100.0 / CAST(n1 AS DOUBLE)"
+    " - CAST(s - s1 AS DOUBLE) / 100.0 / CAST(n - n1 AS DOUBLE)"
+)
+_PERM_D_R = (
+    "CASE WHEN m1 > 0 AND m1 < n THEN"
+    " CAST(t1 AS DOUBLE) / 100.0 / CAST(m1 AS DOUBLE)"
+    " - CAST(s - t1 AS DOUBLE) / 100.0 / CAST(n - m1 AS DOUBLE) END"
+)
+
+register(
+    "ab_permutation_test",
+    ts.ab_permutation_test,
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN json_extract_string(props, '$.k') = '1'
+               THEN 1 ELSE 0 END) AS BIGINT) AS exposed,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    obs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(exposed) AS BIGINT) AS n1,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(exposed * cents) AS BIGINT) AS s1
+      FROM per_user
+    ),
+    reps AS (
+      SELECT per_user.*, obs.*, r,
+             (('0x' || substr(md5(concat_ws('~', 'perm',
+                CAST(user_id AS VARCHAR), CAST(r AS VARCHAR))),
+                1, 12))::BIGINT) AS h
+      FROM per_user, obs,
+           generate_series(1, {ts.AB_PERM_REPS}) AS g(r)
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN (CAST(h AS DOUBLE) + 0.5)
+               / {ts._PERM_HASH_SPACE!r} * CAST(n AS DOUBLE)
+               < CAST(n1 AS DOUBLE) THEN 1 ELSE 0 END AS pseudo
+      FROM reps
+    ),
+    per_r AS (
+      SELECT r, max(n) AS n, max(n1) AS n1, max(s) AS s, max(s1) AS s1,
+             CAST(sum(pseudo) AS BIGINT) AS m1,
+             CAST(sum(pseudo * cents) AS BIGINT) AS t1
+      FROM flagged GROUP BY r
+    )
+    SELECT max(n1) AS n_exposed,
+           max(n - n1) AS n_rest,
+           round(max(CAST(s1 AS DOUBLE) / 100.0 / CAST(n1 AS DOUBLE)), 6)
+             AS mean_exposed,
+           round(max(CAST(s - s1 AS DOUBLE) / 100.0
+             / CAST(n - n1 AS DOUBLE)), 6) AS mean_rest,
+           round(max({_PERM_D_OBS}), 6) AS diff_obs,
+           {ts.AB_PERM_REPS} AS n_reps,
+           round((1 + sum(CAST(abs({_PERM_D_R}) >= abs({_PERM_D_OBS})
+             AS BIGINT))) / {float(ts.AB_PERM_REPS + 1)!r}, 6) AS p_value
+    FROM per_r
+    """,
+)
+
+# --- Data-quality constraint suite (operators/profile.py) -------------------
+
+register(
+    "constraint_audit",
+    prof.constraint_audit,
+    f"""
+    WITH ev AS (
+      SELECT
+        CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS events_value_nonneg,
+        CAST(sum(CASE WHEN value > {prof.VALUE_CAP} THEN 1 ELSE 0 END)
+          AS BIGINT) AS events_value_cap,
+        CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS events_props_complete,
+        CAST(sum(CASE WHEN event_type NOT IN
+          ('view', 'click', 'purchase', 'signup', 'error')
+          THEN 1 ELSE 0 END) AS BIGINT) AS events_type_domain
+      FROM events
+    ),
+    u AS (
+      SELECT 'events_value_nonneg' AS check_name,
+             events_value_nonneg AS violations FROM ev
+      UNION ALL
+      SELECT 'events_value_cap', events_value_cap FROM ev
+      UNION ALL
+      SELECT 'events_props_complete', events_props_complete FROM ev
+      UNION ALL
+      SELECT 'events_type_domain', events_type_domain FROM ev
+      UNION ALL
+      SELECT 'orders_key_unique',
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'customer_key_unique',
+             CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'lineitem_returnflag_domain',
+             CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+               THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_quantity_range',
+             CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+               THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT)
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT)
+      FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT check_name,
+           CAST(coalesce(violations, 0) AS BIGINT) AS violations,
+           coalesce(violations, 0) = 0 AS passed
+    FROM u
+    """,
+)
+
+# --- Frequent itemsets (operators/tpch.py) ----------------------------------
+
+register(
+    "frequent_itemsets",
+    tpch.frequent_itemsets,
+    f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM ob),
+    p2 AS (
+      SELECT a.p_brand AS b1, b.p_brand AS b2, count(*) AS support
+      FROM ob a
+      JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    p3 AS (
+      SELECT a.p_brand AS b1, b.p_brand AS b2, c.p_brand AS b3,
+             count(*) AS support
+      FROM ob a
+      JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      JOIN ob c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+      GROUP BY 1, 2, 3
+    ),
+    u AS (
+      SELECT b1 || '|' || b2 AS itemset, 2 AS k, support FROM p2
+      UNION ALL
+      SELECT b1 || '|' || b2 || '|' || b3 AS itemset, 3 AS k, support
+      FROM p3
+    )
+    SELECT itemset, k, CAST(support AS BIGINT) AS support,
+           round(support / n_orders, 6) AS support_ratio
+    FROM u, n
+    WHERE support * 1000 >= n_orders * {tpch.ITEMSET_SUPPORT_PER_MILLE}
+    """,
+)
+
 # --- GROUPING SETS (operators/text_analysis.py) -----------------------------
 
 register(
@@ -8649,6 +8816,9 @@ _DEMOTED_STABLE = [
     "corpus_grouping_sets",
     "dp_mean",
     "moments_quantiles",
+    "frequent_itemsets",
+    "constraint_audit",
+    "ab_permutation_test",
 ]
 
 

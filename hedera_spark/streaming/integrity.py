@@ -72,3 +72,17 @@ def stream_hll(spark: SparkSession, src_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def stream_moments(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Running moments-sketch state over the event stream — the
+    incremental twin of operators/sketches.moment_sums (the 5-integer
+    power-sum state behind moments_quantiles). Power sums merge by
+    addition, so the complete-mode agg after consuming the whole log
+    equals the batch sums bit-for-bit (replay-equals-batch test), and
+    the per-type state is FIVE integers no matter how many events
+    stream through — the quantile monitor you can keep running forever
+    without state growth."""
+    from hedera_spark.operators.sketches import moment_sums
+
+    return moment_sums(event_stream(spark, src_dir))

@@ -222,6 +222,7 @@ def _empty_sf(spark, tmp_path):
         "corpus_grouping_sets",
         "dp_mean",
         "moments_quantiles",
+        "frequent_itemsets",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -361,3 +362,29 @@ def test_table_fingerprint_empty_input_reports_all_tables(spark, tmp_path):
     rows = {r["table_name"]: r for r in table_fingerprint(spark, sf).collect()}
     assert set(rows) == set(FP_COLUMNS)
     assert all(r["n_rows"] == 0 and r["checksum"] == 0 for r in rows.values())
+
+
+def test_constraint_audit_empty_input_reports_all_checks(spark, tmp_path):
+    """Fixed-shape report: on empty tables the audit must still emit
+    every constraint row, all clean with integer-zero violations (a
+    missing row would read as 'not audited'; a NULL as corruption)."""
+    from hedera_spark.operators.profile import constraint_audit
+
+    sf = _empty_sf(spark, tmp_path)
+    rows = constraint_audit(spark, sf).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["violations"] == 0
+        assert r["passed"] is True
+
+
+def test_ab_permutation_test_empty_input(spark, tmp_path):
+    """The 1-row experiment readout must not raise on an empty log:
+    group stats and p-value are NULL (nothing observed), never a
+    division error."""
+    from hedera_spark.operators.timeseries import ab_permutation_test
+
+    sf = _empty_sf(spark, tmp_path)
+    rows = ab_permutation_test(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["p_value"] is None

@@ -52,6 +52,8 @@ ALLOWED_NESTED_LOOP = {
     "length_quality_curve",  # 1-row decile-fences broadcast
     "profile_drift",  # 1-row pivot + 1-row fences broadcasts
     "dedup_impact",  # 1-row (total_before, total_after) broadcast
+    "frequent_itemsets",  # 1-row basket-count broadcast (support floor)
+    "ab_permutation_test",  # 1-row observed-stats broadcast onto the user frame
     "retrieval_agreement",  # composes bm25_topk + ql_topk (their 1-row stats)
     "ks_drift",  # 1-row time-pivot + 1-row totals broadcasts
     "campaign_cooccur",  # 1-row distinct-user-total broadcast

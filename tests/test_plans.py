@@ -281,3 +281,21 @@ def test_kmeans_assignment_is_map_only(spark):
     plan = formatted_plan(kmeans_embeddings(spark, SF_DIR))
     assert "Join" not in plan
     assert not re.findall(r"\(\d+\) Exchange", plan)
+
+
+def test_frequent_itemsets_generates_candidates_map_side(spark):
+    """The SON shape: ONE lineitem-to-part equality join and one basket
+    agg — the size-2/3 subset expansion is array transforms (map-side),
+    never a basket self-join. The oracle's three-way self-join is the
+    shape this plan must avoid."""
+    from hedera_spark.operators.tpch import frequent_itemsets
+
+    plan = executed_plan(frequent_itemsets(spark, SF_DIR))
+    # no join is keyed on the basket key: the only hash joins are
+    # lineitem-part (l_partkey) and the 1-row support-floor broadcast
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [l_orderkey" not in plan
+    # the basket build is persisted: both consumers read the cache
+    assert "InMemoryTableScan" in plan

@@ -3434,3 +3434,67 @@ def test_moments_quantiles_accuracy_and_mergeability(spark):
     for t, (s1, s4) in full.items():
         assert lo[t][0] + hi[t][0] == s1
         assert lo[t][1] + hi[t][1] == s4
+
+
+def test_frequent_itemsets_apriori_antimonotone(spark):
+    """Support is anti-monotone: every surviving triple's three sub-pairs
+    are present with support >= the triple's support (the property that
+    makes A-Priori candidate pruning sound); itemsets are sorted,
+    distinct, and meet the integer support floor."""
+    from hedera_spark.operators.tpch import (
+        ITEMSET_SUPPORT_PER_MILLE,
+        frequent_itemsets,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = frequent_itemsets(spark, SF_DIR).collect()
+    assert rows
+    sup = {r["itemset"]: r["support"] for r in rows}
+    n_orders = round(rows[0]["support"] / rows[0]["support_ratio"])
+    for r in rows:
+        items = r["itemset"].split("|")
+        assert items == sorted(items) and len(set(items)) == len(items)
+        assert r["k"] == len(items)
+        assert r["support"] * 1000 >= n_orders * ITEMSET_SUPPORT_PER_MILLE
+        if r["k"] == 3:
+            a, b, c = items
+            for pair in (f"{a}|{b}", f"{a}|{c}", f"{b}|{c}"):
+                assert sup.get(pair, 0) >= r["support"]
+
+
+def test_constraint_audit_suite(spark):
+    """The suite covers all ten declared constraints; structural
+    invariants of the synthetic warehouse hold (keys unique, FKs
+    intact, domains closed), the value-cap guardrail is the one
+    constraint allowed to fire, and passed <=> violations == 0."""
+    from hedera_spark.operators.profile import constraint_audit
+    from tests.conftest import SF_DIR
+
+    rows = {r["check_name"]: r for r in constraint_audit(spark, SF_DIR).collect()}
+    assert len(rows) == 10
+    for name, r in rows.items():
+        assert r["violations"] >= 0
+        assert r["passed"] == (r["violations"] == 0)
+        if name != "events_value_cap":
+            assert r["passed"], f"{name} unexpectedly failing"
+
+
+def test_ab_permutation_test_structure(spark):
+    """Deterministic rerun, a real two-sided split, p in the closed
+    Monte-Carlo range [1/(R+1), 1], and the observed diff consistent
+    with the group means."""
+    from hedera_spark.operators.timeseries import (
+        AB_PERM_REPS,
+        ab_permutation_test,
+    )
+    from tests.conftest import SF_DIR
+
+    r1 = ab_permutation_test(spark, SF_DIR).collect()[0]
+    r2 = ab_permutation_test(spark, SF_DIR).collect()[0]
+    assert r1 == r2
+    assert r1["n_exposed"] > 0 and r1["n_rest"] > 0
+    assert r1["n_reps"] == AB_PERM_REPS
+    assert 1.0 / (AB_PERM_REPS + 1) <= r1["p_value"] <= 1.0
+    assert abs(
+        (r1["mean_exposed"] - r1["mean_rest"]) - r1["diff_obs"]
+    ) < 1e-4

@@ -1409,3 +1409,26 @@ def test_stream_upsert_checkpoint_resume_incremental(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_stream_moments_equals_batch_sums(spark):
+    """The streaming moments-sketch state after consuming the whole log
+    must equal the batch power sums exactly — addition is commutative,
+    so replay == batch with no tolerance."""
+    from hedera_spark.operators.sketches import moment_sums
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.integrity import stream_moments
+
+    out = stream_moments(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("moments_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from moments_stream").toPandas()
+    want = moment_sums(load_table(spark, SF_DIR, "events")).toPandas()
+    assert_frames_match(got, want, "stream_moments")
