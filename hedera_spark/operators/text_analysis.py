@@ -1871,3 +1871,148 @@ def keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_phrase.withColumn("rnk", F.row_number().over(rw).cast("long"))
         .where(F.col("rnk") <= RAKE_TOP_K)
     )
+
+
+AUC_RANGE_PARTITIONS = 32
+
+
+def quality_score_col() -> "F.Column":
+    """The text_quality composite as ONE rounded expression — shared by
+    classifier_auc and score_quantile_norm so every consumer groups and
+    ranks the identical doubles."""
+    toks = F.split(F.col("text"), " ")
+    return F.round(
+        F.least(F.size(toks) / F.lit(50.0), F.lit(1.0)) * 0.5
+        + (F.size(F.array_distinct(toks)) / F.size(toks).cast("double"))
+        * 0.3
+        + (
+            1
+            - F.round(
+                F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+                / F.size(toks).cast("double"),
+                6,
+            )
+        )
+        * 0.2,
+        6,
+    )
+
+
+
+def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the text_quality composite score as a separator
+    of English vs non-English documents — the gate-bias audit every
+    multilingual pipeline owes its corpus (quality heuristics
+    notoriously favor English; AUC far from 0.5 quantifies exactly how
+    much): AUC is the Mann-Whitney probability P(score_en > score_other),
+    computed WITHOUT materializing the pos x neg pair space.
+
+    Exactness: the pairwise statistic folds per DISTINCT score value —
+    U2 = sum_v pos_v * (2 * cumneg_below_v + neg_v) (doubled so a tie
+    contributes the integer +1 instead of +0.5) — and stays exact
+    integer (DECIMAL(38,0)/HUGEINT: U2 <= 2*n1*n0 overflows BIGINT at
+    warehouse scale) until the single final division. The score is the
+    text_quality formula rounded to 6, so both engines group identical
+    doubles.
+
+    Scale: one doc-keyed scan builds (score, label), one shuffle to
+    |distinct scores| rows, and the running negative count uses the
+    range-partitioned local-cumsum + broadcast-offsets discipline
+    (pack_sequences) — never a one-reducer ORDER BY window. AUC is
+    direction-coded as P(score_en > score_other): 0.5 = unbiased."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        quality_score_col().alias("score"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    labeled = scored
+    per_score = labeled.groupBy("score").agg(
+        F.sum("pos").alias("pos"),
+        F.sum(1 - F.col("pos")).alias("neg"),
+    )
+    parted = (
+        per_score.repartitionByRange(AUC_RANGE_PARTITIONS, "score")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parted.withColumn(
+        "_cn", F.coalesce(F.sum("neg").over(w_local), F.lit(0))
+    )
+    per_part = parted.groupBy("_pid").agg(F.sum("neg").alias("_pn"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_part.withColumn(
+        "_noff", F.coalesce(F.sum("_pn").over(w_off), F.lit(0))
+    ).select("_pid", "_noff")
+    cum = local.join(F.broadcast(offs), "_pid").withColumn(
+        "cumneg_below", (F.col("_noff") + F.col("_cn")).cast("long")
+    )
+    agg = cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("cumneg_below") + F.col("neg")).cast("decimal(38,0)")
+        ).alias("u2"),
+    )
+    # u2/(2 n1 n0) IS P(score_en > score_other) (ties at half weight)
+    auc = F.col("u2").cast("double") / (
+        2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc_en"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    )
+
+
+def score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the quality score — the
+    mixing-pipeline prerequisite for comparing documents ACROSS sources
+    whose raw score distributions differ (a web source and a curated
+    source should compete on within-source standing, not raw points):
+    each doc is mapped to (rank-1)/(n-1) within its source.
+
+    Exactness: ranks are exact integers over the total order (source,
+    score, doc_id) — the doc_id tie-break makes row_number identical in
+    both engines; the quantile is one integer ratio.
+
+    Scale: ONE global rank via the range-partitioned discipline
+    (_global_rank — never a per-source single-partition window, which
+    dies when one source dominates the corpus); within-source rank =
+    global rank minus the source's broadcast min-rank offset
+    (|sources| rows)."""
+    from hedera_spark.operators.tpch import _global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score_col().alias("score")
+    )
+    ranked = _global_rank(scored, ["source", "score", "doc_id"], "gr")
+    src = ranked.groupBy("source").agg(
+        F.min("gr").alias("gr0"),
+        F.count(F.lit(1)).cast("long").alias("src_n"),
+    )
+    out = ranked.join(F.broadcast(src), "source")
+    src_rank = (F.col("gr") - F.col("gr0") + 1).cast("long")
+    return out.select(
+        "doc_id",
+        "source",
+        "score",
+        src_rank.alias("src_rank"),
+        "src_n",
+        F.round(
+            F.when(
+                F.col("src_n") > 1,
+                (src_rank - 1).cast("double")
+                / (F.col("src_n") - 1).cast("double"),
+            ).otherwise(F.lit(0.5)),
+            6,
+        ).alias("quantile"),
+    )

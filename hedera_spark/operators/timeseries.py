@@ -2064,3 +2064,79 @@ def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_value"),
     )
+
+
+# Repurchase horizon is implicit: a customer's last order is censored at
+# the end of the order calendar (still "alive" — may yet reorder).
+def survival_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-next-order — the
+    survival-analysis reading of repeat-purchase behavior that
+    order_gaps' percentiles cannot give: every customer's LAST order is
+    right-censored at the end of the order calendar, so long waits
+    still in progress inflate the risk sets without being counted as
+    observed repurchases, and the curve is unbiased by the observation
+    window (the estimator from Kaplan & Meier 1958).
+
+    Per gap t (days): risk set n_t = intervals with length >= t
+    (reverse cumulative count), d_t = observed repurchases at exactly
+    t, S(t) = prod_{t' <= t} (1 - d/n) computed as exp of the ordered
+    cumulative sum of ln terms - a fixed-order double chain identical
+    in both engines (the pv_ewma sequential-fold discipline). Interval
+    construction uses lead() over (o_orderdate, o_orderkey) so
+    same-day ties order identically in both engines.
+
+    Scale: one customer-keyed window over orders builds the intervals,
+    then everything runs on the |distinct gap lengths|-row frame
+    (bounded by the calendar span in days, not the order count); the
+    calendar-end anchor is a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead(F.col("o_orderdate").cast("date")).over(w)
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("end_day"))
+    iv = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            nxt.alias("next_day"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("next_day").isNotNull(),
+                F.datediff("next_day", "day"),
+            )
+            .otherwise(F.datediff("end_day", "day"))
+            .cast("long")
+            .alias("t_days"),
+            F.col("next_day").isNotNull().cast("long").alias("observed"),
+        )
+    )
+    g = iv.groupBy("t_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum("observed").cast("long").alias("d_obs"),
+    )
+    w_risk = (
+        Window.orderBy(F.col("t_days").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_surv = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = g.withColumn(
+        "n_risk", F.sum("n_at").over(w_risk).cast("long")
+    ).withColumn(
+        "lnterm",
+        F.expr(
+            "CASE WHEN d_obs > 0 AND d_obs < n_risk THEN"
+            " ln(1.0 - CAST(d_obs AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+            " WHEN d_obs = 0 THEN 0.0 END"
+        ),
+    )
+    return risk.withColumn(
+        "survival", F.round(F.exp(F.sum("lnterm").over(w_surv)), 6)
+    ).select(
+        "t_days",
+        "n_risk",
+        F.col("d_obs").alias("d_repurchase"),
+        (F.col("n_at") - F.col("d_obs")).cast("long").alias("n_censored"),
+        "survival",
+    )

@@ -8330,6 +8330,134 @@ register(
     """,
 )
 
+# --- Kaplan-Meier repurchase survival (operators/timeseries.py) -------------
+
+register(
+    "survival_repurchase",
+    ts.survival_repurchase,
+    """
+    WITH iv0 AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             lead(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_day
+      FROM orders
+    ),
+    mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS end_day FROM orders),
+    iv AS (
+      SELECT CAST(CASE WHEN next_day IS NOT NULL
+               THEN date_diff('day', day, next_day)
+               ELSE date_diff('day', day, end_day) END AS BIGINT) AS t_days,
+             CAST(CASE WHEN next_day IS NOT NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS observed
+      FROM iv0, mx
+    ),
+    g AS (
+      SELECT t_days, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(observed) AS BIGINT) AS d_obs
+      FROM iv GROUP BY 1
+    ),
+    risk AS (
+      SELECT *, CAST(sum(n_at) OVER (ORDER BY t_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk
+      FROM g
+    ),
+    lnt AS (
+      SELECT *, CASE WHEN d_obs > 0 AND d_obs < n_risk THEN
+               ln(1.0 - CAST(d_obs AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               WHEN d_obs = 0 THEN 0.0 END AS lnterm
+      FROM risk
+    )
+    SELECT t_days, n_risk, d_obs AS d_repurchase,
+           CAST(n_at - d_obs AS BIGINT) AS n_censored,
+           round(exp(sum(lnterm) OVER (ORDER BY t_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             AS survival
+    FROM lnt
+    """,
+)
+
+# --- Exact ROC-AUC (operators/text_analysis.py) -----------------------------
+
+register(
+    "classifier_auc",
+    ta.classifier_auc,
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+               + (len(list_distinct(string_split(text, ' ')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+               + (1 - round(len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['the', 'a', 'data', 'value', 'row'],
+                  t))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6))
+               * 0.2, 6) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    labeled AS (SELECT score, pos FROM scored),
+    per_score AS (
+      SELECT score, CAST(sum(pos) AS BIGINT) AS pos,
+             CAST(sum(1 - pos) AS BIGINT) AS neg
+      FROM labeled GROUP BY 1
+    ),
+    cum AS (
+      SELECT *, CAST(coalesce(sum(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumneg_below
+      FROM per_score
+    ),
+    agg AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(neg) AS BIGINT) AS n_neg,
+             sum(CAST(pos AS HUGEINT)
+                 * CAST(2 * cumneg_below + neg AS HUGEINT)) AS u2
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           round(CAST(u2 AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+             AS auc_en,
+           round(2.0 * (CAST(u2 AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+             - 1.0, 6) AS gini
+    FROM agg
+    """,
+)
+
+# --- Per-source quantile normalization (operators/text_analysis.py) ---------
+
+register(
+    "score_quantile_norm",
+    ta.score_quantile_norm,
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+               + (len(list_distinct(string_split(text, ' ')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+               + (1 - round(len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['the', 'a', 'data', 'value', 'row'],
+                  t))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6))
+               * 0.2, 6) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY score, doc_id) AS BIGINT) AS src_rank,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS src_n
+      FROM scored
+    )
+    SELECT doc_id, source, score, src_rank, src_n,
+           round(CASE WHEN src_n > 1 THEN
+             CAST(src_rank - 1 AS DOUBLE) / CAST(src_n - 1 AS DOUBLE)
+             ELSE 0.5 END, 6) AS quantile
+    FROM ranked
+    """,
+)
+
 # --- Data-quality constraint suite (operators/profile.py) -------------------
 
 register(
@@ -8819,6 +8947,9 @@ _DEMOTED_STABLE = [
     "frequent_itemsets",
     "constraint_audit",
     "ab_permutation_test",
+    "survival_repurchase",
+    "classifier_auc",
+    "score_quantile_norm",
 ]
 
 

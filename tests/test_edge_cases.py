@@ -223,6 +223,8 @@ def _empty_sf(spark, tmp_path):
         "dp_mean",
         "moments_quantiles",
         "frequent_itemsets",
+        "survival_repurchase",
+        "score_quantile_norm",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -388,3 +390,14 @@ def test_ab_permutation_test_empty_input(spark, tmp_path):
     rows = ab_permutation_test(spark, sf).collect()
     assert len(rows) == 1
     assert rows[0]["p_value"] is None
+
+
+def test_classifier_auc_empty_input(spark, tmp_path):
+    """1-row readout must not raise on an empty corpus: counts and AUC
+    are NULL (nothing scored), never a division error."""
+    from hedera_spark.operators.text_analysis import classifier_auc
+
+    sf = _empty_sf(spark, tmp_path)
+    rows = classifier_auc(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["auc_en"] is None

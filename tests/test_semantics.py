@@ -3498,3 +3498,82 @@ def test_ab_permutation_test_structure(spark):
     assert abs(
         (r1["mean_exposed"] - r1["mean_rest"]) - r1["diff_obs"]
     ) < 1e-4
+
+
+def test_survival_repurchase_km_invariants(spark):
+    """KM invariants: survival starts <= 1 and is non-increasing in t,
+    risk sets shrink as t grows, and the censoring accounting is exact
+    — every customer contributes exactly ONE censored interval (the
+    one after their last order), every other order one observed gap."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.timeseries import survival_repurchase
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        survival_repurchase(spark, SF_DIR).collect(),
+        key=lambda r: r["t_days"],
+    )
+    assert rows
+    assert rows[0]["survival"] <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["survival"] <= a["survival"] + 1e-9
+        assert b["n_risk"] <= a["n_risk"]
+    orders = load_table(spark, SF_DIR, "orders")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_censored"] for r in rows) == n_cust
+    assert sum(r["d_repurchase"] for r in rows) == n_orders - n_cust
+
+
+def test_classifier_auc_matches_bruteforce_pairs(spark):
+    """The folded U-statistic must equal the O(n_pos*n_neg) pairwise
+    definition computed directly from the text_quality scores (ties at
+    half weight), and the counts must match the lang split."""
+    from hedera_spark.operators.text_analysis import (
+        classifier_auc,
+        text_quality,
+    )
+    from tests.conftest import SF_DIR
+
+    got = classifier_auc(spark, SF_DIR).collect()[0]
+    scored = [
+        (r["quality"], 1 if r["lang"] == "en" else 0)
+        for r in text_quality(spark, SF_DIR).collect()
+    ]
+    pos = [s for s, p in scored if p]
+    neg = [s for s, p in scored if not p]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    wins = sum(
+        1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+        for sp in pos
+        for sn in neg
+    )
+    brute = wins / (len(pos) * len(neg))
+    assert abs(got["auc_en"] - brute) < 1e-6
+    assert abs(got["gini"] - (2 * brute - 1)) < 1e-5
+
+
+def test_score_quantile_norm_uniformizes_per_source(spark):
+    """Within every source: ranks are 1..n with quantiles 0..1 strictly
+    increasing in rank, and the normalized scores are uniform (mean
+    exactly (n+1)/2n-ish) — the property that makes cross-source
+    mixing fair."""
+    from collections import defaultdict
+
+    from hedera_spark.operators.text_analysis import score_quantile_norm
+    from tests.conftest import SF_DIR
+
+    by_src = defaultdict(list)
+    for r in score_quantile_norm(spark, SF_DIR).collect():
+        by_src[r["source"]].append(r)
+    assert by_src
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["src_rank"])
+        n = rows[0]["src_n"]
+        assert len(rows) == n
+        assert [r["src_rank"] for r in rows] == list(range(1, n + 1))
+        assert rows[0]["quantile"] == 0.0 and rows[-1]["quantile"] == 1.0
+        mean_q = sum(r["quantile"] for r in rows) / n
+        assert abs(mean_q - 0.5) < 1e-6
