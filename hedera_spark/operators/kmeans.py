@@ -284,3 +284,63 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_silhouette"),
         )
     )
+
+
+CORESET_K = 8
+
+
+def coreset_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point coreset selection (Gonzalez 1985 — the greedy
+    2-approximation to k-center): pick the K most mutually distant
+    embeddings, the diversity-sampling primitive for training-data
+    curation (prototype selection, eval-set seeding, kmeans++-style
+    init). Output: (sel_rank, vec_id, radius2) where radius2 is the
+    squared distance of the pick to the already-selected set — the
+    k-center coverage radius at that step, a monotone non-increasing
+    curve (asserted by test).
+
+    Determinism: seed = the smallest vec_id; every step takes argmax of
+    the per-vector min rounded distance (the kmeans _dist2 quantization)
+    with ties to the smallest vec_id — identical in the unrolled
+    DuckDB oracle (ORDER BY mind DESC, vec_id LIMIT 1).
+
+    Scale: the kmeans parameter-server shape — the selected set is a
+    K-row driver literal folded per row (map-only min-distance), each
+    step ONE scan + a 1-row argmax agg; the corpus never shuffles and
+    the driver never holds more than K vectors. K-1 passes total over
+    the persisted projection."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .persist()
+    )
+    schema = "sel_rank long, vec_id long, radius2 double"
+    seed = emb.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        return spark.createDataFrame([], schema)
+    sel = [(seed[0]["vec_id"], seed[0]["emb"])]
+    rows = [(1, seed[0]["vec_id"], None)]
+    for step in range(2, CORESET_K + 1):
+        mind = F.array_min(
+            F.transform(
+                _cent_lit(sel), lambda c: _dist2(F.col("emb"), c["cemb"])
+            )
+        )
+        far = (
+            emb.select(
+                F.struct(
+                    mind.alias("d"),
+                    (-F.col("vec_id")).alias("nid"),
+                    F.col("emb").alias("e"),
+                ).alias("s")
+            )
+            .agg(F.max("s").alias("s"))
+            .collect()[0]["s"]
+        )
+        sel.append((-far["nid"], far["e"]))
+        rows.append((step, -far["nid"], float(far["d"])))
+    emb.unpersist()
+    return spark.createDataFrame(rows, schema)

@@ -618,6 +618,30 @@ def dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 VALUE_CAP = 400.0  # telemetry guardrail: values above this are suspect
 
 
+def event_violation_sums(df: DataFrame) -> DataFrame:
+    """The four events-side constraint counters as ONE multi-metric agg
+    — shared by the batch suite (constraint_audit) and the streaming
+    monitor (streaming.clean.stream_constraint_audit); counts merge by
+    addition, so the complete-mode streaming agg equals the batch one
+    exactly."""
+    return df.agg(
+        F.sum((F.col("value") < 0).cast("long")).alias("events_value_nonneg"),
+        F.sum((F.col("value") > VALUE_CAP).cast("long")).alias(
+            "events_value_cap"
+        ),
+        F.sum(F.col("props").isNull().cast("long")).alias(
+            "events_props_complete"
+        ),
+        F.sum(
+            (
+                ~F.col("event_type").isin(
+                    "view", "click", "purchase", "signup", "error"
+                )
+            ).cast("long")
+        ).alias("events_type_domain"),
+    )
+
+
 def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint suite (the Deequ /
     Great-Expectations capability, Spark-native): key uniqueness,
@@ -643,18 +667,7 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"stack({len(cols)}, {pairs}) AS (check_name, violations)")
         )
 
-    ev_agg = ev.agg(
-        F.sum((F.col("value") < 0).cast("long")).alias("events_value_nonneg"),
-        F.sum((F.col("value") > VALUE_CAP).cast("long")).alias(
-            "events_value_cap"
-        ),
-        F.sum(F.col("props").isNull().cast("long")).alias(
-            "events_props_complete"
-        ),
-        F.sum(
-            (~F.col("event_type").isin("view", "click", "purchase", "signup", "error")).cast("long")
-        ).alias("events_type_domain"),
-    )
+    ev_agg = event_violation_sums(ev)
     ord_agg = orders.agg(
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
             "orders_key_unique"

@@ -8458,6 +8458,56 @@ register(
     """,
 )
 
+# --- Farthest-point coreset (operators/kmeans.py) ---------------------------
+
+
+def _coreset_oracle() -> str:
+    """Unroll CORESET_K-1 farthest-point steps as chained CTEs (the
+    _kmeans_oracle pattern): per step, min rounded distance to the
+    selected set, argmax with vec_id tie-break, union into the set."""
+    d2 = (
+        "round(list_reduce(list_transform(list_zip({E}, {C}),"
+        " x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),"
+        " (a, b) -> a + b), 6)"
+    )
+    steps = []
+    prev = "sel1"
+    picks = ["SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,"
+             " CAST(NULL AS DOUBLE) AS radius2 FROM sel1"]
+    for i in range(2, km.CORESET_K + 1):
+        steps.append(f"""
+    d{i} AS (
+      SELECT e.vec_id, e.emb,
+             min({d2.format(E="e.emb", C="s.emb")}) AS mind
+      FROM e CROSS JOIN {prev} s GROUP BY e.vec_id, e.emb
+    ),
+    pick{i} AS (
+      SELECT vec_id, emb, mind FROM d{i}
+      ORDER BY mind DESC, vec_id LIMIT 1
+    ),
+    sel{i} AS (
+      SELECT vec_id, emb FROM {prev}
+      UNION ALL SELECT vec_id, emb FROM pick{i}
+    )""")
+        picks.append(
+            f"SELECT CAST({i} AS BIGINT), vec_id, mind FROM pick{i}"
+        )
+        prev = f"sel{i}"
+    return f"""e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+    ),
+    sel1 AS (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 1),
+    {",".join(steps)}
+    {" UNION ALL ".join(picks)}"""
+
+
+register(
+    "coreset_maxmin",
+    km.coreset_maxmin,
+    f"WITH {_coreset_oracle()}",
+)
+
 # --- Data-quality constraint suite (operators/profile.py) -------------------
 
 register(
@@ -8950,6 +9000,7 @@ _DEMOTED_STABLE = [
     "survival_repurchase",
     "classifier_auc",
     "score_quantile_norm",
+    "coreset_maxmin",
 ]
 
 

@@ -78,3 +78,18 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_contaminated") > 0)
     )
+
+
+def stream_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running data-quality violation counters over the event stream —
+    the incremental twin of the events-side rows of
+    operators/profile.constraint_audit: the four counters (negative
+    value, value over cap, null props, unknown type) accumulate per
+    micro-batch in complete mode, so a constraint breach surfaces at
+    ingest time instead of at the nightly audit. State is FOUR
+    integers; after consuming the whole log the counters equal the
+    batch agg exactly (replay-equals-batch test)."""
+    from hedera_spark.operators.profile import event_violation_sums
+    from hedera_spark.streaming.source import event_stream
+
+    return event_violation_sums(event_stream(spark, sf_dir))

@@ -225,6 +225,7 @@ def _empty_sf(spark, tmp_path):
         "frequent_itemsets",
         "survival_repurchase",
         "score_quantile_norm",
+        "coreset_maxmin",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -3577,3 +3577,39 @@ def test_score_quantile_norm_uniformizes_per_source(spark):
         assert rows[0]["quantile"] == 0.0 and rows[-1]["quantile"] == 1.0
         mean_q = sum(r["quantile"] for r in rows) / n
         assert abs(mean_q - 0.5) < 1e-6
+
+
+def test_coreset_maxmin_greedy_invariants(spark):
+    """Farthest-point invariants: K distinct picks, the coverage radius
+    is non-increasing (the k-center guarantee), and each reported
+    radius2 equals the recomputed min squared distance from that pick
+    to all earlier picks."""
+    from hedera_spark.operators.kmeans import CORESET_K, coreset_maxmin
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        coreset_maxmin(spark, SF_DIR).collect(), key=lambda r: r["sel_rank"]
+    )
+    assert len(rows) == CORESET_K
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == CORESET_K
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .where(F.col("vec_id").isin(ids))
+        .collect()
+    }
+    radii = [r["radius2"] for r in rows]
+    assert radii[0] is None
+    for a, b in zip(radii[1:], radii[2:]):
+        assert b <= a + 1e-9
+    for i, r in enumerate(rows[1:], start=1):
+        v = emb[r["vec_id"]]
+        mind = min(
+            sum((x - y) * (x - y) for x, y in zip(v, emb[p]))
+            for p in ids[:i]
+        )
+        assert abs(mind - r["radius2"]) < 1e-5

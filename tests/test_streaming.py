@@ -1432,3 +1432,26 @@ def test_stream_moments_equals_batch_sums(spark):
     got = spark.sql("select * from moments_stream").toPandas()
     want = moment_sums(load_table(spark, SF_DIR, "events")).toPandas()
     assert_frames_match(got, want, "stream_moments")
+
+
+def test_stream_constraint_audit_equals_batch(spark):
+    """The streaming violation counters after consuming the whole log
+    must equal the batch constraint sums exactly — addition commutes,
+    so replay == batch with no tolerance."""
+    from hedera_spark.operators.profile import event_violation_sums
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.clean import stream_constraint_audit
+
+    out = stream_constraint_audit(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("constraint_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from constraint_stream").toPandas()
+    want = event_violation_sums(load_table(spark, SF_DIR, "events")).toPandas()
+    assert_frames_match(got, want, "stream_constraint_audit")
