@@ -494,3 +494,70 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("smoothed_weight"),
     )
+
+
+def calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic recalibration of the quality classifier's reliability
+    bins (PAV — the standard post-hoc calibrator next to the raw
+    reliability view in quality_calibration): per score bin, the
+    monotone least-squares fit of the empirical keep rate, computed by
+    the exact min-max characterization fit_j = max_{i<=j} min_{k>=j}
+    rate(i..k) over the pooled bins. A well-ranked but mis-scaled gate
+    shows fit diverging from mean_p; the fit column IS the lookup
+    table a pipeline applies to recalibrate.
+
+    Exactness: pooled rates are single double divisions of exact
+    integer (keep, count) prefix differences, identical in both
+    engines; min/max over doubles is order-free. The oracle computes
+    the same triangle in SQL (i<=j<=k over the 10-row bin frame).
+
+    Scale: composes quality_calibration (one 10-group agg over the
+    scored corpus); the PAV itself runs on the <=10-row bin frame —
+    a bounded driver pull (the markov_attribution discipline), never
+    corpus-scale."""
+    bins = sorted(
+        quality_calibration(spark, sf_dir)
+        .select("bin", "n_docs", "n_keep_label", "frac_keep", "mean_p")
+        .collect(),
+        key=lambda r: r["bin"],
+    )
+    if not bins:
+        return spark.createDataFrame(
+            [],
+            "bin long, n_docs long, mean_p double, frac_keep double,"
+            " iso_fit double",
+        )
+    ck = [0]
+    cn = [0]
+    for r in bins:
+        ck.append(ck[-1] + r["n_keep_label"])
+        cn.append(cn[-1] + r["n_docs"])
+    b = len(bins)
+    rows = []
+    for j in range(b):
+        fit = max(
+            min(
+                (ck[k + 1] - ck[i]) / float(cn[k + 1] - cn[i])
+                for k in range(j, b)
+            )
+            for i in range(j + 1)
+        )
+        rows.append(
+            (
+                bins[j]["bin"],
+                bins[j]["n_docs"],
+                bins[j]["mean_p"],
+                bins[j]["frac_keep"],
+                fit,
+            )
+        )
+    out = spark.createDataFrame(
+        rows, "bin long, n_docs long, mean_p double, frac_keep double, iso_fit double"
+    )
+    return out.select(
+        "bin",
+        "n_docs",
+        "mean_p",
+        "frac_keep",
+        F.round("iso_fit", 6).alias("iso_fit"),
+    )

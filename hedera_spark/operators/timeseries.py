@@ -2140,3 +2140,116 @@ def survival_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_at") - F.col("d_obs")).cast("long").alias("n_censored"),
         "survival",
     )
+
+
+def linreg_sums(df: DataFrame) -> DataFrame:
+    """Per-type exact integer sufficient statistics for the OLS fit of
+    event value (cents) on hour-of-day: (n, sx, sy, sxx, sxy, syy) —
+    the ENTIRE regression state, shared by the batch estimator
+    (linreg_value_hour) and the streaming maintainer
+    (streaming.integrity.stream_linreg); sums merge by addition, so
+    the complete-mode streaming agg equals the batch one exactly.
+
+    Exactness: x = hour (0..23 integer), y = floor(value·100) cents
+    (the value_anova discipline); every sum is an exact integer in
+    DECIMAL(38,0) (HUGEINT oracle twin — Σy² stays < 10²² even at
+    10¹² rows)."""
+    x = F.hour("ts").cast("decimal(38,0)")
+    y = F.floor(F.col("value") * 100).cast("decimal(38,0)")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+
+
+def linreg_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS fit of event value on hour-of-day — the
+    time-of-day pricing/intensity trend as one closed-form regression
+    (slope in cents/hour, intercept, R²) instead of eyeballing
+    pv_hour_profile. Reference analogue: the per-key trend statistics
+    of the time-series suite (SURVEY §2 D).
+
+    Exactness: the five moments are exact integers (linreg_sums), and
+    slope/intercept/R² are single double divisions of exact-integer
+    numerators/denominators — no accumulation-order dependence
+    anywhere. Degenerate guards (constant x or constant y) return NULL
+    exactly when the integer denominators are 0.
+
+    Scale: ONE map-side partial agg to |types| rows; the closed form
+    runs on the bounded group frame. The same state streams:
+    stream_linreg maintains these six integers live."""
+    g = linreg_sums(load_table(spark, sf_dir, "events"))
+    n = F.col("n")
+    dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    dxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    ixn = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    d = lambda c: c.cast("double")  # noqa: E731
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        F.when(dxx != 0, F.round(d(dxy) / d(dxx), 6)).alias("slope_cph"),
+        F.when(dxx != 0, F.round(d(ixn) / d(dxx) / 100.0, 6)).alias(
+            "intercept_value"
+        ),
+        F.when(
+            (dxx != 0) & (dyy != 0),
+            F.round(d(dxy) * d(dxy) / (d(dxx) * d(dyy)), 6),
+        ).alias("r2"),
+    )
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence audit of event_type × weekday:
+    the full observed-vs-expected contingency grid (zero cells
+    included — the margins generate the frame, so a type that never
+    fires on Mondays still contributes), per-cell expected count and
+    chi-square contribution. Σ contrib over the grid is the X²
+    statistic with (r-1)(c-1) dof; the per-cell view localizes WHICH
+    type/day drives the dependence.
+
+    Exactness: observed and both margins are exact integers; expected
+    = rt·ct/total and contrib = (o-e)²/e are the identical
+    double-division chains over exact integers in both engines.
+
+    Scale: one (type, weekday) partial agg (≤ |types|·7 groups), then
+    margin frames of |types| and 7 rows cross-joined — the grid is
+    bounded by the category product, never the event count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("weekday(ts)").cast("long").alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("observed").alias("rt"))
+    ct = cells.groupBy("dow").agg(F.sum("observed").alias("ct"))
+    tot = cells.agg(F.sum("observed").alias("total"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(F.broadcast(tot))
+        .join(cells, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce("observed", F.lit(0)).alias("observed"),
+            (
+                F.col("rt").cast("double")
+                * F.col("ct").cast("double")
+                / F.col("total").cast("double")
+            ).alias("e"),
+        )
+    )
+    o = F.col("observed").cast("double")
+    return grid.select(
+        "event_type",
+        "dow",
+        "observed",
+        F.round(F.col("e"), 6).alias("expected"),
+        F.round((o - F.col("e")) * (o - F.col("e")) / F.col("e"), 6).alias(
+            "contrib"
+        ),
+    )

@@ -8672,6 +8672,117 @@ register(
     """,
 )
 
+
+# --- Statistical fits (operators/timeseries.py, operators/importance.py) ----
+
+register(
+    "linreg_value_hour",
+    ts.linreg_value_hour,
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(extract(hour FROM ts) AS HUGEINT)) AS sx,
+             sum(CAST(floor(value * 100) AS HUGEINT)) AS sy,
+             sum(CAST(extract(hour FROM ts) AS HUGEINT)
+                 * CAST(extract(hour FROM ts) AS HUGEINT)) AS sxx,
+             sum(CAST(extract(hour FROM ts) AS HUGEINT)
+                 * CAST(floor(value * 100) AS HUGEINT)) AS sxy,
+             sum(CAST(floor(value * 100) AS HUGEINT)
+                 * CAST(floor(value * 100) AS HUGEINT)) AS syy
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope_cph,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6)
+           END AS intercept_value,
+           CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   * CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS r2
+    FROM g
+    """,
+)
+
+register(
+    "chi2_independence",
+    ts.chi2_independence,
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS rt
+           FROM cells GROUP BY 1),
+    ct AS (SELECT dow, CAST(sum(observed) AS BIGINT) AS ct
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM cells)
+    SELECT r.event_type, c.dow,
+           coalesce(o.observed, 0) AS observed,
+           round(CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS expected,
+           round((CAST(coalesce(o.observed, 0) AS DOUBLE)
+                  - CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+                    / CAST(t.total AS DOUBLE))
+                 * (CAST(coalesce(o.observed, 0) AS DOUBLE)
+                    - CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+                      / CAST(t.total AS DOUBLE))
+                 / (CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+                    / CAST(t.total AS DOUBLE)), 6) AS contrib
+    FROM rt r CROSS JOIN ct c CROSS JOIN tot t
+    LEFT JOIN cells o ON o.event_type = r.event_type AND o.dow = c.dow
+    """,
+)
+
+register(
+    "calibration_isotonic",
+    imp.calibration_isotonic,
+    """
+    WITH bins AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT) AS n_keep_label,
+             round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS frac_keep,
+             round(sum(CAST(round(p * 1e6) AS BIGINT))
+                   / (count(*) * 1e6), 6) AS mean_p
+      FROM (
+        SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, y
+        FROM ({qlr}) q
+      ) b
+      GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n_docs, n_keep_label, frac_keep, mean_p,
+             sum(n_keep_label) OVER (ORDER BY bin) AS ck,
+             sum(n_docs) OVER (ORDER BY bin) AS cn
+      FROM bins
+    ),
+    ratios AS (
+      SELECT i.bin AS i, k.bin AS k,
+             CAST(k.ck - (i.ck - i.n_keep_label) AS DOUBLE)
+               / CAST(k.cn - (i.cn - i.n_docs) AS DOUBLE) AS r
+      FROM cum i JOIN cum k ON i.bin <= k.bin
+    ),
+    inner_min AS (
+      SELECT j.bin AS bin, r.i, min(r.r) AS minr
+      FROM cum j JOIN ratios r ON r.i <= j.bin AND r.k >= j.bin
+      GROUP BY 1, 2
+    ),
+    fit AS (SELECT bin, max(minr) AS fit FROM inner_min GROUP BY 1)
+    SELECT b.bin, b.n_docs, b.mean_p, b.frac_keep,
+           round(f.fit, 6) AS iso_fit
+    FROM bins b JOIN fit f USING (bin)
+    """.format(qlr=_quality_lr_oracle()),
+)
+
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -9001,6 +9112,9 @@ _DEMOTED_STABLE = [
     "classifier_auc",
     "score_quantile_norm",
     "coreset_maxmin",
+    "linreg_value_hour",
+    "chi2_independence",
+    "calibration_isotonic",
 ]
 
 

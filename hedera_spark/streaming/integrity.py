@@ -86,3 +86,17 @@ def stream_moments(spark: SparkSession, src_dir: str) -> DataFrame:
     from hedera_spark.operators.sketches import moment_sums
 
     return moment_sums(event_stream(spark, src_dir))
+
+
+def stream_linreg(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Running OLS sufficient statistics over the event stream — the
+    incremental twin of operators/timeseries.linreg_sums (the 6-integer
+    state behind linreg_value_hour). Sums merge by addition, so the
+    complete-mode agg after consuming the whole log equals the batch
+    sums exactly (replay-equals-batch test); per-type state is SIX
+    integers forever — the regression kept live at the ingest edge so
+    a drifting value-vs-hour trend (a pricing bug, a bot burst at 3am)
+    surfaces without a nightly refit."""
+    from hedera_spark.operators.timeseries import linreg_sums
+
+    return linreg_sums(event_stream(spark, src_dir))

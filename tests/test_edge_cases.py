@@ -226,6 +226,9 @@ def _empty_sf(spark, tmp_path):
         "survival_repurchase",
         "score_quantile_norm",
         "coreset_maxmin",
+        "linreg_value_hour",
+        "chi2_independence",
+        "calibration_isotonic",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -69,6 +69,7 @@ ALLOWED_NESTED_LOOP = {
     "anchor_cooccur_temporal",
     "anchor_triangles",  # via _cooccur_tokens (1-row hot stop-token array)
     "graph_degree_stats",  # via _cooccur_tokens (1-row hot stop-token array)
+    "chi2_independence",  # margin-frame cross product (|types|x7 grid) + 1-row total
     "graph_communities",  # via _cooccur_tokens (1-row hot stop-token array)
     "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast

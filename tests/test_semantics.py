@@ -3613,3 +3613,88 @@ def test_coreset_maxmin_greedy_invariants(spark):
             for p in ids[:i]
         )
         assert abs(mind - r["radius2"]) < 1e-5
+
+
+def test_linreg_value_hour_matches_direct_fit(spark):
+    """The closed-form integer-sum fit must equal a direct Python OLS
+    over the same (hour, cents) pairs, and r2 must be in [0, 1]."""
+    from hedera_spark.operators.timeseries import linreg_value_hour
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    import math
+
+    from pyspark.sql import functions as F
+
+    got = {r["event_type"]: r for r in linreg_value_hour(spark, SF_DIR).collect()}
+    assert got
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            F.hour("ts").alias("x"),
+            F.floor(F.col("value") * 100).alias("y"),
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["x"], r["y"]))
+    for etype, pts in by_type.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        row = got[etype]
+        assert row["n_events"] == n
+        denom = n * sxx - sx * sx
+        if denom:
+            want = (n * sxy - sx * sy) / denom
+            assert math.isclose(row["slope_cph"], want, abs_tol=1e-6)
+        if row["r2"] is not None:
+            assert -1e-9 <= row["r2"] <= 1 + 1e-9
+
+
+def test_chi2_independence_margins_and_grid(spark):
+    """Chi-square grid invariants: the grid is the full category
+    product, expected counts reproduce both margins, and every
+    contribution is non-negative."""
+    from hedera_spark.operators.timeseries import chi2_independence
+
+    from tests.conftest import SF_DIR
+
+    rows = chi2_independence(spark, SF_DIR).collect()
+    types = {r["event_type"] for r in rows}
+    dows = {r["dow"] for r in rows}
+    assert len(rows) == len(types) * len(dows)
+    total = sum(r["observed"] for r in rows)
+    exp_total = sum(r["expected"] for r in rows)
+    assert abs(exp_total - total) < 1e-3
+    for t in types:
+        obs = sum(r["observed"] for r in rows if r["event_type"] == t)
+        exp = sum(r["expected"] for r in rows if r["event_type"] == t)
+        assert abs(obs - exp) < 1e-3
+    assert all(r["contrib"] >= 0 for r in rows)
+
+
+def test_calibration_isotonic_is_monotone_mean_preserving(spark):
+    """PAV invariants: the fit is non-decreasing over bins, stays in
+    [0, 1], and its doc-weighted mean equals the overall keep rate
+    (L2 isotonic regression preserves the weighted mean)."""
+    from hedera_spark.operators.importance import calibration_isotonic
+
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        calibration_isotonic(spark, SF_DIR).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows
+    fits = [r["iso_fit"] for r in rows]
+    assert all(0 - 1e-9 <= f <= 1 + 1e-9 for f in fits)
+    assert all(b >= a - 1e-9 for a, b in zip(fits, fits[1:]))
+    n_all = sum(r["n_docs"] for r in rows)
+    keep_all = sum(r["frac_keep"] * r["n_docs"] for r in rows)
+    fit_mass = sum(r["iso_fit"] * r["n_docs"] for r in rows)
+    assert abs(fit_mass - keep_all) / n_all < 1e-4

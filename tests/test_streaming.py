@@ -1455,3 +1455,26 @@ def test_stream_constraint_audit_equals_batch(spark):
     got = spark.sql("select * from constraint_stream").toPandas()
     want = event_violation_sums(load_table(spark, SF_DIR, "events")).toPandas()
     assert_frames_match(got, want, "stream_constraint_audit")
+
+
+def test_stream_linreg_equals_batch_sums(spark):
+    """The streaming regression sufficient statistics after consuming
+    the whole log must equal the batch linreg_sums exactly — integer
+    sums merge by addition."""
+    from hedera_spark.operators.timeseries import linreg_sums
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.integrity import stream_linreg
+
+    out = stream_linreg(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("linreg_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from linreg_stream").toPandas()
+    want = linreg_sums(load_table(spark, SF_DIR, "events")).toPandas()
+    assert_frames_match(got, want, "stream_linreg")
