@@ -20,6 +20,8 @@ while the sketch path stays one-pass/mergeable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -723,4 +725,75 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "check_name",
         v.alias("violations"),
         (v == 0).alias("passed"),
+    )
+
+
+BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_counts(df: DataFrame) -> DataFrame:
+    """Observed leading-digit counts over positive event values — the
+    ENTIRE Benford state (≤ 9 integers), shared by the batch audit
+    (benford_audit) and the streaming maintainer
+    (streaming.integrity.stream_benford); counts merge by addition, so
+    the complete-mode streaming agg equals the batch one exactly.
+
+    Determinism: the leading digit comes from the integer-cents string
+    (floor(value·100) → CAST AS string → first char), never from
+    log10 — integer-to-string is identical across engines while a
+    last-ulp log10 difference near a power of ten would flip a bin."""
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return (
+        df.where(cents >= 1)
+        .select(
+            F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit of the event value column — the
+    classic fabricated-data / instrumentation-bug detector: observed
+    leading-digit shares against the Benford expectation
+    P(d) = log10(1 + 1/d), with the per-digit chi-square contribution
+    localizing WHICH digit deviates. The digit frame is generated
+    (1..9), so a digit that never occurs still shows its deficit.
+
+    Exactness: counts are exact integers; the Benford probabilities are
+    Python double literals folded into BOTH engines' SQL text; expected
+    counts and contributions are identical double chains over them.
+
+    Scale: ONE map-side digit extraction + 9-group partial agg; the
+    audit frame is 9 rows joined to a 1-row total broadcast."""
+    counts = benford_counts(load_table(spark, sf_dir, "events"))
+    digits = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
+    pmap = F.create_map(
+        *[
+            lit
+            for d in range(1, 10)
+            for lit in (F.lit(d).cast("long"), F.lit(BENFORD_P[d]))
+        ]
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    grid = (
+        digits.join(counts, "digit", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_observed"),
+            pmap[F.col("digit")].alias("bp"),
+            F.col("total"),
+        )
+    )
+    grid = grid.where(F.col("total").isNotNull())
+    o = F.col("n_observed").cast("double")
+    e = F.col("bp") * F.col("total").cast("double")
+    return grid.select(
+        "digit",
+        "n_observed",
+        F.round(o / F.col("total").cast("double"), 6).alias("frac_observed"),
+        F.round(F.col("bp"), 6).alias("benford_p"),
+        F.round((o - e) * (o - e) / e, 6).alias("contrib"),
     )

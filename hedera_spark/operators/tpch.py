@@ -1196,3 +1196,63 @@ def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue — the
+    inequality/concentration dial at the customer grain (revenue_hhi
+    is the supplier-share version): gini = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n
+    over each nation's customers ordered by revenue, computed for
+    customers that placed at least one order.
+
+    Exactness: revenues are exact integer cents; within-nation ranks
+    are exact integers over the total order (nation, rev, custkey);
+    Σ i·xᵢ and Σx are carried in DECIMAL(38,0) (HUGEINT oracle twin —
+    i·x reaches 10¹⁸ at warehouse scale, the BIGINT edge); the gini is
+    ONE double chain over exact integers, identical in both engines.
+
+    Scale: ONE range-partitioned global rank over (nation, rev,
+    custkey) (_global_rank — never a per-nation single-partition
+    window, which serializes on the dominant nation); within-nation
+    rank = global rank minus the nation's broadcast min-rank offset
+    (25 rows); then one |nations|-bounded agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    per = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(rev, cust.c_custkey == rev.o_custkey)
+        .select("n_name", "c_custkey", "rev")
+    )
+    ranked = _global_rank(per, ["n_name", "rev", "c_custkey"], "gr")
+    off = ranked.groupBy("n_name").agg(F.min("gr").alias("gr0"))
+    r = ranked.join(F.broadcast(off), "n_name").withColumn(
+        "i", (F.col("gr") - F.col("gr0") + 1).cast("decimal(38,0)")
+    )
+    g = r.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("i") * F.col("rev").cast("decimal(38,0)")).alias("si"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    si_d = F.col("si").cast("double")
+    return g.select(
+        "n_name",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s").cast("long").alias("total_cents"),
+        F.when(
+            F.col("s") > 0,
+            F.round(
+                F.lit(2.0) * si_d / (n_d * s_d) - (n_d + 1.0) / n_d, 6
+            ),
+        ).alias("gini"),
+    )

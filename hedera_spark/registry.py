@@ -8783,6 +8783,86 @@ register(
 )
 
 
+
+# --- Inequality / conformance audits (tpch.py, profile.py) -------------------
+
+register(
+    "revenue_gini",
+    tpch.revenue_gini,
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    per AS (
+      SELECT n_name, c_custkey, CAST(rev AS HUGEINT) AS rev
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN rev ON c_custkey = o_custkey
+    ),
+    r AS (
+      SELECT n_name, rev,
+             CAST(row_number() OVER (PARTITION BY n_name
+                                     ORDER BY rev, c_custkey) AS HUGEINT) AS i
+      FROM per
+    ),
+    g AS (
+      SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+             sum(rev) AS s, sum(i * rev) AS si
+      FROM r GROUP BY 1
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+           CAST(s AS BIGINT) AS total_cents,
+           CASE WHEN s > 0 THEN
+             round(2.0 * CAST(si AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                   - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+           END AS gini
+    FROM g
+    """,
+)
+
+register(
+    "benford_audit",
+    prof.benford_audit,
+    """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE CAST(floor(value * 100) AS BIGINT) >= 1
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    d AS (SELECT unnest(generate_series(1, 9))::BIGINT AS digit),
+    p AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 0.3010299956639812),
+                 (CAST(2 AS BIGINT), 0.17609125905568124),
+                 (CAST(3 AS BIGINT), 0.12493873660829992),
+                 (CAST(4 AS BIGINT), 0.09691001300805642),
+                 (CAST(5 AS BIGINT), 0.07918124604762482),
+                 (CAST(6 AS BIGINT), 0.06694678963061322),
+                 (CAST(7 AS BIGINT), 0.05799194697768673),
+                 (CAST(8 AS BIGINT), 0.05115252244738129),
+                 (CAST(9 AS BIGINT), 0.04575749056067514)) AS t(digit, bp))
+    SELECT d.digit, coalesce(c.n, 0) AS n_observed,
+           round(CAST(coalesce(c.n, 0) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS frac_observed,
+           round(p.bp, 6) AS benford_p,
+           round((CAST(coalesce(c.n, 0) AS DOUBLE)
+                  - p.bp * CAST(t.total AS DOUBLE))
+                 * (CAST(coalesce(c.n, 0) AS DOUBLE)
+                    - p.bp * CAST(t.total AS DOUBLE))
+                 / (p.bp * CAST(t.total AS DOUBLE)), 6) AS contrib
+    FROM d JOIN p ON d.digit = p.digit
+    LEFT JOIN c ON c.digit = d.digit
+    CROSS JOIN tot t
+    WHERE t.total IS NOT NULL
+    """,
+)
+
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -9115,6 +9195,8 @@ _DEMOTED_STABLE = [
     "linreg_value_hour",
     "chi2_independence",
     "calibration_isotonic",
+    "revenue_gini",
+    "benford_audit",
 ]
 
 

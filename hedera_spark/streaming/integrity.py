@@ -100,3 +100,16 @@ def stream_linreg(spark: SparkSession, src_dir: str) -> DataFrame:
     from hedera_spark.operators.timeseries import linreg_sums
 
     return linreg_sums(event_stream(spark, src_dir))
+
+
+def stream_benford(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Running Benford leading-digit counters over the event stream —
+    the incremental twin of operators/profile.benford_counts (the ≤9
+    integers behind benford_audit). Counts merge by addition, so the
+    complete-mode agg after consuming the whole log equals the batch
+    counts exactly (replay-equals-batch test); a value-generation bug
+    (a stuck sensor, a unit mixup, synthetic padding) bends the digit
+    histogram at ingest time, long before the nightly audit."""
+    from hedera_spark.operators.profile import benford_counts
+
+    return benford_counts(event_stream(spark, src_dir))

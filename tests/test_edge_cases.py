@@ -229,6 +229,8 @@ def _empty_sf(spark, tmp_path):
         "linreg_value_hour",
         "chi2_independence",
         "calibration_isotonic",
+        "revenue_gini",
+        "benford_audit",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -70,6 +70,7 @@ ALLOWED_NESTED_LOOP = {
     "anchor_triangles",  # via _cooccur_tokens (1-row hot stop-token array)
     "graph_degree_stats",  # via _cooccur_tokens (1-row hot stop-token array)
     "chi2_independence",  # margin-frame cross product (|types|x7 grid) + 1-row total
+    "benford_audit",  # 9-row digit frame x 1-row total broadcast
     "graph_communities",  # via _cooccur_tokens (1-row hot stop-token array)
     "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast

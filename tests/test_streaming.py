@@ -1478,3 +1478,25 @@ def test_stream_linreg_equals_batch_sums(spark):
     got = spark.sql("select * from linreg_stream").toPandas()
     want = linreg_sums(load_table(spark, SF_DIR, "events")).toPandas()
     assert_frames_match(got, want, "stream_linreg")
+
+
+def test_stream_benford_equals_batch_counts(spark):
+    """The streaming digit counters after consuming the whole log must
+    equal the batch benford_counts exactly."""
+    from hedera_spark.operators.profile import benford_counts
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.integrity import stream_benford
+
+    out = stream_benford(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("benford_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from benford_stream").toPandas()
+    want = benford_counts(load_table(spark, SF_DIR, "events")).toPandas()
+    assert_frames_match(got, want, "stream_benford")
