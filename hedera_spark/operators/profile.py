@@ -797,3 +797,38 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bp"), 6).alias("benford_p"),
         F.round((o - e) * (o - e) / e, 6).alias("contrib"),
     )
+
+
+L_DIVERSITY_MIN = 2
+
+
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion: a QI cell can be
+    large (k-anonymous) yet still leak if every member shares the same
+    sensitive value. QI = (source, 100-char size band); sensitive
+    attribute = lang; per cell the population, the number of DISTINCT
+    sensitive values (l), and the at-risk flag (l < 2 — homogeneous
+    cell, attribute disclosure).
+
+    Plan: one aggregate onto the bounded QI grid with a count-distinct
+    over the ≤|langs| sensitive domain; exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "source",
+            F.expr(f"n_chars div {QI_SIZE_BUCKET}").alias("size_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("lang").alias("l_distinct"),
+        )
+        .select(
+            "source",
+            "size_bucket",
+            "n",
+            "l_distinct",
+            (F.col("l_distinct") < L_DIVERSITY_MIN).cast("long").alias(
+                "at_risk"
+            ),
+        )
+    )

@@ -2016,3 +2016,56 @@ def score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quantile"),
     )
+
+
+CURRICULUM_PHASES = 4
+
+
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment — the training-order
+    counterpart of mix_weights (WHAT to train on) and pack_sequences
+    (HOW to batch it): documents ordered easy→hard by token length
+    (the standard length-based curriculum) and cut into 4 equal-count
+    phases; per phase the doc count, token mass, length boundaries and
+    mean quality score — the per-phase data card a curriculum schedule
+    is built from.
+
+    Exactness: phase = (rank−1)·4 div total + 1 on exact integer global
+    ranks (tie-broken by doc_id); mean quality from exact Σ round(q·1e6)
+    micro-units (the quality_calibration discipline).
+
+    Scale: ONE range-partitioned global rank (_global_rank — never a
+    single-reducer ORDER BY), then a 4-group partial agg."""
+    from hedera_spark.operators.tpch import _global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        quality_score_col().alias("q"),
+    )
+    ranked = _global_rank(docs, ["n_tokens", "doc_id"], "gr")
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    phased = ranked.join(F.broadcast(tot)).select(
+        F.expr(f"(gr - 1) * {CURRICULUM_PHASES} div total + 1").alias(
+            "phase"
+        ),
+        "n_tokens",
+        "q",
+    )
+    g = phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum(F.round(F.col("q") * 1e6).cast("long")).alias("q6"),
+    )
+    return g.select(
+        "phase",
+        "n_docs",
+        "total_tokens",
+        "min_tokens",
+        "max_tokens",
+        F.round(
+            F.col("q6") / (F.col("n_docs").cast("double") * 1e6), 6
+        ).alias("mean_quality"),
+    )

@@ -2253,3 +2253,28 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contrib"
         ),
     )
+
+
+EVENTS_SAMPLE_K = 16
+
+
+def events_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-K event sample per type — the events-table
+    twin of sample_fixed_k's bottom-K-hash 'reservoir' (K smallest
+    md5(event_id) per event_type), and the batch half of the
+    streaming.stateful.stream_sample replay-equals-batch pair: the
+    bottom-K-of-a-hash set is mergeable (union then re-trim), which is
+    exactly what makes the streaming twin's bounded state correct.
+
+    Scale: one rank window per event_type over (hash, event_id) — K
+    rows per group is the output bound; at 100 TB the per-type TopK
+    uses partial TakeOrdered per partition before the final trim."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select("event_type", "event_id")
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= EVENTS_SAMPLE_K)
+    )

@@ -8863,6 +8863,74 @@ register(
 )
 
 
+
+# --- Privacy / sampling / curriculum (profile.py, timeseries.py, ta) --------
+
+register(
+    "l_diversity",
+    prof.l_diversity,
+    f"""
+    SELECT source, n_chars // {prof.QI_SIZE_BUCKET} AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct,
+           CAST(CASE WHEN count(DISTINCT lang) < {prof.L_DIVERSITY_MIN}
+                THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+    FROM documents GROUP BY 1, 2
+    """,
+)
+
+register(
+    "events_sample_k",
+    ts.events_sample_k,
+    f"""
+    SELECT event_type, event_id, sample_rank
+    FROM (
+      SELECT event_type, event_id,
+             CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS BIGINT) AS sample_rank
+      FROM events
+    ) r
+    WHERE sample_rank <= {ts.EVENTS_SAMPLE_K}
+    """,
+)
+
+register(
+    "curriculum_buckets",
+    ta.curriculum_buckets,
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             round(least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+               + (len(list_distinct(string_split(text, ' ')))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+               + (1 - round(len(list_filter(string_split(text, ' '),
+                  t -> list_contains(['the', 'a', 'data', 'value', 'row'],
+                  t))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6))
+               * 0.2, 6) AS q
+      FROM documents
+    ),
+    r AS (
+      SELECT n_tokens, q,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS gr,
+             count(*) OVER () AS total
+      FROM d
+    )
+    SELECT CAST((gr - 1) * {ta.CURRICULUM_PHASES} // total + 1 AS BIGINT)
+             AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens,
+           round(sum(CAST(round(q * 1e6) AS BIGINT))
+                 / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS mean_quality
+    FROM r GROUP BY 1
+    """,
+)
+
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -9197,6 +9265,9 @@ _DEMOTED_STABLE = [
     "calibration_isotonic",
     "revenue_gini",
     "benford_audit",
+    "l_diversity",
+    "events_sample_k",
+    "curriculum_buckets",
 ]
 
 

@@ -441,3 +441,55 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SAMPLE_OUTPUT_SCHEMA = (
+    "event_type string, n_seen long, sample_ids array<long>"
+)
+SAMPLE_STATE_SCHEMA = "n long, hashes array<string>, ids array<long>"
+SAMPLE_K = 16
+
+
+def _update_sample(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Bounded bottom-K-hash reservoir per event type: state is the K
+    smallest (md5(event_id), event_id) pairs seen so far plus a count.
+    Bottom-K of a hash is MERGEABLE (union then re-trim) and
+    order-free, so after any micro-batch slicing the final sample
+    equals the batch operator's (replay-equals-batch test) — the
+    property rand()-reservoirs lack."""
+    import hashlib
+
+    n, hashes, ids = state.get if state.exists else (0, [], [])
+    pool = list(zip(hashes, ids))
+    for pdf in pdfs:
+        n += len(pdf)
+        for eid in pdf["event_id"].astype("int64"):
+            eid = int(eid)
+            pool.append((hashlib.md5(str(eid).encode()).hexdigest(), eid))
+        pool = sorted(pool)[:SAMPLE_K]
+    state.update((n, [h for h, _ in pool], [i for _, i in pool]))
+    yield pd.DataFrame(
+        [(key[0], n, [i for _, i in pool])],
+        columns=["event_type", "n_seen", "sample_ids"],
+    )
+
+
+def stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fixed-K deterministic sample per event type — the
+    incremental twin of operators/timeseries.events_sample_k: keyed
+    state is the K smallest md5(event_id) pairs (K longs + K hashes,
+    bounded forever), each batch emits the current sample with its
+    n_seen watermark; the row with the max n_seen per type is the
+    final sample and equals the batch bottom-K exactly. The streaming
+    eval-set builder: a stable dev sample maintained while the log
+    grows, no nightly re-scan."""
+    events = event_stream(spark, sf_dir).select("event_type", "event_id")
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_sample,
+        outputStructType=SAMPLE_OUTPUT_SCHEMA,
+        stateStructType=SAMPLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -231,6 +231,9 @@ def _empty_sf(spark, tmp_path):
         "calibration_isotonic",
         "revenue_gini",
         "benford_audit",
+        "l_diversity",
+        "events_sample_k",
+        "curriculum_buckets",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

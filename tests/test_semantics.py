@@ -3736,3 +3736,22 @@ def test_benford_audit_shares_sum_to_one(spark):
         .count()
     )
     assert sum(r["n_observed"] for r in rows) == n_pos
+
+
+def test_curriculum_buckets_partition_and_order(spark):
+    """Curriculum invariants: the 4 phases partition the corpus, and
+    length boundaries are non-decreasing phase over phase (easy→hard)."""
+    from hedera_spark.operators.text_analysis import curriculum_buckets
+    from hedera_spark.sources.tables import load_table
+
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        curriculum_buckets(spark, SF_DIR).collect(), key=lambda r: r["phase"]
+    )
+    assert [r["phase"] for r in rows] == [1, 2, 3, 4]
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_tokens"] <= b["min_tokens"]
+        assert abs(a["n_docs"] - b["n_docs"]) <= 1

@@ -1500,3 +1500,34 @@ def test_stream_benford_equals_batch_counts(spark):
     got = spark.sql("select * from benford_stream").toPandas()
     want = benford_counts(load_table(spark, SF_DIR, "events")).toPandas()
     assert_frames_match(got, want, "stream_benford")
+
+
+def test_stream_sample_equals_batch_bottomk(spark):
+    """The final streaming sample (max n_seen row per type) must equal
+    the batch bottom-K-hash sample exactly — bottom-K of a hash is
+    mergeable and order-free."""
+    from hedera_spark.operators.timeseries import events_sample_k
+    from hedera_spark.streaming.stateful import stream_sample
+
+    out = stream_sample(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sample_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from sample_stream").collect()
+    final = {}
+    for r in emitted:
+        cur = final.get(r["event_type"])
+        if cur is None or r["n_seen"] > cur["n_seen"]:
+            final[r["event_type"]] = r
+    want = {}
+    for r in events_sample_k(spark, SF_DIR).collect():
+        want.setdefault(r["event_type"], set()).add(r["event_id"])
+    assert set(final) == set(want)
+    for etype, row in final.items():
+        assert set(row["sample_ids"]) == want[etype], etype
