@@ -292,3 +292,59 @@ def _apply_blocklist(docs: DataFrame) -> DataFrame:
         F.size(blocked).cast("long").alias("n_blocked_occurrences"),
         (F.size(blocked) == 0).alias("keep"),
     )
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit over the vocabulary-growth curve: least-squares
+    slope β and intercept ln K of ln(cum_vocab) against ln(cum_tokens)
+    across the crawl-order buckets — V(n) ≈ K·n^β, natural corpora sit
+    near β ≈ 0.5; a β collapsing toward 0 says the crawl has stopped
+    contributing vocabulary (re-crawls/boilerplate), the numeric twin
+    of eyeballing vocab_growth's flattening curve and the companion
+    distribution dial to zipf_fit.
+
+    Determinism: the curve points are exact integers with a total
+    bucket order; the six regression moments fold in bucket order over
+    the bounded bucket table, so both engines sum identical libm
+    doubles in identical order (the zipf_fit discipline).
+
+    Scale: composes vocab_growth (|vocab|-bounded min-agg + bucket
+    partial agg); the regression runs over corpus/VOCAB_BUCKET_DOCS
+    rows — thousands, never corpus-scale."""
+    pts = vocab_growth(spark, sf_dir).select(
+        "bucket",
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+
+    def fold(col):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("bucket", col.alias("v")))),
+            F.lit(0.0).cast("double"),
+            lambda acc, s: acc + s["v"],
+        )
+
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        fold(F.col("x")).alias("sx"),
+        fold(F.col("y")).alias("sy"),
+        fold(F.col("x") * F.col("y")).alias("sxy"),
+        fold(F.col("x") * F.col("x")).alias("sxx"),
+        fold(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.where(F.col("n") > 1).select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("beta"),
+        F.round(intercept, 6).alias("ln_k"),
+        F.round(F.exp(intercept), 6).alias("k"),
+        F.round((r_num / r_den) * (r_num / r_den), 6).alias("r2"),
+    )

@@ -8931,6 +8931,61 @@ register(
 )
 
 
+
+register(
+    "heaps_law_fit",
+    cc.heaps_law_fit,
+    f"""
+    WITH tk AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    pb AS (
+      SELECT CAST(floor(doc_id / {cc.VOCAB_BUCKET_DOCS}) AS BIGINT) AS bucket,
+             count(*) AS bucket_tokens
+      FROM tk GROUP BY 1
+    ),
+    nt AS (
+      SELECT CAST(floor(min_doc / {cc.VOCAB_BUCKET_DOCS}) AS BIGINT) AS bucket,
+             count(*) AS new_terms
+      FROM (SELECT tok, min(doc_id) AS min_doc FROM tk GROUP BY tok)
+      GROUP BY 1
+    ),
+    pts AS (
+      SELECT pb.bucket,
+             ln(CAST(sum(pb.bucket_tokens) OVER (ORDER BY pb.bucket)
+                     AS DOUBLE)) AS x,
+             ln(CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY pb.bucket)
+                     AS DOUBLE)) AS y
+      FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             list_reduce(list(x ORDER BY bucket), (a, b) -> a + b) AS sx,
+             list_reduce(list(y ORDER BY bucket), (a, b) -> a + b) AS sy,
+             list_reduce(list(x * y ORDER BY bucket), (a, b) -> a + b) AS sxy,
+             list_reduce(list(x * x ORDER BY bucket), (a, b) -> a + b) AS sxx,
+             list_reduce(list(y * y ORDER BY bucket), (a, b) -> a + b) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS ln_k,
+           round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n), 6) AS k,
+           round(((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * ((n * sxy - sx * sy)
+                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))), 6)
+             AS r2
+    FROM m WHERE n > 1
+    """,
+)
+
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -9268,6 +9323,7 @@ _DEMOTED_STABLE = [
     "l_diversity",
     "events_sample_k",
     "curriculum_buckets",
+    "heaps_law_fit",
 ]
 
 

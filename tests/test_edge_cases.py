@@ -234,6 +234,7 @@ def _empty_sf(spark, tmp_path):
         "l_diversity",
         "events_sample_k",
         "curriculum_buckets",
+        "heaps_law_fit",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -3755,3 +3755,23 @@ def test_curriculum_buckets_partition_and_order(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["max_tokens"] <= b["min_tokens"]
         assert abs(a["n_docs"] - b["n_docs"]) <= 1
+
+
+def test_heaps_law_fit_plausible_exponent(spark):
+    """Heaps fit sanity: one row, 0 < beta <= 1 on a natural-ish
+    corpus (vocabulary grows, sublinearly or at worst linearly), K > 0,
+    and r2 in [0, 1]."""
+    from hedera_spark.operators.corpus_clean import heaps_law_fit
+
+    from tests.conftest import SF_DIR
+
+    rows = heaps_law_fit(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_points"] > 1
+    # the synthetic corpus draws from a ~20-word vocabulary, so the
+    # curve saturates in bucket 1 and beta sits at/near 0; natural
+    # corpora sit near 0.5 — the dial still must never exceed linear
+    assert 0 <= r["beta"] <= 1 + 1e-9
+    assert r["k"] > 0
+    assert 0 <= r["r2"] <= 1 + 1e-9
