@@ -2278,3 +2278,97 @@ def events_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= EVENTS_SAMPLE_K)
     )
+
+
+def pv_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters-style seasonal forecast per entity — completes the
+    smoothing family (pv_ewma → level, pv_holt → +trend, THIS →
+    +weekly seasonality) in the classical decompose-then-smooth form:
+    additive weekday indices estimated first (per-weekday mean minus
+    overall mean, exact micro-unit integers), Holt's (α, β) recurrence
+    run on the DESEASONALIZED series, and the 7-day-ahead forecast
+    re-seasonalized with the last day's weekday index (t+7 lands on
+    the same weekday).
+
+    Exactness: seasonal indices are differences of floor-divided exact
+    positive integers (`div` == `//` on non-negatives); the
+    deseasonalized series and the fold state stay BIGINT micro-units
+    with the pv_holt floor((q+5)/10.0) rounding (x' can be NEGATIVE,
+    so integer division is never used); the Spark fold seeds from the
+    first element via slice — no sentinel — mirroring DuckDB's
+    list_reduce semantics exactly.
+
+    Plan: three aggs/joins all keyed by user_id (one shuffle key), the
+    fold array-side per entity — the pv_holt shape plus one broadcast-
+    sized weekday-index join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    daily = daily.withColumn("dow", F.expr("weekday(day)").cast("long"))
+    dowagg = daily.groupBy("user_id", "dow").agg(
+        F.sum("n").alias("s_dow"), F.count(F.lit(1)).alias("c_dow")
+    )
+    allagg = dowagg.groupBy("user_id").agg(
+        F.sum("s_dow").alias("s_all"), F.sum("c_dow").alias("c_all")
+    )
+    sidx = dowagg.join(allagg, "user_id").select(
+        "user_id",
+        "dow",
+        (
+            F.expr("s_dow * 10000 div c_dow")
+            - F.expr("s_all * 10000 div c_all")
+        ).alias("s_micro"),
+    )
+    des = daily.join(sidx, ["user_id", "dow"]).select(
+        "user_id",
+        "day",
+        "dow",
+        (F.col("n") * 10000 - F.col("s_micro")).alias("xm"),
+    )
+    per_user = des.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "xm"))),
+            lambda s: s["xm"],
+        ).alias("xs"),
+        F.max_by("dow", "day").alias("last_dow"),
+    )
+    a, b_ = HOLT_ALPHA_NUM, HOLT_BETA_NUM
+    lvl = (
+        f"CAST(floor(({a} * x.l + {10 - a} * (acc.l + acc.b) + 5)"
+        " / 10.0) AS BIGINT)"
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(transform(xs, v -> named_struct('l', v,
+                                               'b', CAST(0 AS BIGINT))),
+                2, greatest(size(xs) - 1, 0)),
+          named_struct('l', xs[0], 'b', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'l', {lvl},
+            'b', CAST(floor(({b_} * ({lvl} - acc.l)
+                             + {10 - b_} * acc.b + 5) / 10.0) AS BIGINT)),
+          acc -> acc)
+        """
+    )
+    folded = per_user.select(
+        "user_id", "n_days", "last_dow", fold.alias("st")
+    )
+    out = folded.join(
+        sidx.withColumnRenamed("dow", "last_dow"), ["user_id", "last_dow"]
+    )
+    return out.select(
+        "user_id",
+        "n_days",
+        "last_dow",
+        (F.col("st.l") / F.lit(10000.0)).alias("level"),
+        (F.col("st.b") / F.lit(10000.0)).alias("trend"),
+        (F.col("s_micro") / F.lit(10000.0)).alias("seasonal"),
+        (
+            (F.col("st.l") + HOLT_HORIZON * F.col("st.b") + F.col("s_micro"))
+            / F.lit(10000.0)
+        ).alias("forecast_7d"),
+    )

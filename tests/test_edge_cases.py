@@ -235,6 +235,7 @@ def _empty_sf(spark, tmp_path):
         "events_sample_k",
         "curriculum_buckets",
         "heaps_law_fit",
+        "pv_holt_winters",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

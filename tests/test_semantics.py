@@ -3775,3 +3775,51 @@ def test_heaps_law_fit_plausible_exponent(spark):
     assert 0 <= r["beta"] <= 1 + 1e-9
     assert r["k"] > 0
     assert 0 <= r["r2"] <= 1 + 1e-9
+
+
+def test_pv_holt_winters_planted_weekly_pattern(spark, tmp_path):
+    """A purely-weekly series (count = 10 + weekday, constant across
+    weeks, starting on a Monday) deseasonalizes to a constant: trend
+    must be exactly 0, level exactly the overall mean 13, seasonal of
+    the last day (Sunday) exactly +3, forecast exactly 16."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)  # 2024-01-01 is a Monday
+    for day in range(14):
+        for _ in range(10 + day % 7):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(days=day), 7, "view", 1.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = tmp_path / "hw"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.timeseries import pv_holt_winters
+
+    got = pv_holt_winters(spark, str(out)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_days"] == 14
+    assert r["last_dow"] == 6
+    assert r["level"] == 13.0
+    assert r["trend"] == 0.0
+    assert r["seasonal"] == 3.0
+    assert r["forecast_7d"] == 16.0
+
+
+def test_pv_holt_winters_forecast_identity(spark):
+    """forecast_7d must equal level + 7*trend + seasonal for every
+    entity (all four columns come from the same micro-unit integers)."""
+    from hedera_spark.operators.timeseries import pv_holt_winters
+
+    from tests.conftest import SF_DIR
+
+    for r in pv_holt_winters(spark, SF_DIR).collect():
+        want = r["level"] + 7 * r["trend"] + r["seasonal"]
+        assert abs(r["forecast_7d"] - want) < 1e-9
