@@ -1256,3 +1256,51 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("gini"),
     )
+
+
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table monetary reconciliation — the warehouse integrity
+    audit next to fk_integrity (keys) and table_fingerprint (content):
+    per order status, how many orders' o_totalprice agrees with the
+    recomputed Σ l_extendedprice·(1−l_discount)·(1+l_tax) over their
+    line items, the mismatch count, and the total/max absolute drift
+    in cents — the first report a migration or CDC pipeline is graded
+    on (orders with NO line items count as mismatches at full header
+    value; the join is LEFT).
+
+    Exactness: both sides become integer cents via the same
+    round(·100) before any summation; deltas, totals and maxima are
+    exact integers.
+
+    Scale: one orderkey-partial agg over lineitem, one equality join
+    to orders (AQE picks the strategy), one |status|-bounded agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_sum = (
+        li.select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100,
+                0,
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("cents").alias("li_cents"))
+    )
+    j = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("o_cents"),
+    ).join(li_sum, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    delta = F.abs(F.col("o_cents") - F.coalesce(F.col("li_cents"), F.lit(0)))
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((delta > 0).cast("long")).alias("n_mismatch"),
+        F.sum(delta).cast("long").alias("abs_drift_cents"),
+        F.max(delta).cast("long").alias("max_drift_cents"),
+    )

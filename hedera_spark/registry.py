@@ -9044,6 +9044,33 @@ register(
 )
 
 
+
+register(
+    "order_reconciliation",
+    tpch.order_reconciliation,
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax) * 100, 0) AS BIGINT)) AS li_cents
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o_orderstatus,
+             abs(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                 - coalesce(li_cents, 0)) AS delta
+      FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch,
+           CAST(sum(delta) AS BIGINT) AS abs_drift_cents,
+           CAST(max(delta) AS BIGINT) AS max_drift_cents
+    FROM j GROUP BY 1
+    """,
+)
+
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -9383,6 +9410,7 @@ _DEMOTED_STABLE = [
     "curriculum_buckets",
     "heaps_law_fit",
     "pv_holt_winters",
+    "order_reconciliation",
 ]
 
 

@@ -236,6 +236,7 @@ def _empty_sf(spark, tmp_path):
         "curriculum_buckets",
         "heaps_law_fit",
         "pv_holt_winters",
+        "order_reconciliation",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -3823,3 +3823,39 @@ def test_pv_holt_winters_forecast_identity(spark):
     for r in pv_holt_winters(spark, SF_DIR).collect():
         want = r["level"] + 7 * r["trend"] + r["seasonal"]
         assert abs(r["forecast_7d"] - want) < 1e-9
+
+
+def test_order_reconciliation_planted_drift(spark, tmp_path):
+    """A planted pair of tables with one agreeing order, one drifted
+    order, and one order with no line items must report exactly those
+    two mismatches with the exact cent deltas."""
+    orders = spark.createDataFrame(
+        [
+            (1, "O", 110.0),
+            (2, "O", 200.0),
+            (3, "F", 50.0),
+        ],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, 0.1),
+            (2, 100.0, 0.0, 0.0),
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    )
+    out = tmp_path / "rec"
+    orders.write.parquet(str(out / "orders.parquet"))
+    li.write.parquet(str(out / "lineitem.parquet"))
+    from hedera_spark.operators.tpch import order_reconciliation
+
+    got = {r["o_orderstatus"]: r for r in order_reconciliation(
+        spark, str(out)
+    ).collect()}
+    assert got["O"]["n_orders"] == 2
+    assert got["O"]["n_mismatch"] == 1
+    assert got["O"]["abs_drift_cents"] == 10000
+    assert got["O"]["max_drift_cents"] == 10000
+    assert got["F"]["n_mismatch"] == 1
+    assert got["F"]["abs_drift_cents"] == 5000
