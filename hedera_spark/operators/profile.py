@@ -832,3 +832,81 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private median release per event type via the
+    EXPONENTIAL mechanism (McSherry–Talwar) — the third member of the
+    DP release family (dp_counts: Laplace on counts; dp_mean: clipped
+    Laplace on sums; THIS: rank-utility selection, the mechanism for
+    outputs where adding noise to the value makes no sense). Candidate
+    = each distinct cents value; utility u(v) = −|cum_le(v) − n/2|
+    (rank distance to the median, sensitivity 1); selection by the
+    Gumbel-max trick over score = ε·u/2 + Gumbel(0,1), with the Gumbel
+    drawn from a deterministic md5 uniform per (type, value) — the
+    release is reproducible and value-oracled, and the realized rank
+    error is published next to it as the utility dial.
+
+    Determinism: u = (md5₄₈ + 0.5)/2⁴⁸ from exact integers; the libm
+    exposure (two nested ln) consumes bit-identical doubles; argmax is
+    max over (score, cents) structs — exact tie-break.
+
+    Scale: the corpus collapses to the distinct (type, cents) domain
+    first (bounded — the classifier_auc discipline); the rank window
+    and argmax run on the domain, never on the events."""
+    ev = load_table(spark, sf_dir, "events")
+    dist = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    totals = dist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    scored = cum.join(F.broadcast(totals), "event_type")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "~",
+                    F.lit("dpq"),
+                    F.col("event_type"),
+                    F.col("cents").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(_DP_HASH_SPACE)
+    util = -F.abs(F.col("cum") - F.col("n") / F.lit(2.0))
+    score = F.lit(DP_EPSILON / 2.0) * util - F.log(-F.log(u))
+    pick = (
+        scored.select(
+            "event_type",
+            "n",
+            F.struct(
+                score.alias("s"),
+                F.col("cents").alias("cents"),
+                util.alias("u"),
+            ).alias("cand"),
+        )
+        .groupBy("event_type")
+        .agg(F.max("cand").alias("best"), F.max("n").alias("n_events"))
+    )
+    return pick.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("best.cents") / F.lit(100.0)).alias("dp_median"),
+        F.round(
+            -F.col("best.u") / F.col("n_events").cast("double"), 6
+        ).alias("rank_err"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )

@@ -237,6 +237,7 @@ def _empty_sf(spark, tmp_path):
         "heaps_law_fit",
         "pv_holt_winters",
         "order_reconciliation",
+        "dp_quantile",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

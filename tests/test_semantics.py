@@ -3859,3 +3859,30 @@ def test_order_reconciliation_planted_drift(spark, tmp_path):
     assert got["O"]["max_drift_cents"] == 10000
     assert got["F"]["n_mismatch"] == 1
     assert got["F"]["abs_drift_cents"] == 5000
+
+
+def test_dp_quantile_near_median(spark):
+    """The exponential mechanism with eps=1 on a large domain must land
+    near the true median: realized rank error well under 5% per type,
+    and the released value must be an actual domain value."""
+    from hedera_spark.operators.profile import dp_quantile
+    from hedera_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    rows = dp_quantile(spark, SF_DIR).collect()
+    assert rows
+    vals = {
+        (r["event_type"], r["cents"])
+        for r in load_table(spark, SF_DIR, "events")
+        .select(
+            "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r["rank_err"] < 0.05, r
+        assert (r["event_type"], int(round(r["dp_median"] * 100))) in vals
