@@ -9440,6 +9440,8 @@ _DEMOTED_STABLE = [
     "survival_repurchase",
     "classifier_auc",
     "score_quantile_norm",
+    # seventh-session wave: all driver_sim-green at sf0.01 in-session;
+    # rotate into the gate in r4 with the other r3-new demotees
     "coreset_maxmin",
     "linreg_value_hour",
     "chi2_independence",
