@@ -538,24 +538,7 @@ def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_true")
     )
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("~", F.lit("dp"), F.col("event_type"))), 1, 12),
-        16,
-        10,
-    ).cast("long")
-    u = (h + F.lit(0.5)) / F.lit(_DP_HASH_SPACE)
-    noise = (
-        F.lit(-1.0 / DP_EPSILON)
-        * F.signum(u - 0.5)
-        * F.log(1 - 2 * F.abs(u - 0.5))
-    )
-    return g.select(
-        "event_type",
-        "n_true",
-        F.round(F.col("n_true") + noise, 4).alias("n_dp"),
-        F.round(F.abs(noise), 4).alias("abs_err"),
-        F.lit(DP_EPSILON).alias("epsilon"),
-    )
+    return dp_count_release(g)
 
 
 DP_CLIP = 100.0  # contribution clip for the mean release (sum sensitivity)
@@ -908,5 +891,37 @@ def dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             -F.col("best.u") / F.col("n_events").cast("double"), 6
         ).alias("rank_err"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )
+
+
+def dp_count_release(g: DataFrame) -> DataFrame:
+    """The Laplace release applied to a (event_type, n_true) count frame
+    — shared by the batch release (dp_counts) and the streaming
+    maintainer (streaming.integrity.stream_dp_counts): the noise draw
+    depends only on the released key (deterministic md5 uniform), so
+    the streaming release after consuming the whole log equals the
+    batch release exactly. NOTE the continual-observation caveat: each
+    intermediate emission re-releases under the SAME draw, so the
+    privacy budget covers the final table, not a fresh draw per batch
+    (documented trade for reproducibility)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("~", F.lit("dp"), F.col("event_type"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(_DP_HASH_SPACE)
+    noise = (
+        F.lit(-1.0 / DP_EPSILON)
+        * F.signum(u - 0.5)
+        * F.log(1 - 2 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "event_type",
+        "n_true",
+        F.round(F.col("n_true") + noise, 4).alias("n_dp"),
+        F.round(F.abs(noise), 4).alias("abs_err"),
         F.lit(DP_EPSILON).alias("epsilon"),
     )

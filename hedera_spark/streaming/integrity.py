@@ -113,3 +113,21 @@ def stream_benford(spark: SparkSession, src_dir: str) -> DataFrame:
     from hedera_spark.operators.profile import benford_counts
 
     return benford_counts(event_stream(spark, src_dir))
+
+
+def stream_dp_counts(spark: SparkSession, src_dir: str) -> DataFrame:
+    """The ε-DP event-type histogram release maintained live — the
+    incremental twin of operators/profile.dp_counts via the shared
+    dp_count_release: complete-mode true counts per micro-batch, the
+    deterministic per-key Laplace draw applied on emission. After
+    consuming the whole log the release equals the batch one exactly
+    (replay-equals-batch test). Continual-observation caveat documented
+    on the helper: one draw per key, budget covers the final table."""
+    from hedera_spark.operators.profile import dp_count_release
+
+    g = (
+        event_stream(spark, src_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    )
+    return dp_count_release(g)

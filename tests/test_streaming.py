@@ -1531,3 +1531,25 @@ def test_stream_sample_equals_batch_bottomk(spark):
     assert set(final) == set(want)
     for etype, row in final.items():
         assert set(row["sample_ids"]) == want[etype], etype
+
+
+def test_stream_dp_counts_equals_batch_release(spark):
+    """The streaming DP release after consuming the whole log must
+    equal the batch dp_counts exactly — the noise draw depends only on
+    the released key."""
+    from hedera_spark.registry import QUERIES
+    from hedera_spark.streaming.integrity import stream_dp_counts
+
+    out = stream_dp_counts(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dp_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dp_stream").toPandas()
+    want = QUERIES["dp_counts"](spark, SF_DIR).toPandas()
+    assert_frames_match(got, want, "stream_dp_counts")
