@@ -793,3 +793,89 @@ def test_scd2_partitions_any_timeline(spark, tmp_path_factory, log):
     res = scd2_resolve(spark, sf)
     assert res.count() == len(rows)
     assert res.where("version IS NULL").count() == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # keeps per bin
+            st.integers(min_value=1, max_value=50),  # extra non-keeps
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_isotonic_minmax_equals_pav(bins):
+    """The min-max characterization used by calibration_isotonic must
+    equal the classic pool-adjacent-violators algorithm on arbitrary
+    weighted bins (keeps capped at bin size)."""
+    ks = [k for k, _ in bins]
+    ns = [k + extra for k, extra in bins]
+    # min-max formula (the operator's arithmetic)
+    ck = [0]
+    cn = [0]
+    for k, n in zip(ks, ns):
+        ck.append(ck[-1] + k)
+        cn.append(cn[-1] + n)
+    b = len(bins)
+    minmax = [
+        max(
+            min(
+                (ck[k + 1] - ck[i]) / float(cn[k + 1] - cn[i])
+                for k in range(j, b)
+            )
+            for i in range(j + 1)
+        )
+        for j in range(b)
+    ]
+    # classic PAV: pool adjacent violating blocks [sum_keep, sum_n]
+    merged: list[list[float]] = []
+    for k, n in zip(ks, ns):
+        merged.append([k, n])
+        while len(merged) > 1 and (
+            merged[-2][0] * merged[-1][1] >= merged[-1][0] * merged[-2][1]
+        ):
+            a = merged.pop()
+            merged[-1][0] += a[0]
+            merged[-1][1] += a[1]
+    pav = []
+    for blk in merged:
+        rate = blk[0] / float(blk[1])
+        # block spans as many original bins as its weight allows: rebuild
+        # by walking weights
+        pav.append((rate, blk[1]))
+    # expand pav rates to per-bin fits by weight
+    fits = []
+    it = iter(pav)
+    rate, left = next(it)
+    for n in ns:
+        while left == 0:
+            rate, left = next(it)
+        fits.append(rate)
+        left -= n
+    assert len(fits) == b
+    for a, c in zip(minmax, fits):
+        assert abs(a - c) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40)
+)
+def test_gini_rank_formula_equals_pairwise_definition(xs):
+    """revenue_gini's rank-weighted formula 2Σi·x/(nΣx) − (n+1)/n must
+    equal the definitional mean-absolute-difference Gini
+    Σ|xi−xj| / (2n²μ) on arbitrary non-negative integer lists."""
+    if sum(xs) == 0:
+        return
+    s = sorted(xs)
+    n = len(s)
+    tot = sum(s)
+    rank_based = 2.0 * sum((i + 1) * x for i, x in enumerate(s)) / (
+        n * float(tot)
+    ) - (n + 1) / float(n)
+    pairwise = sum(abs(a - b) for a in s for b in s) / (
+        2.0 * n * n * (tot / float(n))
+    )
+    assert abs(rank_based - pairwise) < 1e-9
