@@ -1304,3 +1304,83 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(delta).cast("long").alias("abs_drift_cents"),
         F.max(delta).cast("long").alias("max_drift_cents"),
     )
+
+
+ABC_A_PCT = 80  # cumulative-share cut for class A, in percent
+ABC_B_PCT = 95  # cumulative-share cut for class B
+
+
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — the Pareto workhorse of supply
+    analytics: parts ranked by revenue, class A = the head covering the
+    first 80% of cumulative revenue, B = to 95%, C = the tail; emits
+    per part the rank, exact cumulative share and the class.
+
+    Exactness: revenue in exact integer cents; the class cut compares
+    cum·100 ≤ pct·total in INTEGER (decimal) arithmetic — never a
+    rounded share — so boundary parts classify identically in both
+    engines; the published cum_share is one rounded double.
+
+    Scale: one partkey partial agg, then ONE range-partitioned pass
+    producing BOTH the global rank and the global revenue prefix sum
+    (local window + broadcast per-partition (count, sum) offsets — the
+    pack_sequences discipline; never a single-reducer cumulative
+    window), then map-side classification against the broadcast 1-row
+    total."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    parted = (
+        rev.withColumn("neg", -F.col("rev"))
+        .repartitionByRange(RFM_RANGE_PARTITIONS, "neg", "l_partkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("neg", "l_partkey")
+    local = parted.withColumn("_lr", F.row_number().over(w_local)).withColumn(
+        "_lc", F.sum("rev").over(w_local).cast("decimal(38,0)")
+    )
+    per_part = parted.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum("rev").cast("decimal(38,0)").alias("_sp"),
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_part.select(
+        "_pid",
+        F.coalesce(F.sum("_np").over(w_off), F.lit(0)).alias("_offn"),
+        F.coalesce(
+            F.sum("_sp").over(w_off), F.lit(0).cast("decimal(38,0)")
+        ).alias("_offs"),
+    )
+    ranked = local.join(F.broadcast(offs), "_pid").select(
+        "l_partkey",
+        "rev",
+        (F.col("_offn") + F.col("_lr")).cast("long").alias("rk"),
+        (F.col("_offs") + F.col("_lc")).cast("decimal(38,0)").alias("cum"),
+    )
+    tot = ranked.agg(F.sum("rev").cast("decimal(38,0)").alias("total"))
+    out = ranked.join(F.broadcast(tot))
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * ABC_A_PCT, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("total") * ABC_B_PCT, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return out.select(
+        "l_partkey",
+        F.col("rev").alias("rev_cents"),
+        "rk",
+        F.round(
+            F.col("cum").cast("double") / F.col("total").cast("double"), 6
+        ).alias("cum_share"),
+        cls.alias("abc_class"),
+    )

@@ -9112,6 +9112,37 @@ register(
 )
 
 
+
+register(
+    "abc_classification",
+    tpch.abc_classification,
+    f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    r AS (
+      SELECT l_partkey, CAST(rev AS HUGEINT) AS rev,
+             CAST(row_number() OVER (ORDER BY rev DESC, l_partkey)
+                  AS BIGINT) AS rk,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey)
+                  AS HUGEINT) AS cum,
+             CAST(sum(rev) OVER () AS HUGEINT) AS total
+      FROM rev
+    )
+    SELECT l_partkey, CAST(rev AS BIGINT) AS rev_cents, rk,
+           round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS cum_share,
+           CASE WHEN cum * 100 <= total * {tpch.ABC_A_PCT} THEN 'A'
+                WHEN cum * 100 <= total * {tpch.ABC_B_PCT} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+    """,
+)
+
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -9455,6 +9486,7 @@ _DEMOTED_STABLE = [
     "pv_holt_winters",
     "order_reconciliation",
     "dp_quantile",
+    "abc_classification",
 ]
 
 

@@ -238,6 +238,7 @@ def _empty_sf(spark, tmp_path):
         "pv_holt_winters",
         "order_reconciliation",
         "dp_quantile",
+        "abc_classification",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -72,6 +72,7 @@ ALLOWED_NESTED_LOOP = {
     "chi2_independence",  # margin-frame cross product (|types|x7 grid) + 1-row total
     "benford_audit",  # 9-row digit frame x 1-row total broadcast
     "curriculum_buckets",  # 1-row corpus-total broadcast onto the ranked frame
+    "abc_classification",  # 1-row revenue-total broadcast onto the ranked frame
     "graph_communities",  # via _cooccur_tokens (1-row hot stop-token array)
     "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast

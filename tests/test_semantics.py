@@ -3886,3 +3886,29 @@ def test_dp_quantile_near_median(spark):
     for r in rows:
         assert r["rank_err"] < 0.05, r
         assert (r["event_type"], int(round(r["dp_median"] * 100))) in vals
+
+
+def test_abc_classification_pareto_invariants(spark):
+    """ABC invariants: ranks are a permutation 1..n, cum_share is
+    non-decreasing with rank reaching 1.0, classes partition as
+    A-then-B-then-C along the rank order, and every part appears once."""
+    from hedera_spark.operators.tpch import abc_classification
+    from hedera_spark.sources.tables import load_table
+
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        abc_classification(spark, SF_DIR).collect(), key=lambda r: r["rk"]
+    )
+    n = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey"
+    ).distinct().count()
+    assert len(rows) == n
+    assert [r["rk"] for r in rows] == list(range(1, n + 1))
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-9
+    shares = [r["cum_share"] for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    classes = "".join(r["abc_class"] for r in rows)
+    assert classes == "A" * classes.count("A") + "B" * classes.count(
+        "B"
+    ) + "C" * classes.count("C")
