@@ -712,16 +712,20 @@ def test_markov_attribution_invariants(spark, tmp_path_factory, journeys):
 )
 def test_hll_union_merged_error_bound(spark, tmp_path_factory, user_ids):
     """For ANY id multiset: the MERGED sketch row must grade against the
-    exact distinct count within 5x the m=256 theoretical rsd, and every
-    per-day estimate must be positive."""
+    exact distinct count within 5x the m=256 theoretical rsd PLUS a
+    2-register absolute quantum (at tiny n a single bucket collision
+    shifts the linear-counting estimate by ~1, which is a huge RELATIVE
+    error but exactly the sketch's resolution — hypothesis found the
+    2-ids-1-bucket case), and every per-day estimate must be positive."""
     rows = [(i, i % (24 * 60), uid, "view", 1.0) for i, uid in enumerate(user_ids)]
     d = _write_events(str(tmp_path_factory.mktemp("hll")), rows)
     from hedera_spark.operators.sketches import HLL_M, hll_union
 
     out = {r["scope"]: r for r in hll_union(spark, d).collect()}
     merged = out["MERGED"]
-    assert merged["n_exact"] == len(set(user_ids))
-    assert merged["rel_error"] <= 5 * 1.04 / (HLL_M ** 0.5)
+    n_exact = len(set(user_ids))
+    assert merged["n_exact"] == n_exact
+    assert merged["rel_error"] <= 5 * 1.04 / (HLL_M ** 0.5) + 2.0 / n_exact
     for r in out.values():
         assert r["n_hll"] > 0
 
