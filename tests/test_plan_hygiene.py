@@ -73,6 +73,7 @@ ALLOWED_NESTED_LOOP = {
     "benford_audit",  # 9-row digit frame x 1-row total broadcast
     "curriculum_buckets",  # 1-row corpus-total broadcast onto the ranked frame
     "abc_classification",  # 1-row revenue-total broadcast onto the ranked frame
+    "classifier_gains",  # 1-row totals broadcast onto the <=10-row bin frame
     "graph_communities",  # via _cooccur_tokens (1-row hot stop-token array)
     "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast

@@ -3912,3 +3912,51 @@ def test_abc_classification_pareto_invariants(spark):
     assert classes == "A" * classes.count("A") + "B" * classes.count(
         "B"
     ) + "C" * classes.count("C")
+
+
+def test_dispersion_index_matches_direct(spark):
+    """Dispersion must equal a direct Python variance/mean over the
+    collected daily counts per type."""
+    from hedera_spark.operators.timeseries import dispersion_index
+    from hedera_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    got = {r["event_type"]: r for r in dispersion_index(spark, SF_DIR).collect()}
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    by_type = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], []).append(r["count"])
+    for etype, xs in by_type.items():
+        m = sum(xs) / len(xs)
+        v = sum(x * x for x in xs) / len(xs) - m * m
+        row = got[etype]
+        assert row["n_days"] == len(xs)
+        assert abs(row["mean_daily"] - m) < 1e-4
+        assert abs(row["dispersion"] - v / m) < 1e-4
+
+
+def test_classifier_gains_monotone_to_one(spark):
+    """Gains invariants: walking bins high→low, pop_share and capture
+    are non-decreasing and both end at exactly 1.0."""
+    from hedera_spark.operators.importance import classifier_gains
+
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        classifier_gains(spark, SF_DIR).collect(),
+        key=lambda r: -r["bin"],
+    )
+    assert rows
+    shares = [r["pop_share"] for r in rows]
+    caps = [r["capture"] for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert all(b >= a - 1e-9 for a, b in zip(caps, caps[1:]))
+    assert shares[-1] == 1.0 and caps[-1] == 1.0
