@@ -1384,3 +1384,70 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cum_share"),
         cls.alias("abc_class"),
     )
+
+
+def brand_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase brand transitions — event_transitions' Markov
+    chain applied to the retail chain: each order is collapsed to its
+    DOMINANT brand (max revenue, ties to the lexicographically first
+    brand), consecutive orders per customer form (from → to) hops, and
+    the table reports hop counts and P(to | from) — the brand-loyalty /
+    switching matrix.
+
+    Exactness: dominance = row_number over (rev DESC, brand) — exact
+    integer revenue with a total tie order, the identical window in
+    the oracle; transition probabilities are single divisions of
+    exact counts.
+
+    Scale: one orderkey partial agg (dominant brand), one customer-
+    keyed window for the lag (partitioned by o_custkey — bounded per
+    customer), one |brands|²-bounded agg; ≤ |brands| rows broadcast
+    for the row totals."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_rev = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_orderkey",
+            "p_brand",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_orderkey", "p_brand")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w_dom = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("rev"), F.asc("p_brand")
+    )
+    dom = (
+        brand_rev.withColumn("_rk", F.row_number().over(w_dom))
+        .where(F.col("_rk") == 1)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+    )
+    seq = orders.join(
+        dom, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select("o_custkey", "o_orderdate", "o_orderkey", "brand")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hops = (
+        seq.withColumn("prev", F.lag("brand").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_brand"), F.col("brand").alias("to_brand")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hops"))
+    )
+    tot = hops.groupBy("from_brand").agg(F.sum("n_hops").alias("n_from"))
+    return hops.join(F.broadcast(tot), "from_brand").select(
+        "from_brand",
+        "to_brand",
+        "n_hops",
+        F.round(
+            F.col("n_hops").cast("double") / F.col("n_from").cast("double"), 6
+        ).alias("p_transition"),
+    )

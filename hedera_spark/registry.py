@@ -9215,6 +9215,49 @@ register(
 )
 
 
+
+register(
+    "brand_transitions",
+    tpch.brand_transitions,
+    """
+    WITH brand_rev AS (
+      SELECT l_orderkey, p_brand,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    dom AS (
+      SELECT l_orderkey, p_brand AS brand
+      FROM (
+        SELECT l_orderkey, p_brand,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rev DESC, p_brand) AS rk
+        FROM brand_rev
+      ) r WHERE rk = 1
+    ),
+    seq AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, brand,
+             lag(brand) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders JOIN dom ON o_orderkey = l_orderkey
+    ),
+    hops AS (
+      SELECT prev AS from_brand, brand AS to_brand,
+             CAST(count(*) AS BIGINT) AS n_hops
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_brand, sum(n_hops) AS n_from FROM hops GROUP BY 1
+    )
+    SELECT h.from_brand, h.to_brand, h.n_hops,
+           round(CAST(h.n_hops AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6)
+             AS p_transition
+    FROM hops h JOIN tot t USING (from_brand)
+    """,
+)
+
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -9561,6 +9604,7 @@ _DEMOTED_STABLE = [
     "abc_classification",
     "dispersion_index",
     "classifier_gains",
+    "brand_transitions",
 ]
 
 

@@ -241,6 +241,7 @@ def _empty_sf(spark, tmp_path):
         "abc_classification",
         "dispersion_index",
         "classifier_gains",
+        "brand_transitions",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

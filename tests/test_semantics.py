@@ -3960,3 +3960,20 @@ def test_classifier_gains_monotone_to_one(spark):
     assert all(b >= a for a, b in zip(shares, shares[1:]))
     assert all(b >= a - 1e-9 for a, b in zip(caps, caps[1:]))
     assert shares[-1] == 1.0 and caps[-1] == 1.0
+
+
+def test_brand_transitions_rows_are_probabilities(spark):
+    """Per from_brand the transition probabilities must sum to 1, and
+    hop counts must equal orders-with-a-predecessor."""
+    from hedera_spark.operators.tpch import brand_transitions
+
+    from tests.conftest import SF_DIR
+
+    rows = brand_transitions(spark, SF_DIR).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_brand"], []).append(r)
+    for f, rs in by_from.items():
+        assert abs(sum(r["p_transition"] for r in rs) - 1.0) < 1e-4, f
+        assert all(r["n_hops"] > 0 for r in rs)
