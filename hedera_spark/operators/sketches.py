@@ -455,3 +455,79 @@ def moments_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"{p}_exact") for p in MOM_Z],
         *errs,
     )
+
+
+AMS_K = 16  # independent ±1-sign estimators
+
+
+def ams_sign_sums(df: DataFrame) -> DataFrame:
+    """The AMS F₂ sketch state: for each of AMS_K estimators, the sum
+    of ±1 signs over rows (sign = one md5 bit of (estimator, user_id))
+    — 16 integers, mergeable by addition; shared by the batch grader
+    (ams_f2) and the streaming maintainer
+    (streaming.integrity.stream_ams). E[S_k²] = Σf² exactly (pairwise
+    sign independence), which is the whole trick."""
+    cols = []
+    for k in range(AMS_K):
+        bit = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "~", F.lit(f"ams{k}"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long") % 2
+        cols.append(
+            F.sum((bit * 2 - 1).cast("long")).alias(f"s{k}")
+        )
+    return df.agg(F.count(F.lit(1)).cast("long").alias("n"), *cols)
+
+
+def ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F₂) sketch graded against the exact value —
+    the last classic in the mergeable-sketch family (HLL = distinct,
+    CMS = frequency, moments = quantiles, THIS = Σf², the self-join
+    size / skew number a join planner wants before shuffling): K=16
+    independent ±1-sign sums, estimate = the average of S_k² (each an
+    unbiased estimator of Σf²), next to the exact Σf² computed from
+    the per-user frequency table.
+
+    Determinism: signs come from one md5 hex digit's parity per
+    (estimator, user) — exact integers end to end; the average of K
+    exact integer squares is ONE double division.
+
+    Scale: the sketch pass is ONE map-side agg to 17 integers (the
+    100 TB path); the exact Σf² (for grading only) pays the one
+    user-keyed partial agg."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sums = ams_sign_sums(ev)
+    est = None
+    for k in range(AMS_K):
+        t = F.col(f"s{k}") * F.col(f"s{k}")
+        est = t if est is None else est + t
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).alias("f2"))
+    )
+    out = sums.join(F.broadcast(exact)).where(F.col("n") > 0)
+    return out.select(
+        "n",
+        F.col("f2").cast("long").alias("f2_exact"),
+        F.round(
+            est.cast("double") / F.lit(float(AMS_K)), 4
+        ).alias("f2_est"),
+        F.round(
+            F.abs(
+                est.cast("double") / F.lit(float(AMS_K))
+                - F.col("f2").cast("double")
+            )
+            / F.col("f2").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )

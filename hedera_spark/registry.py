@@ -9258,6 +9258,45 @@ register(
 )
 
 
+
+register(
+    "ams_f2",
+    sk.ams_f2,
+    """
+    WITH sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams0', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s0,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams1', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s1,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams2', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s2,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams3', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s3,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams4', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s4,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams5', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s5,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams6', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s6,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams7', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s7,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams8', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s8,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams9', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s9,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams10', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s10,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams11', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s11,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams12', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s12,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams13', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s13,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams14', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s14,
+             sum(CAST((('0x' || substr(md5(concat_ws('~', 'ams15', CAST(user_id AS VARCHAR))), 1, 1))::BIGINT % 2) * 2 - 1 AS BIGINT)) AS s15
+      FROM events
+    ),
+    exact AS (
+      SELECT CAST(sum(f * f) AS HUGEINT) AS f2
+      FROM (SELECT CAST(count(*) AS HUGEINT) AS f
+            FROM events GROUP BY user_id)
+    )
+    SELECT n, CAST(f2 AS BIGINT) AS f2_exact,
+           round(CAST(s0 * s0 + s1 * s1 + s2 * s2 + s3 * s3 + s4 * s4 + s5 * s5 + s6 * s6 + s7 * s7 + s8 * s8 + s9 * s9 + s10 * s10 + s11 * s11 + s12 * s12 + s13 * s13 + s14 * s14 + s15 * s15 AS DOUBLE) / 16.0, 4) AS f2_est,
+           round(abs(CAST(s0 * s0 + s1 * s1 + s2 * s2 + s3 * s3 + s4 * s4 + s5 * s5 + s6 * s6 + s7 * s7 + s8 * s8 + s9 * s9 + s10 * s10 + s11 * s11 + s12 * s12 + s13 * s13 + s14 * s14 + s15 * s15 AS DOUBLE) / 16.0 - CAST(f2 AS DOUBLE))
+                 / CAST(f2 AS DOUBLE), 6) AS rel_error
+    FROM sums CROSS JOIN exact WHERE n > 0
+    """,
+)
+
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -9605,6 +9644,7 @@ _DEMOTED_STABLE = [
     "dispersion_index",
     "classifier_gains",
     "brand_transitions",
+    "ams_f2",
 ]
 
 

@@ -131,3 +131,15 @@ def stream_dp_counts(spark: SparkSession, src_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     )
     return dp_count_release(g)
+
+
+def stream_ams(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Running AMS F₂ sign sums over the event stream — the incremental
+    twin of operators/sketches.ams_sign_sums (the 16-integer state
+    behind ams_f2). Sign sums merge by addition, so the complete-mode
+    agg after consuming the whole log equals the batch sums exactly
+    (replay-equals-batch test) — the self-join-size/skew monitor kept
+    live for the join planner, state bounded at 17 integers forever."""
+    from hedera_spark.operators.sketches import ams_sign_sums
+
+    return ams_sign_sums(event_stream(spark, src_dir).select("user_id"))

@@ -242,6 +242,7 @@ def _empty_sf(spark, tmp_path):
         "dispersion_index",
         "classifier_gains",
         "brand_transitions",
+        "ams_f2",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

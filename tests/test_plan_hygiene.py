@@ -74,6 +74,7 @@ ALLOWED_NESTED_LOOP = {
     "curriculum_buckets",  # 1-row corpus-total broadcast onto the ranked frame
     "abc_classification",  # 1-row revenue-total broadcast onto the ranked frame
     "classifier_gains",  # 1-row totals broadcast onto the <=10-row bin frame
+    "ams_f2",  # 1-row sketch frame x 1-row exact-F2 broadcast (grading join)
     "graph_communities",  # via _cooccur_tokens (1-row hot stop-token array)
     "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast

@@ -3977,3 +3977,18 @@ def test_brand_transitions_rows_are_probabilities(spark):
     for f, rs in by_from.items():
         assert abs(sum(r["p_transition"] for r in rs) - 1.0) < 1e-4, f
         assert all(r["n_hops"] > 0 for r in rs)
+
+
+def test_ams_f2_estimator_quality(spark):
+    """AMS sanity: the 16-estimator average must land within 3/sqrt(K)
+    relative error of the exact second moment (Chebyshev on the
+    averaged estimator: Var <= 2·F2²/K)."""
+    from hedera_spark.operators.sketches import AMS_K, ams_f2
+
+    from tests.conftest import SF_DIR
+
+    rows = ams_f2(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["f2_exact"] > 0
+    assert r["rel_error"] <= 3 * (2.0 / AMS_K) ** 0.5

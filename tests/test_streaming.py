@@ -1553,3 +1553,27 @@ def test_stream_dp_counts_equals_batch_release(spark):
     got = spark.sql("select * from dp_stream").toPandas()
     want = QUERIES["dp_counts"](spark, SF_DIR).toPandas()
     assert_frames_match(got, want, "stream_dp_counts")
+
+
+def test_stream_ams_equals_batch_sums(spark):
+    """The streaming AMS sign sums after consuming the whole log must
+    equal the batch ams_sign_sums exactly."""
+    from hedera_spark.operators.sketches import ams_sign_sums
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.integrity import stream_ams
+
+    out = stream_ams(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ams_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from ams_stream").toPandas()
+    want = ams_sign_sums(
+        load_table(spark, SF_DIR, "events").select("user_id")
+    ).toPandas()
+    assert_frames_match(got, want, "stream_ams")
