@@ -531,3 +531,126 @@ def ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+KMV_K = 64
+_KMV_SPACE = float(1 << 48)
+
+
+def kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET ALGEBRA graded against exact intersections
+    — the capability the sketch family still lacked: distinct counts
+    merge (hll_union), but only a value-keeping sketch supports
+    intersections of audiences. Per event type the K=64 smallest
+    md5-uniform hashes of its distinct users (mergeable: union then
+    re-trim — the events_sample_k property); per type pair, the theta
+    estimate |A∩B| ≈ |common hashes < θ|·2⁴⁸/θ with θ = min(θ_A, θ_B)
+    (θ_t = the K-th smallest hash, or the full space when the type has
+    fewer than K users — then the sketch IS the set and the estimate
+    is exact), next to the exact intersection (the audited grading
+    pass) and the realized error.
+
+    Determinism: hashes are exact md5₄₈ integers; θ and the common
+    count are exact; the estimate is ONE double division.
+
+    Scale: the sketch pass is one distinct + one bounded per-type
+    TopK (K rows per type survive); pair algebra runs on the ≤
+    |types|·K-row frame. The exact grading join is the one deliberate
+    corpus-scale cost, as in ams_f2/hll_union."""
+    from pyspark.sql import Window
+
+    tu = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("~", F.lit("kmv"), F.col("user_id").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        .persist()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    bk = (
+        tu.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KMV_K)
+        .select("event_type", "h", "rk")
+        .persist()
+    )
+    counts = tu.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_t")
+    )
+    theta = (
+        bk.groupBy("event_type")
+        .agg(F.max("h").alias("maxh"))
+        .join(F.broadcast(counts), "event_type")
+        .select(
+            "event_type",
+            "n_t",
+            F.when(F.col("n_t") >= KMV_K, F.col("maxh"))
+            .otherwise(F.lit(int(_KMV_SPACE)))
+            .alias("theta"),
+        )
+    )
+    pairs = (
+        theta.select(
+            F.col("event_type").alias("ta"), F.col("theta").alias("tha")
+        )
+        .crossJoin(
+            theta.select(
+                F.col("event_type").alias("tb"), F.col("theta").alias("thb")
+            )
+        )
+        .where(F.col("ta") < F.col("tb"))
+        .withColumn("th", F.least("tha", "thb"))
+        .select("ta", "tb", "th")
+    )
+    a = bk.select(F.col("event_type").alias("ta"), "h")
+    b = bk.select(F.col("event_type").alias("tb"), "h")
+    cj = (
+        a.join(b, "h")
+        .where(F.col("ta") < F.col("tb"))
+        .join(F.broadcast(pairs), ["ta", "tb"])
+        .where(F.col("h") < F.col("th"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_below"))
+    )
+    common = pairs.join(cj, ["ta", "tb"], "left").select(
+        "ta", "tb", "th", F.coalesce("c_below", F.lit(0)).alias("c_below")
+    )
+    ex = (
+        tu.select(F.col("event_type").alias("ta"), "user_id")
+        .join(
+            tu.select(F.col("event_type").alias("tb"), "user_id"), "user_id"
+        )
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    est = (
+        F.col("c_below").cast("double")
+        * F.lit(_KMV_SPACE)
+        / F.col("th").cast("double")
+    )
+    out = common.join(ex, ["ta", "tb"], "left").select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+        F.round(est, 4).alias("n_est"),
+        F.when(
+            F.coalesce("n_exact", F.lit(0)) > 0,
+            F.round(
+                F.abs(est - F.coalesce("n_exact", F.lit(0)).cast("double"))
+                / F.coalesce("n_exact", F.lit(0)).cast("double"),
+                6,
+            ),
+        ).alias("rel_error"),
+    )
+    return out

@@ -9297,6 +9297,71 @@ register(
 )
 
 
+
+register(
+    "kmv_intersect",
+    sk.kmv_intersect,
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    hh AS (
+      SELECT event_type, user_id,
+             ('0x' || substr(md5(concat_ws('~', 'kmv',
+                CAST(user_id AS VARCHAR))), 1, 12))::BIGINT AS h
+      FROM tu
+    ),
+    bk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM hh
+      ) r WHERE rk <= 64
+    ),
+    counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM tu GROUP BY 1
+    ),
+    theta AS (
+      SELECT b.event_type,
+             CASE WHEN c.n_t >= 64 THEN max(b.h)
+                  ELSE 281474976710656 END AS theta
+      FROM bk b JOIN counts c USING (event_type)
+      GROUP BY b.event_type, c.n_t
+    ),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             least(a.theta, b.theta) AS th
+      FROM theta a CROSS JOIN theta b WHERE a.event_type < b.event_type
+    ),
+    cj AS (
+      SELECT p.ta, p.tb, CAST(count(*) AS BIGINT) AS c_below
+      FROM bk a JOIN bk b ON a.h = b.h AND a.event_type < b.event_type
+      JOIN pairs p ON p.ta = a.event_type AND p.tb = b.event_type
+      WHERE a.h < p.th
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(count(*) AS BIGINT) AS n_exact
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.ta AS type_a, p.tb AS type_b,
+           coalesce(e.n_exact, 0) AS n_exact,
+           round(CAST(coalesce(c.c_below, 0) AS DOUBLE) * 281474976710656.0
+                 / CAST(p.th AS DOUBLE), 4) AS n_est,
+           CASE WHEN coalesce(e.n_exact, 0) > 0 THEN
+             round(abs(CAST(coalesce(c.c_below, 0) AS DOUBLE) * 281474976710656.0
+                       / CAST(p.th AS DOUBLE)
+                       - CAST(coalesce(e.n_exact, 0) AS DOUBLE))
+                   / CAST(coalesce(e.n_exact, 0) AS DOUBLE), 6)
+           END AS rel_error
+    FROM pairs p
+    LEFT JOIN cj c ON c.ta = p.ta AND c.tb = p.tb
+    LEFT JOIN ex e ON e.ta = p.ta AND e.tb = p.tb
+    """,
+)
+
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -9645,6 +9710,7 @@ _DEMOTED_STABLE = [
     "classifier_gains",
     "brand_transitions",
     "ams_f2",
+    "kmv_intersect",
 ]
 
 

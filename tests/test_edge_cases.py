@@ -243,6 +243,7 @@ def _empty_sf(spark, tmp_path):
         "classifier_gains",
         "brand_transitions",
         "ams_f2",
+        "kmv_intersect",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

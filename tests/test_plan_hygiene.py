@@ -75,6 +75,7 @@ ALLOWED_NESTED_LOOP = {
     "abc_classification",  # 1-row revenue-total broadcast onto the ranked frame
     "classifier_gains",  # 1-row totals broadcast onto the <=10-row bin frame
     "ams_f2",  # 1-row sketch frame x 1-row exact-F2 broadcast (grading join)
+    "kmv_intersect",  # |types|-row theta frames cross product (pair grid)
     "graph_communities",  # via _cooccur_tokens (1-row hot stop-token array)
     "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast

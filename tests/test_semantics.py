@@ -3992,3 +3992,32 @@ def test_ams_f2_estimator_quality(spark):
     r = rows[0]
     assert r["f2_exact"] > 0
     assert r["rel_error"] <= 3 * (2.0 / AMS_K) ** 0.5
+
+
+def test_kmv_intersect_exact_when_sets_small(spark):
+    """Pairs where both audiences hold fewer than K distinct users run
+    the sketch in exact mode (theta = full space): n_est must equal
+    n_exact exactly there; everywhere n_est must be non-negative and
+    the full pair grid must be emitted."""
+    from hedera_spark.operators.sketches import KMV_K, kmv_intersect
+    from hedera_spark.sources.tables import load_table
+
+    from tests.conftest import SF_DIR
+
+    rows = kmv_intersect(spark, SF_DIR).collect()
+    counts = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    t = len(counts)
+    assert len(rows) == t * (t - 1) // 2
+    for r in rows:
+        assert r["n_est"] >= 0
+        if counts[r["type_a"]] < KMV_K and counts[r["type_b"]] < KMV_K:
+            assert r["n_est"] == float(r["n_exact"])
