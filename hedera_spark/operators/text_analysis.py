@@ -2069,3 +2069,79 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q6") / (F.col("n_docs").cast("double") * 1e6), 6
         ).alias("mean_quality"),
     )
+
+
+LLR_TOPK = 50
+
+
+def bigram_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation SIGNIFICANCE: Dunning's log-likelihood ratio over
+    the adjacent-bigram 2×2 contingency table — bigram_pmi's
+    statistical twin (PMI over-ranks rare pairs; LLR weighs the
+    evidence, which is why Dunning 1993 is the standard collocation
+    test): for each bigram, O₁₁ = c(ab), margins = first-position and
+    second-position counts, LLR = 2·Σ O·ln(O/E), zero-observation
+    cells contribute 0.
+
+    Exactness: all counts and margins are exact integers (margins from
+    the UNFILTERED bigram table); each term is one ln of an exact
+    integer ratio and the four terms fold in a fixed written order —
+    identical doubles in both engines; top-K by (llr DESC, w1, w2) is
+    a total order.
+
+    Scale: the bigram_pmi shape — map-only extraction, one
+    vocabulary-bounded agg, margin frames broadcast, TakeOrdered cut."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bi = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " filter(transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                "             element_at(split(text, ' '), i + 1) AS w2)),"
+                " p -> p.w1 != '' AND p.w2 != '')"
+                " ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cab_all = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    cab_all = cab_all.persist()
+    m1 = cab_all.groupBy("w1").agg(F.sum("c_ab").alias("c_a1"))
+    m2 = cab_all.groupBy("w2").agg(F.sum("c_ab").alias("c_b2"))
+    tot = cab_all.agg(F.sum("c_ab").cast("long").alias("n_bi"))
+    cab = cab_all.where(F.col("c_ab") >= PMI_MIN_COUNT)
+    j = (
+        cab.join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    o11 = F.col("c_ab").cast("double")
+    r1 = F.col("c_a1").cast("double")
+    c1 = F.col("c_b2").cast("double")
+    n = F.col("n_bi").cast("double")
+    o12 = r1 - o11
+    o21 = c1 - o11
+    o22 = n - r1 - c1 + o11
+
+    def term(o, row, col):
+        return F.when(
+            o > 0, o * F.log(o * n / (row * col))
+        ).otherwise(F.lit(0.0))
+
+    llr = 2.0 * (
+        term(o11, r1, c1)
+        + term(o12, r1, n - c1)
+        + term(o21, n - r1, c1)
+        + term(o22, n - r1, n - c1)
+    )
+    out = j.select(
+        "w1",
+        "w2",
+        "c_ab",
+        F.col("c_a1").cast("long").alias("c_a1"),
+        F.col("c_b2").cast("long").alias("c_b2"),
+        F.round(llr, 6).alias("llr"),
+    )
+    return out.orderBy(F.desc("llr"), "w1", "w2").limit(LLR_TOPK)

@@ -9362,6 +9362,45 @@ register(
 )
 
 
+
+register(
+    "bigram_llr",
+    ta.bigram_llr,
+    f"""
+    WITH bi AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+      WHERE toks[i] <> '' AND toks[i+1] <> ''
+    ),
+    cab_all AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+    m1 AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a1
+           FROM cab_all GROUP BY 1),
+    m2 AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b2
+           FROM cab_all GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM cab_all),
+    f AS (
+      SELECT c.w1, c.w2, c.c_ab, m1.c_a1, m2.c_b2,
+             CAST(c.c_ab AS DOUBLE) AS o11,
+             CAST(m1.c_a1 AS DOUBLE) AS r1,
+             CAST(m2.c_b2 AS DOUBLE) AS c1,
+             CAST(t.n_bi AS DOUBLE) AS n
+      FROM cab_all c
+      JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot t
+      WHERE c.c_ab >= {ta.PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, c_a1, c_b2,
+           round(2.0 * ((CASE WHEN o11 > 0 THEN o11 * ln(o11 * n / (r1 * c1)) ELSE 0.0 END)
+                 + (CASE WHEN (r1 - o11) > 0 THEN (r1 - o11) * ln((r1 - o11) * n / (r1 * (n - c1))) ELSE 0.0 END)
+                 + (CASE WHEN (c1 - o11) > 0 THEN (c1 - o11) * ln((c1 - o11) * n / ((n - r1) * c1)) ELSE 0.0 END)
+                 + (CASE WHEN (n - r1 - c1 + o11) > 0 THEN (n - r1 - c1 + o11) * ln((n - r1 - c1 + o11) * n / ((n - r1) * (n - c1))) ELSE 0.0 END)), 6) AS llr
+    FROM f
+    ORDER BY llr DESC, w1, w2
+    LIMIT {ta.LLR_TOPK}
+    """,
+)
+
+
 # --- Driver-gate ordering ---------------------------------------------------
 # The round driver grades the FIRST 50 entries of queries() in dict
 # insertion order (CORRECTNESS_r01.json == first-50 register() calls).
@@ -9711,6 +9750,7 @@ _DEMOTED_STABLE = [
     "brand_transitions",
     "ams_f2",
     "kmv_intersect",
+    "bigram_llr",
 ]
 
 

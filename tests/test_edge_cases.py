@@ -244,6 +244,7 @@ def _empty_sf(spark, tmp_path):
         "brand_transitions",
         "ams_f2",
         "kmv_intersect",
+        "bigram_llr",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -76,6 +76,7 @@ ALLOWED_NESTED_LOOP = {
     "classifier_gains",  # 1-row totals broadcast onto the <=10-row bin frame
     "ams_f2",  # 1-row sketch frame x 1-row exact-F2 broadcast (grading join)
     "kmv_intersect",  # |types|-row theta frames cross product (pair grid)
+    "bigram_llr",  # 1-row bigram-total broadcast (the bigram_pmi shape)
     "graph_communities",  # via _cooccur_tokens (1-row hot stop-token array)
     "pagerank_anchors",
     "anchor_lift",  # 1-row corpus-size aggregate broadcast

@@ -4021,3 +4021,19 @@ def test_kmv_intersect_exact_when_sets_small(spark):
         assert r["n_est"] >= 0
         if counts[r["type_a"]] < KMV_K and counts[r["type_b"]] < KMV_K:
             assert r["n_est"] == float(r["n_exact"])
+
+
+def test_bigram_llr_nonnegative_and_ranked(spark):
+    """LLR is a likelihood-ratio statistic: every value must be
+    >= 0 (up to fp noise) and the output sorted by it descending."""
+    from hedera_spark.operators.text_analysis import LLR_TOPK, bigram_llr
+
+    from tests.conftest import SF_DIR
+
+    rows = bigram_llr(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= LLR_TOPK
+    vals = [r["llr"] for r in rows]
+    assert all(v >= -1e-6 for v in vals)
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        assert r["c_ab"] <= r["c_a1"] and r["c_ab"] <= r["c_b2"]
