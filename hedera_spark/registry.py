@@ -1335,17 +1335,18 @@ register(
     mm.multimodal_dedup,
     """
     WITH p AS (
-      SELECT doc_id, md5(text) AS fingerprint,
+      SELECT doc_id, md5(substr(text, 1, 64)) AS fingerprint,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       FROM documents
     ),
     g AS (
       SELECT fingerprint, count(*) AS n_copies, min(doc_id) AS survivor_id,
-             sum(n_bytes) AS total_bytes, max(n_bytes) AS payload_bytes
+             sum(n_bytes) AS total_bytes,
+             arg_min(n_bytes, doc_id) AS survivor_bytes
       FROM p GROUP BY fingerprint
     )
     SELECT fingerprint, CAST(n_copies AS BIGINT) AS n_copies, survivor_id,
-           CAST(total_bytes - payload_bytes AS BIGINT) AS wasted_bytes
+           CAST(total_bytes - survivor_bytes AS BIGINT) AS wasted_bytes
     FROM g WHERE n_copies >= 2
     """,
 )
@@ -1365,7 +1366,8 @@ register(
     SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
            CAST(len(list_slice(range(0, n_frames, step), 1, 4)) AS BIGINT)
              AS n_sampled,
-           list_slice(range(0, n_frames, step), 1, 4) AS frame_indices
+           array_to_string(list_slice(range(0, n_frames, step), 1, 4), ',')
+             AS frame_indices
     FROM f
     """,
 )

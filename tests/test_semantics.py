@@ -125,11 +125,11 @@ def test_multimodal_features_histogram(spark, tmp_path):
 
     row = multimodal_features(spark, str(out)).first()
     assert row["n_bytes"] == 4
-    hist = row["byte_hist"]
+    hist = [float(v) for v in row["byte_hist"].split(",")]
     assert abs(sum(hist) - 1.0) < 1e-9
     assert hist[ord("a") >> 4] == 1.0  # all bytes are 'a' (0x61 -> bin 6)
     assert max(row["resized_w"], row["resized_h"]) == 256
-    assert row["frame_indices"][0] == 0
+    assert row["frame_indices"].split(",")[0] == "0"
 
 
 def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
@@ -538,14 +538,19 @@ def test_pv_trending_planted_spike_week(spark, tmp_path):
 
 
 def test_multimodal_dedup_groups_and_waste(spark, tmp_path):
-    """Byte-identical payloads form one group with min-id survivor and
-    (n−1)·payload_bytes wasted; unique payloads emit nothing."""
+    """Payloads sharing the 64-byte prefix fingerprint form one group with
+    min-id survivor; wasted bytes = total minus the SURVIVOR's own bytes
+    (members may differ in size); unique payloads emit nothing."""
     docs = spark.createDataFrame(
         [
             (7, "samesame", "p", "en", 8),
             (3, "samesame", "q", "en", 8),
             (9, "samesame", "r", "en", 8),
             (4, "unique", "s", "en", 6),
+            # prefix collision past the fingerprint window: same first 64
+            # chars, different tails — one group, size-aware waste
+            (11, "x" * 64 + "tailA", "t", "en", 69),
+            (12, "x" * 64 + "longer-tail-B", "u", "en", 77),
         ],
         "doc_id long, text string, source string, lang string, n_chars long",
     )
@@ -554,12 +559,15 @@ def test_multimodal_dedup_groups_and_waste(spark, tmp_path):
 
     from hedera_spark.operators.multimodal import multimodal_dedup
 
-    out = multimodal_dedup(spark, str(sf)).collect()
-    assert len(out) == 1
-    g = out[0]
-    assert g["n_copies"] == 3 and g["survivor_id"] == 3
+    out = {r["survivor_id"]: r for r in multimodal_dedup(spark, str(sf)).collect()}
+    assert len(out) == 2
+    g = out[3]
+    assert g["n_copies"] == 3
     assert g["wasted_bytes"] == 2 * 8
     assert len(g["fingerprint"]) == 32
+    px = out[11]
+    assert px["n_copies"] == 2
+    assert px["wasted_bytes"] == 64 + len("longer-tail-B")
 
 
 def test_multimodal_frames_stride_sampling(spark, tmp_path):
@@ -576,9 +584,9 @@ def test_multimodal_frames_stride_sampling(spark, tmp_path):
 
     out = {r["doc_id"]: r for r in multimodal_frames(spark, str(sf)).collect()}
     # doc 1: 4 bytes -> 5 frames, stride 1 -> first four indices
-    assert out[1]["n_frames"] == 5 and out[1]["frame_indices"] == [0, 1, 2, 3]
+    assert out[1]["n_frames"] == 5 and out[1]["frame_indices"] == "0,1,2,3"
     # doc 2: 15 bytes -> 16 frames, stride 4 -> evenly spaced
-    assert out[2]["n_frames"] == 16 and out[2]["frame_indices"] == [0, 4, 8, 12]
+    assert out[2]["n_frames"] == 16 and out[2]["frame_indices"] == "0,4,8,12"
     assert all(r["n_sampled"] == 4 for r in out.values())
 
 
