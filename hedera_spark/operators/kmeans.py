@@ -340,6 +340,11 @@ def coreset_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("s").alias("s"))
             .collect()[0]["s"]
         )
+        # corpus smaller than K: once every point is selected the argmax
+        # min-distance collapses to 0 and would re-pick an already-chosen
+        # vec_id forever — stop with fewer than K rows instead
+        if float(far["d"]) == 0.0 and any(-far["nid"] == v for v, _ in sel):
+            break
         sel.append((-far["nid"], far["e"]))
         rows.append((step, -far["nid"], float(far["d"])))
     emb.unpersist()

@@ -599,6 +599,11 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQ_LEVELS = 255  # 8-bit codes
 SQ_TOPK = 3
+
+# the recall dials compare each approximate index's top-K against ONE
+# shared exact top-K (_exact_top3, cut at LSH_TOPK); the per-index
+# constants must agree or the shared ground truth grades at the wrong K
+assert LSH_TOPK == IVF_TOPK == SQ_TOPK
 EMB_DIM = 64
 
 

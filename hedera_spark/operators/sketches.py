@@ -653,4 +653,9 @@ def kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("rel_error"),
     )
+    # materialize the ≤|types|²-row result, then release the two cached
+    # corpus-scale frames — without this the blocks leak for the session
+    out = out.localCheckpoint(eager=True)
+    bk.unpersist()
+    tu.unpersist()
     return out

@@ -2124,15 +2124,27 @@ def survival_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk = g.withColumn(
         "n_risk", F.sum("n_at").over(w_risk).cast("long")
     ).withColumn(
+        # d_obs == n_risk zeroes the KM product (S(t) = 0 from here on);
+        # ln is undefined there, so carry the term as 0 and track the
+        # zero-crossing with a running flag instead of letting a NULL
+        # silently drop out of the windowed sum
         "lnterm",
         F.expr(
             "CASE WHEN d_obs > 0 AND d_obs < n_risk THEN"
             " ln(1.0 - CAST(d_obs AS DOUBLE) / CAST(n_risk AS DOUBLE))"
-            " WHEN d_obs = 0 THEN 0.0 END"
+            " ELSE 0.0 END"
         ),
+    ).withColumn(
+        "hit_zero",
+        F.max(
+            F.expr("CASE WHEN d_obs > 0 AND d_obs = n_risk THEN 1 ELSE 0 END")
+        ).over(w_surv),
     )
     return risk.withColumn(
-        "survival", F.round(F.exp(F.sum("lnterm").over(w_surv)), 6)
+        "survival",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+            F.round(F.exp(F.sum("lnterm").over(w_surv)), 6)
+        ),
     ).select(
         "t_days",
         "n_risk",

@@ -35,6 +35,7 @@ ORACLE: dict[str, str] = {}
 
 
 def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    assert name not in QUERIES, f"duplicate registry key: {name}"
     QUERIES[name] = fn
     if oracle is not None:
         ORACLE[name] = oracle
@@ -5395,7 +5396,10 @@ register(
 )
 
 register(
-    "classifier_auc",
+    # named quality_auc (not classifier_auc: that key is the
+    # text_analysis English-vs-rest gate-bias audit) — this is the
+    # tie-corrected Mann-Whitney AUC of the TRAINED quality classifier
+    "quality_auc",
     imp.classifier_auc,
     f"""
     WITH scored AS (
@@ -8368,14 +8372,19 @@ register(
     lnt AS (
       SELECT *, CASE WHEN d_obs > 0 AND d_obs < n_risk THEN
                ln(1.0 - CAST(d_obs AS DOUBLE) / CAST(n_risk AS DOUBLE))
-               WHEN d_obs = 0 THEN 0.0 END AS lnterm
+               ELSE 0.0 END AS lnterm,
+             max(CASE WHEN d_obs > 0 AND d_obs = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hit_zero
       FROM risk
     )
     SELECT t_days, n_risk, d_obs AS d_repurchase,
            CAST(n_at - d_obs AS BIGINT) AS n_censored,
-           round(exp(sum(lnterm) OVER (ORDER BY t_days
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
-             AS survival
+           CASE WHEN hit_zero = 1 THEN 0.0 ELSE
+             round(exp(sum(lnterm) OVER (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             END AS survival
     FROM lnt
     """,
 )
@@ -9542,47 +9551,29 @@ _DEMOTED_STABLE = [
     # defer to the r4 gate (bm25: plan-pinned + unit-tested;
     # corpus_delta: property-tested and embedded verbatim in
     # dedup_incremental's checked oracle)
-    "bm25_topk",
-    "corpus_delta",
     # ninth wave slot: kmeans_embeddings defers to r4 (unrolled-CTE
     # oracle exercised verbatim inside the checked dedup_semantic)
-    "kmeans_embeddings",
     # tenth wave slot: bpe_apply defers to r4 (lossless-reconstruction
     # tested; bpe_train, whose merges it applies, stays in the gate)
-    "bpe_apply",
     # eleventh wave: the two light roll-ups register straight into the
     # r4 backlog — locally parity-tested (sf0.001) and driver_sim
     # MATCHed (sf0.01), no front-50 displacement needed
-    "rev_lifespan",
     "pv_hour_profile",
     # twelfth wave: LPA communities joins the same backlog (planted-
     # two-cluster semantics test + local parity + driver_sim MATCH)
-    "graph_communities",
     "key_skew_stats",
     # thirteenth wave (this session): positional IR joins the r4 backlog
     # (local parity at sf0.001 + driver_sim MATCH at sf0.01 on record)
-    "positional_index",
-    "phrase_search",
-    "graph_kcore",
     "pv_changepoint",
     "simhash_recall",
     "embedding_outliers",
-    "rev_reverts",
-    "page_conflict",
-    "graph_distances",
-    "rocchio_expansion",
     "lang_id_ngram",
-    "graph_neighbor_jaccard",
     "bigram_pmi",
-    "sparse_cosine_topk",
     "user_thresholds",
     "multimodal_resample",
     "skipgram_pairs",
     "sample_fixed_k",
     "text_normalize",
-    "graph_assortativity",
-    "embedding_pca",
-    "kn_bigram_lm",
     "late_events",
     "vocab_coverage",
     "dedup_threshold_sweep",
@@ -9591,13 +9582,11 @@ _DEMOTED_STABLE = [
     "mix_temperature",
     "contamination_report",
     "minhash_band_sweep",
-    "doc_perplexity_kn",
     "asof_join_nearest",
     "blocklist_gate",
     # twentieth wave: profiling utilities join the r4 backlog (driver_sim
     # MATCH / rows-only property test on record this session)
     "data_profile",
-    "quantile_error",
     # twenty-first wave: same backlog convention
     "dup_by_source",
     "attribution_last_touch",
@@ -9607,7 +9596,6 @@ _DEMOTED_STABLE = [
     "robust_stats",
     # twenty-third wave
     "event_transitions",
-    "ql_topk",
     "length_quality_curve",
     # twenty-fourth wave
     "profile_drift",
@@ -9628,24 +9616,18 @@ _DEMOTED_STABLE = [
     "ks_drift",
     "events_gap_stats",
     "campaign_cooccur",
-    "graph_two_hop",
     # twenty-eighth wave
     "quality_mi",
     "pv_dow_hour",
     "rare_token_ratio",
     # twenty-ninth wave
-    "graph_modularity",
-    "champion_lists",
     "k_anonymity",
     "pv_entropy",
-    "kmeans_silhouette",
     # thirtieth wave
     "erasure_impact",
     "gate_agreement",
-    "retrieval_interleave",
     "pv_ewma",
     # thirty-first wave
-    "retrieval_ndcg",
     "pv_cusum",
     "rfm_segments",
     "basket_lift",
@@ -9660,7 +9642,6 @@ _DEMOTED_STABLE = [
     "conversion_latency",
     "quality_ppl_corr",
     # thirty-fourth wave
-    "spell_candidates",
     "dedup_method_agreement",
     # thirty-fifth wave
     "shipping_delay",
@@ -9676,21 +9657,17 @@ _DEMOTED_STABLE = [
     "return_rates",
     # thirty-eighth wave
     "table_fingerprint",
-    "autocomplete_prefix",
     "pv_daily_bands",
     # thirty-ninth wave
     "checksum_by_type",
     # fortieth wave
-    "editor_activity",
     "value_anova",
     "value_mad",
     # forty-first wave
     "bootstrap_means",
-    "hll_error",
     # forty-second wave
     "cms_topk",
     "bloom_semi_join",
-    "rrf_fusion",
     # forty-third wave
     "join_size_estimate",
     "partition_planner",
@@ -9700,25 +9677,17 @@ _DEMOTED_STABLE = [
     "keyword_rake",
     "skew_salt_plan",
     "salted_join",
-    "wand_bounds",
     "audience_overlap",
     "embedding_drift",
     "zorder_layout_audit",
-    "markov_attribution",
     "hll_union",
     "equi_depth_histogram",
-    "rev_token_provenance",
     "encoding_advisor",
-    "doremi_weights",
-    "graph_walks",
     "pv_stl",
     "dp_counts",
     "ann_pareto",
     # sixth-session wave: SCD2 / CDC primitives (locally parity-tested;
     # rotate into the gate in r4)
-    "scd2_build",
-    "scd2_resolve",
-    "upsert_merge",
     "pv_pivot",
     "pv_unpivot",
     "retention_sweep",
@@ -9728,15 +9697,11 @@ _DEMOTED_STABLE = [
     "frequent_itemsets",
     "constraint_audit",
     "ab_permutation_test",
-    "survival_repurchase",
-    "classifier_auc",
     "score_quantile_norm",
     # seventh-session wave: all driver_sim-green at sf0.01 in-session;
     # rotate into the gate in r4 with the other r3-new demotees
-    "coreset_maxmin",
     "linreg_value_hour",
     "chi2_independence",
-    "calibration_isotonic",
     "revenue_gini",
     "benford_audit",
     "l_diversity",
@@ -9750,9 +9715,57 @@ _DEMOTED_STABLE = [
     "dispersion_index",
     "classifier_gains",
     "brand_transitions",
-    "ams_f2",
-    "kmv_intersect",
     "bigram_llr",
+    # round 4 rotation: the 47 r3-gate-green entries demote to make
+    # room for 46 never-driver-checked promotions (trained/iterative,
+    # SCD2/CDC, retrieval, graph, revision families + the two
+    # rows-only debt entries) — rotation schedule in SURVEY §7
+    "anchor_cooccur",
+    "anchor_cooccur_temporal",
+    "anchor_lift",
+    "anchor_triangles",
+    "ann_pq",
+    "ann_recall",
+    "ann_sq",
+    "ann_topk_fast",
+    "approx_stats",
+    "bpe_train",
+    "ccnet_buckets",
+    "contrastive_pairs",
+    "customers_without_orders",
+    "dedup_cluster_stats",
+    "dedup_incremental",
+    "dedup_keep_best",
+    "dedup_minhash",
+    "dedup_recall",
+    "dedup_semantic",
+    "dedup_substring",
+    "doc_entropy",
+    "doc_perplexity",
+    "dsir_weights",
+    "graph_degree_stats",
+    "hits_anchors",
+    "index_delta",
+    "ivf_recall",
+    "lang_confusion",
+    "line_dedup",
+    "minhash_error",
+    "pipeline_funnel",
+    "pq_recall",
+    "pv_anomaly",
+    "pv_autocorr",
+    "pv_cube",
+    "pv_forecast_backtest",
+    "pv_seasonality",
+    "pv_trending",
+    "quality_calibration",
+    "quality_classifier",
+    "rev_burstiness",
+    "rev_diff_chunks",
+    "sq_recall",
+    "tokenizer_fertility",
+    "vocab_growth",
+    "zipf_fit",
 ]
 
 

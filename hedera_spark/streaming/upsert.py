@@ -24,8 +24,7 @@ no-op (last-writer-wins is commutative-idempotent over replays).
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -76,9 +75,11 @@ def stream_upsert(
         touched = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
         if not touched:
             return
-        if os.path.isdir(state_dir) and any(
-            e.startswith("bucket=") for e in os.listdir(state_dir)
-        ):
+        # probe for prior state through Spark itself, not os.path —
+        # state_dir may live on HDFS/S3 where driver-local filesystem
+        # calls silently report "no state" and the merge would drop
+        # every bucket not touched by the first batch
+        try:
             # localCheckpoint materializes the prior state so the dynamic
             # overwrite below never reads the files it is replacing
             prev = (
@@ -87,7 +88,8 @@ def stream_upsert(
                 .localCheckpoint(eager=True)
             )
             merged = _latest_per_key(prev.unionByName(delta))
-        else:
+        except AnalysisException:
+            # [PATH_NOT_FOUND] / empty dir: first batch, nothing to merge
             merged = delta
         (
             merged.write.mode("overwrite")
