@@ -338,18 +338,24 @@ def wand_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_vectors_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta-gap encoding + VByte size accounting for the doc vectors —
-    the compression arithmetic of the reference's PFor/VByte-coded
+    """Delta-gap encoding + VByte AND PFor size accounting for the doc
+    vectors — the compression arithmetic of the reference's coded
     vectors (mapreduce/BuildPForDocVectors.java,
     BuildVByteDocVectors.java) made explicit: sorted term-ids become
-    first-difference gaps, and each gap is costed at its 7-bit varint
-    width. doc_vectors stores the ids and "leaves compression to the
-    storage layer"; this operator IS that layer's math, so the
-    compression ratio of the index is a queryable number.
+    first-difference gaps, each gap is costed at its 7-bit varint width
+    (VByte), and the same gaps are costed under patched
+    frame-of-reference (NewPFD-style: bit width b = the width of the
+    90th-percentile gap, values wider than b are exceptions patched at
+    4 bytes each, plus a 4-byte block header) — so BOTH reference
+    codecs' compression ratios are queryable numbers. doc_vectors
+    stores the ids and "leaves compression to the storage layer"; this
+    operator IS that layer's math.
 
     Plan: identical shuffle profile to doc_vectors (broadcast dictionary
-    join + one doc_id agg); the gap/varint arithmetic is entirely
-    array-side per row — zero extra shuffles, zero Python."""
+    join + one doc_id agg); the gap/varint/bit-width arithmetic is
+    entirely array-side per row (integer-exact: widths via bin-string
+    length, the percentile index via integer DIV) — zero extra
+    shuffles, zero Python."""
     pairs = _doc_tokens(spark, sf_dir, distinct=True).select(
         "doc_id", F.col("anchor").alias("term")
     )
@@ -374,6 +380,27 @@ def doc_vectors_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         vec.withColumn("gaps", gaps)
+        .withColumn(
+            # per-gap bit widths, sorted: width(g) = len(bin(g)) exactly
+            "widths",
+            F.array_sort(
+                F.transform("gaps", lambda g: F.length(F.bin(g)).cast("long"))
+            ),
+        )
+        .withColumn(
+            # NewPFD frame width: the 90th-percentile gap's bit width,
+            # 1-based index ceil(0.9 n) = (9n + 9) DIV 10, integer-exact
+            "pfor_width",
+            F.element_at(
+                "widths", F.expr("CAST((size(v) * 9 + 9) DIV 10 AS INT)")
+            ),
+        )
+        .withColumn(
+            "pfor_exceptions",
+            F.size(
+                F.filter("widths", lambda w: w > F.col("pfor_width"))
+            ).cast("long"),
+        )
         .select(
             "doc_id",
             F.size("v").cast("long").alias("n_terms"),
@@ -382,9 +409,21 @@ def doc_vectors_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gaps"),
             vbyte.alias("vbyte_bytes"),
             (F.size("v") * 4).cast("long").alias("raw_bytes"),
+            "pfor_width",
+            "pfor_exceptions",
+            # n slots of b bits (exceptions keep their low-b-bit slot),
+            # 4-byte patch per exception, 4-byte block header
+            F.expr(
+                "CAST((size(v) * pfor_width + 7) DIV 8"
+                " + 4 * pfor_exceptions + 4 AS BIGINT)"
+            ).alias("pfor_bytes"),
         )
         .withColumn(
             "ratio", F.round(F.col("vbyte_bytes") / F.col("raw_bytes"), 6)
+        )
+        .withColumn(
+            "pfor_ratio",
+            F.round(F.col("pfor_bytes") / F.col("raw_bytes"), 6),
         )
     )
 

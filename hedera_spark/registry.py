@@ -3234,6 +3234,20 @@ register(
                list_zip(v, list_prepend(0, list_slice(v, 1, len(v) - 1))),
                x -> x[1] - x[2]) AS gaps
       FROM vec
+    ),
+    pf AS (
+      SELECT *,
+             list_sort(list_transform(gaps,
+               gp -> CAST(length(bin(gp)) AS BIGINT))) AS widths
+      FROM g
+    ),
+    pw AS (
+      SELECT *, widths[(n_terms * 9 + 9) // 10] AS pfor_width FROM pf
+    ),
+    px AS (
+      SELECT *, CAST(len(list_filter(widths, w -> w > pfor_width))
+               AS BIGINT) AS pfor_exceptions
+      FROM pw
     )
     SELECT doc_id,
            CAST(n_terms AS BIGINT) AS n_terms,
@@ -3245,13 +3259,20 @@ register(
                                              ELSE 4 END),
              (a, b) -> a + b) AS BIGINT) AS vbyte_bytes,
            CAST(n_terms * 4 AS BIGINT) AS raw_bytes,
+           CAST(pfor_width AS BIGINT) AS pfor_width,
+           pfor_exceptions,
+           CAST((n_terms * pfor_width + 7) // 8
+                + 4 * pfor_exceptions + 4 AS BIGINT) AS pfor_bytes,
            round(CAST(list_reduce(
              list_transform(gaps, gp -> CASE WHEN gp < 128 THEN 1
                                              WHEN gp < 16384 THEN 2
                                              WHEN gp < 2097152 THEN 3
                                              ELSE 4 END),
-             (a, b) -> a + b) AS BIGINT) / (n_terms * 4), 6) AS ratio
-    FROM g
+             (a, b) -> a + b) AS BIGINT) / (n_terms * 4), 6) AS ratio,
+           round(CAST((n_terms * pfor_width + 7) // 8
+                + 4 * pfor_exceptions + 4 AS BIGINT)
+                / (n_terms * 4), 6) AS pfor_ratio
+    FROM px
     """,
 )
 

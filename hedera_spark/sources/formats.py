@@ -252,3 +252,67 @@ def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(path)
     )
+
+
+COMMON_LOG_PATTERN = (
+    r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "([^"]*)" (\S+) (\S+)'
+)
+
+
+def read_common_log(spark: SparkSession, path: str) -> DataFrame:
+    """Apache Common Log Format → typed columns, one row per request.
+
+    Reference parity: java/experiments/com/manning/hip/common/
+    ApacheCommonLogParser.java + ApacheCommonLogReader.java +
+    CommonLogEntry.java (CommonLogInputFormat.java wires them to
+    Hadoop). The reference tokenizes with a CSV-style char scanner and
+    re-parses the bracketed time with SimpleDateFormat per record;
+    Spark-first this is ONE regexp over the text source — splittable
+    (newline records), JVM-side, and column-pruned, so a query that
+    reads only `status` never materializes the request line.
+
+    Field mapping matches CommonLogEntry: remote_address, remote_logname,
+    user_id, time (raw, as the reference keeps it), request_line, status
+    code + object size as nullable longs ('-' → NULL, the reference's
+    isNull convention), the request line split into method/resource/
+    protocol, and epoch — the reference's SimpleDateFormat parse — as
+    epoch_ms via to_timestamp on the dd/MMM/yyyy:HH:mm:ss Z layout
+    (unparseable time → NULL epoch, same as the swallowed
+    ParseException). Bad-line tolerance: a line the pattern cannot
+    anchor yields empty group(0) and is dropped, mirroring the reader's
+    skip-on-null-entry loop."""
+    lines = spark.read.text(path).where(F.col("value") != "")
+    m = F.regexp_extract("value", COMMON_LOG_PATTERN, 0)
+    g = lines.where(m != "").select(
+        *[
+            F.regexp_extract("value", COMMON_LOG_PATTERN, i).alias(c)
+            for i, c in enumerate(
+                ["remote_address", "remote_logname", "user_id", "time",
+                 "request_line", "status_raw", "size_raw"],
+                start=1,
+            )
+        ]
+    )
+    nullif = lambda c: F.when(F.col(c) != "-", F.col(c))  # noqa: E731
+    req = F.split("request_line", " ")
+    return g.select(
+        nullif("remote_address").alias("remote_address"),
+        nullif("remote_logname").alias("remote_logname"),
+        nullif("user_id").alias("user_id"),
+        "time",
+        nullif("request_line").alias("request_line"),
+        nullif("status_raw").cast("long").alias("status_code"),
+        nullif("size_raw").cast("long").alias("obj_size"),
+        F.when(F.size(req) >= 3, req.getItem(0)).alias("method"),
+        F.when(F.size(req) >= 3, req.getItem(1)).alias("resource"),
+        F.when(F.size(req) >= 3, req.getItem(2)).alias("protocol"),
+        (
+            # try_: unparseable time → NULL epoch even under ANSI mode,
+            # matching the reference's swallowed ParseException (its
+            # SimpleDateFormat uses 12-hour 'hh' — a latent bug; Common
+            # Log times are 24-hour, so HH here)
+            F.unix_timestamp(
+                F.expr("try_to_timestamp(time, 'dd/MMM/yyyy:HH:mm:ss Z')")
+            ) * 1000
+        ).alias("epoch_ms"),
+    )

@@ -203,3 +203,44 @@ def test_read_pageviews_ez_decodes_compact_timeseries(spark, tmp_path):
     assert rows[("Alan_Turing", 31, 23)]["views"] == 7
     assert rows[("Graph", 2, 0)]["views"] == 3
     assert rows[("Graph", 3, 1)]["views"] == 7
+
+
+def test_read_common_log(spark, tmp_path):
+    """Apache Common Log parity with the reference reader: '-' fields
+    become NULL, the request line splits into method/resource/protocol,
+    status/size are typed longs, epoch matches the bracketed timestamp,
+    and unanchorable lines are dropped (bad-line tolerance)."""
+    raw = "\n".join(
+        [
+            '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /apache_pb.gif HTTP/1.0" 200 2326',
+            '10.0.0.5 - - [10/Oct/2000:13:55:37 -0700] '
+            '"POST /form HTTP/1.1" 404 -',
+            "this line is garbage and must be skipped",
+            '192.168.1.9 ident bob [not-a-date] "-" 500 0',
+        ]
+    )
+    src = tmp_path / "access.log"
+    src.write_text(raw)
+
+    from hedera_spark.sources.formats import read_common_log
+
+    rows = {r["remote_address"]: r for r in read_common_log(spark, str(src)).collect()}
+    assert set(rows) == {"127.0.0.1", "10.0.0.5", "192.168.1.9"}
+
+    r1 = rows["127.0.0.1"]
+    assert r1["remote_logname"] is None and r1["user_id"] == "frank"
+    assert r1["method"] == "GET" and r1["resource"] == "/apache_pb.gif"
+    assert r1["protocol"] == "HTTP/1.0"
+    assert r1["status_code"] == 200 and r1["obj_size"] == 2326
+    # 2000-10-10 13:55:36 -0700 == 2000-10-10 20:55:36 UTC
+    assert r1["epoch_ms"] == 971211336000
+
+    r2 = rows["10.0.0.5"]
+    assert r2["obj_size"] is None and r2["status_code"] == 404
+    assert r2["method"] == "POST"
+
+    r3 = rows["192.168.1.9"]
+    assert r3["request_line"] is None  # quoted "-" → null, ref isNull
+    assert r3["method"] is None and r3["epoch_ms"] is None
+    assert r3["remote_logname"] == "ident"

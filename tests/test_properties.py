@@ -223,6 +223,15 @@ def test_doc_vectors_delta_is_lossless(spark, tmp_path_factory, texts):
         assert ids[0] >= 1
         assert r["n_terms"] <= r["vbyte_bytes"] <= 4 * r["n_terms"]
         assert r["raw_bytes"] == 4 * r["n_terms"]
+        # PFor accounting recomputed by hand (NewPFD: b = width of the
+        # ceil(0.9 n)-th smallest gap, exceptions patched at 4 bytes)
+        n = r["n_terms"]
+        widths = sorted(len(bin(g)) - 2 if g > 0 else 1 for g in gaps)
+        b = widths[(9 * n + 9) // 10 - 1]
+        exc = sum(1 for w in widths if w > b)
+        assert r["pfor_width"] == b
+        assert r["pfor_exceptions"] == exc
+        assert r["pfor_bytes"] == (n * b + 7) // 8 + 4 * exc + 4
 
 
 @settings(
