@@ -41,6 +41,23 @@ HEADLINE = [
     "session_stats",
 ]
 
+# heavy operators added after the r1 headline freeze: timed the same way
+# and reported as a SEPARATE total so the headline series stays
+# round-over-round comparable (the r3 verdict's per-round perf-signal
+# gap for the newer families)
+EXTENDED = [
+    "scd2_build",
+    "markov_attribution",
+    "kmeans_embeddings",
+    "graph_communities",
+    "moments_quantiles",
+    "quality_classifier",
+    "dedup_substring",
+    "bm25_topk",
+    "graph_kcore",
+    "doc_vectors_delta",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,30 +70,37 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
+    ext_names = [n for n in EXTENDED if n in QUERIES]
 
     # warmup at the smallest sf: every headline query once on tiny data so
     # codegen compilation + JIT happen outside the timed runs (the generated
     # classes are plan-shaped, not data-shaped, so they are reused at sf0.1)
-    for n in names:
+    for n in names + ext_names:
         QUERIES[n](spark, "/root/testdata/sf0.001").collect()
 
     # best-of-N per query (default 2): single-shot timings on a shared box
     # swing 2-4x with ambient load; the min is the reproducible number the
     # plan actually costs. N=1 restores single-shot timing.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    times: dict[str, float] = {}
-    for n in names:
-        best = float("inf")
-        for _ in range(reps):
-            # drop caches left by prior queries/reps (several operators
-            # persist intermediates): timings must be independent, not
-            # serialized through one session's accumulating storage pool
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            rows = QUERIES[n](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        times[n] = round(best, 3)
-        print(f"# {n}: {times[n]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+
+    def timed(group: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for n in group:
+            best = float("inf")
+            for _ in range(reps):
+                # drop caches left by prior queries/reps (several operators
+                # persist intermediates): timings must be independent, not
+                # serialized through one session's accumulating storage pool
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                rows = QUERIES[n](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            out[n] = round(best, 3)
+            print(f"# {n}: {out[n]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+        return out
+
+    times = timed(names)
+    ext_times = timed(ext_names)
 
     # 1-minute load average at run time: BENCH_r02's 40.2s "regression"
     # was ambient load on a shared box (controlled rerun: 22.6s). Numbers
@@ -94,6 +118,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load_avg_1m": load_1m,
         "reps": reps,
+        # post-r1 heavy families, reported separately so the headline
+        # total stays comparable across rounds
+        "extended_total": round(sum(ext_times.values()), 3),
+        "extended": ext_times,
     }
     print(json.dumps(out))
 
