@@ -27,6 +27,11 @@ from tests.conftest import SF_DIR
 #     array), and the anchor_cooccur family via _cooccur_tokens (1-row
 #     hot stop-token array, same pattern).
 # Anything NOT listed here that plans a nested loop is a bug.
+# r4 audit: active_users/corpus_select/dedup_semantic/embedding_pca/
+# kmeans_embeddings no longer plan a BNLJ (their 1-row combines now
+# plan as broadcast-hash under AQE); kmv_intersect returns a
+# localCheckpoint scan (its internal grading join is audited by the
+# oracle + unpersist discipline instead). All six removed.
 # (dedup_embedding_lsh graduated: its candidate join is now a plain
 # equality join, so the allowance was removed — r2 verdict item 9.)
 ALLOWED_NESTED_LOOP = {
@@ -45,7 +50,6 @@ ALLOWED_NESTED_LOOP = {
     "dedup_clusters",
     "dedup_keep_best",  # composes dedup_clusters (hot-shingle array)
     "dedup_cluster_stats",  # composes dedup_clusters (hot-shingle array)
-    "corpus_select",
     "bm25_topk",  # 1-row (N, avgdl) corpus-stats broadcast
     "label_cohesion",  # 1-row global-centroid broadcast
     "ql_topk",  # 3-row (term, cf) + 1-row corpus-size broadcasts
@@ -64,7 +68,6 @@ ALLOWED_NESTED_LOOP = {
     "graph_modularity",  # 1-row total-weight broadcast + cooccur hot-set
     "kmeans_silhouette",  # K-row centroid broadcast, like kmeans_embeddings
     "doc_perplexity",  # 1-row vocabulary-size broadcast
-    "kmeans_embeddings",  # K-row centroid broadcast, like ann_ivf
     "anchor_cooccur",
     "anchor_cooccur_temporal",
     "anchor_triangles",  # via _cooccur_tokens (1-row hot stop-token array)
@@ -75,7 +78,6 @@ ALLOWED_NESTED_LOOP = {
     "abc_classification",  # 1-row revenue-total broadcast onto the ranked frame
     "classifier_gains",  # 1-row totals broadcast onto the <=10-row bin frame
     "ams_f2",  # 1-row sketch frame x 1-row exact-F2 broadcast (grading join)
-    "kmv_intersect",  # |types|-row theta frames cross product (pair grid)
     "bigram_llr",  # 1-row bigram-total broadcast (the bigram_pmi shape)
     "graph_communities",  # via _cooccur_tokens (1-row hot stop-token array)
     "pagerank_anchors",
@@ -106,7 +108,6 @@ ALLOWED_NESTED_LOOP = {
     "graph_walks",  # via _cooccur_tokens (1-row hot stop-token array)
     "pv_stl",  # broadcast calendar span zero-fill (ts_vector discipline)
     "ann_pareto",  # composes the four recall dials (ann_topk baselines)
-    "dedup_semantic",  # composes kmeans_embeddings (K-row centroid broadcast)
     "hits_anchors",  # 1-row integer maxima broadcast
     "ann_sq",  # 1-row quantizer-model broadcast + labeled brute-force probe
     "sq_recall",  # measures ann_sq AGAINST the ann_topk baseline
@@ -121,7 +122,6 @@ ALLOWED_NESTED_LOOP = {
     "sparse_cosine_topk",  # 1-row |docs| aggregate broadcast
     "skipgram_pairs",  # 1-row (n_uni, n_pp) totals broadcast
     "graph_assortativity",  # via _cooccur_tokens (1-row hot stop-token array)
-    "embedding_pca",  # 1-row means/norm/eigenvalue broadcasts
     "kn_bigram_lm",  # 1-row bigram-type-total broadcast
     "doc_perplexity_kn",  # 1-row bigram-type-total broadcast (same model)
     "quality_threshold_sweep",  # 1-row corpus-totals broadcast
@@ -132,7 +132,6 @@ ALLOWED_NESTED_LOOP = {
     "rfm_segments",  # 1-row customer-count broadcast (quintile denominator)
     "basket_lift",  # 1-row order-count broadcast (lift denominator)
     "pv_xcorr",  # broadcast calendar span zero-fill (ts_vector discipline)
-    "active_users",  # broadcast calendar span zero-fill (ts_vector discipline)
     "conversion_lift",  # 1-row global-totals broadcast (z-test denominator)
     "quality_ppl_corr",  # composes doc_perplexity (1-row vocab-size broadcast)
     "dedup_method_agreement",  # 1-row set-size combines + jaccard hot-set
