@@ -281,7 +281,15 @@ def read_common_log(spark: SparkSession, path: str) -> DataFrame:
     ParseException). Bad-line tolerance: a line the pattern cannot
     anchor yields empty group(0) and is dropped, mirroring the reader's
     skip-on-null-entry loop."""
-    lines = spark.read.text(path).where(F.col("value") != "")
+    return parse_common_log(spark.read.text(path))
+
+
+def parse_common_log(lines: DataFrame) -> DataFrame:
+    """The Common Log parse as a pure transform over a `value: string`
+    frame — shared verbatim by the batch reader above and the streaming
+    tail reader (streaming/logs.stream_common_log), so both sides parse
+    identically by construction."""
+    lines = lines.where(F.col("value") != "")
     m = F.regexp_extract("value", COMMON_LOG_PATTERN, 0)
     g = lines.where(m != "").select(
         *[

@@ -1577,3 +1577,55 @@ def test_stream_ams_equals_batch_sums(spark):
         load_table(spark, SF_DIR, "events").select("user_id")
     ).toPandas()
     assert_frames_match(got, want, "stream_ams")
+
+
+def test_stream_common_log_equals_batch(spark, tmp_path):
+    """The streamed Common Log parse must produce exactly the batch
+    reader's rows after full replay, and the complete-mode status-count
+    agg must equal the batch groupBy — the parse transform is shared, so
+    any drift is a harness bug."""
+    raw1 = "\n".join(
+        [
+            '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /a.gif HTTP/1.0" 200 2326',
+            "garbage line",
+            '10.0.0.5 - - [10/Oct/2000:13:55:37 -0700] "POST /f HTTP/1.1" 404 -',
+        ]
+    )
+    raw2 = '10.0.0.5 - - [10/Oct/2000:14:00:00 -0700] "POST /f HTTP/1.1" 404 10'
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "access.log.1").write_text(raw1)
+    (logs / "access.log.2").write_text(raw2)
+
+    from hedera_spark.sources.formats import read_common_log
+    from hedera_spark.streaming.logs import stream_common_log, stream_status_counts
+
+    out = stream_common_log(spark, str(logs))
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("clog_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("select * from clog_stream").collect())
+    want = sorted(tuple(r) for r in read_common_log(spark, str(logs)).collect())
+    assert got == want and len(got) == 3
+
+    agg = stream_status_counts(spark, str(logs))
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName("clog_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    counts = {
+        (r["status_code"], r["method"]): r["n_requests"]
+        for r in spark.sql("select * from clog_counts").collect()
+    }
+    assert counts == {(200, "GET"): 1, (404, "POST"): 2}
