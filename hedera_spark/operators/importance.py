@@ -325,7 +325,9 @@ def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("pos") * (F.sum("cnt") - F.sum("pos"))),
             6,
         ).alias("auc"),
-    )
+        # empty corpus: the global agg's single all-null row is dropped
+        # (the repo-wide 0-rows-on-empty-input convention)
+    ).where(F.coalesce(F.col("n_pos"), F.lit(0)) + F.coalesce(F.col("n_neg"), F.lit(0)) > 0)
 
 
 GATE_PAIRS = [("heuristic", "classifier"), ("heuristic", "ccnet"), ("classifier", "ccnet")]

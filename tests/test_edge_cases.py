@@ -245,6 +245,7 @@ def _empty_sf(spark, tmp_path):
         "ams_f2",
         "kmv_intersect",
         "bigram_llr",
+        "quality_auc",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
