@@ -892,3 +892,57 @@ def test_gini_rank_formula_equals_pairwise_definition(xs):
         2.0 * n * n * (tot / float(n))
     )
     assert abs(rank_based - pairwise) < 1e-9
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["10.0.0.1", "192.168.7.9", "2001:db8::1"]),
+            st.sampled_from(["-", "ident"]),
+            st.sampled_from(["-", "alice", "bob"]),
+            st.sampled_from(["GET", "POST", "HEAD"]),
+            st.from_regex(r"/[a-z0-9/_.]{0,20}", fullmatch=True),
+            st.sampled_from([200, 301, 404, 500]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=10**9)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_read_common_log_roundtrip(spark, tmp_path_factory, entries):
+    """Format random Common Log entries, parse them back, and compare
+    field-by-field: the reader must invert the formatter exactly,
+    including '-' → NULL and the size-missing case."""
+    lines = []
+    for i, (ip, logname, user, method, path, status, size) in enumerate(entries):
+        size_s = "-" if size is None else str(size)
+        ts = f"[01/Feb/2021:0{i % 10}:30:00 +0000]"
+        lines.append(
+            f'{ip} {logname} {user} {ts} "{method} {path} HTTP/1.1" '
+            f"{status} {size_s}"
+        )
+    d = tmp_path_factory.mktemp("clog")
+    (d / "access.log").write_text("\n".join(lines))
+
+    from hedera_spark.sources.formats import read_common_log
+
+    got = sorted(
+        read_common_log(spark, str(d)).collect(),
+        key=lambda r: (r["epoch_ms"], r["resource"], r["obj_size"] or -1),
+    )
+    want = sorted(
+        entries, key=lambda e: (e[4], -1 if e[6] is None else e[6])
+    )
+    assert len(got) == len(entries)
+    for r in got:
+        assert r["method"] in ("GET", "POST", "HEAD")
+        assert r["protocol"] == "HTTP/1.1"
+        assert (r["remote_logname"] is None) or r["remote_logname"] == "ident"
+        assert (r["user_id"] is None) or r["user_id"] in ("alice", "bob")
+        assert r["epoch_ms"] is not None and r["epoch_ms"] % 1000 == 0
+    # multiset equality on the invertible fields
+    assert sorted((r["remote_address"], r["method"], r["resource"],
+                   r["status_code"], r["obj_size"]) for r in got) == sorted(
+        (e[0], e[3], e[4], e[5], e[6]) for e in entries
+    )
