@@ -232,6 +232,80 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOADER_EPOCHS = 2  # epochs to pre-plan shuffle orders for
+LOADER_SHARDS = 8  # data-loader worker shards
+
+
+def loader_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-loader shard plan over the packed bins: for each epoch,
+    every (lang, bin_id) sequence bin gets a deterministic md5 shuffle
+    key, a worker shard (key mod LOADER_SHARDS), and its read_order
+    inside the shard — the final step between pack_sequences and the
+    trainer. Deterministic (md5, no rand()) so a preempted job resumes
+    mid-epoch at the same order, and per-epoch keys re-shuffle the
+    corpus between epochs without materializing E copies.
+
+    Output: (epoch, lang, bin_id, n_docs, bin_tokens, shard, read_order).
+
+    Scale: the bin frame is |total_tokens| / PACK_CAPACITY rows — far
+    below corpus scale; the epoch fan-out is an explode of a
+    LOADER_EPOCHS-element literal array (map-side), and read_order is a
+    window keyed by (epoch, shard) — LOADER_SHARDS·LOADER_EPOCHS
+    balanced partitions by construction of the uniform md5 key.
+
+    Reference: the loading seam of the reference's MapReduce jobs is
+    InputSplit ordering (io/input/WikiRevisionInputFormat.java's split
+    planning); this is that seam for a deterministic training loader."""
+    from pyspark.sql import Window
+
+    bins = (
+        pack_sequences(spark, sf_dir)
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+    )
+    fanned = bins.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(e) for e in range(LOADER_EPOCHS)])
+        ).alias("epoch"),
+    )
+    keyed = fanned.withColumn(
+        "shuffle_key",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "~",
+                        F.lit("shard"),
+                        F.col("epoch").cast("string"),
+                        F.col("lang"),
+                        F.col("bin_id").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    ).withColumn("shard", F.pmod("shuffle_key", F.lit(LOADER_SHARDS)).cast("long"))
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        "shuffle_key", "lang", "bin_id"
+    )
+    return keyed.select(
+        "epoch",
+        "lang",
+        "bin_id",
+        "n_docs",
+        "bin_tokens",
+        "shard",
+        F.row_number().over(w).cast("long").alias("read_order"),
+    )
+
+
 SAMPLE_PCT = 20  # keep ~20% of each language stratum
 
 

@@ -1058,6 +1058,36 @@ register(
 )
 
 register(
+    "loader_shards",
+    ta.loader_shards,
+    f"""
+    WITH packed AS ({ORACLE["pack_sequences"]}),
+    bins AS (
+      SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      FROM packed GROUP BY lang, bin_id
+    ),
+    fanned AS (
+      SELECT b.*, CAST(e.epoch AS BIGINT) AS epoch
+      FROM bins b, (SELECT unnest(range(0, 2)) AS epoch) e
+    ),
+    keyed AS (
+      SELECT *,
+             ('0x' || substr(md5('shard' || '~' || CAST(epoch AS VARCHAR)
+               || '~' || lang || '~' || CAST(bin_id AS VARCHAR)), 1, 12))::BIGINT
+               AS shuffle_key
+      FROM fanned
+    )
+    SELECT epoch, lang, bin_id, n_docs, bin_tokens,
+           CAST(shuffle_key % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY epoch, shuffle_key % 8
+             ORDER BY shuffle_key, lang, bin_id) AS BIGINT) AS read_order
+    FROM keyed
+    """,
+)
+
+register(
     "sample_stratified",
     ta.sample_stratified,
     """
@@ -9787,6 +9817,9 @@ _DEMOTED_STABLE = [
     "tokenizer_fertility",
     "vocab_growth",
     "zipf_fit",
+    # round 4 new-entry wave: registers straight into the r5+ backlog
+    # (local parity + driver_sim MATCH on record this session)
+    "loader_shards",
 ]
 
 

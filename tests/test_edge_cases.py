@@ -246,6 +246,7 @@ def _empty_sf(spark, tmp_path):
         "kmv_intersect",
         "bigram_llr",
         "quality_auc",
+        "loader_shards",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -4045,3 +4045,45 @@ def test_bigram_llr_nonnegative_and_ranked(spark):
     assert vals == sorted(vals, reverse=True)
     for r in rows:
         assert r["c_ab"] <= r["c_a1"] and r["c_ab"] <= r["c_b2"]
+
+
+def test_loader_shards_is_a_valid_epoch_plan(spark):
+    """The shard plan must (a) cover every packed bin exactly once per
+    epoch, (b) number read_order contiguously from 1 inside each
+    (epoch, shard), (c) re-shuffle between epochs (different order), and
+    (d) be bit-identical across runs (md5, no rand())."""
+    from hedera_spark.operators.text_analysis import (
+        LOADER_EPOCHS,
+        LOADER_SHARDS,
+        loader_shards,
+        pack_sequences,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = loader_shards(spark, SF_DIR).collect()
+    n_bins = (
+        pack_sequences(spark, SF_DIR).select("lang", "bin_id").distinct().count()
+    )
+    assert len(rows) == n_bins * LOADER_EPOCHS
+
+    per_epoch = {}
+    for r in rows:
+        assert 0 <= r["shard"] < LOADER_SHARDS
+        per_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(per_epoch) == set(range(LOADER_EPOCHS))
+    for epoch, ers in per_epoch.items():
+        assert len({(r["lang"], r["bin_id"]) for r in ers}) == n_bins
+        by_shard = {}
+        for r in ers:
+            by_shard.setdefault(r["shard"], []).append(r["read_order"])
+        for orders in by_shard.values():
+            assert sorted(orders) == list(range(1, len(orders) + 1))
+
+    # epochs produce different shard/order assignments (the re-shuffle)
+    key = lambda r: (r["lang"], r["bin_id"])  # noqa: E731
+    e0 = {key(r): (r["shard"], r["read_order"]) for r in per_epoch[0]}
+    e1 = {key(r): (r["shard"], r["read_order"]) for r in per_epoch[1]}
+    assert any(e0[k] != e1[k] for k in e0)
+
+    rows2 = loader_shards(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
