@@ -306,6 +306,72 @@ def loader_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured dial for loader_shards' balance claim: per epoch,
+    token totals across the LOADER_SHARDS workers — min/max/mean shard
+    load and the skew ratio max/mean. A slow straggler shard is wasted
+    GPU time on every other worker; this is the number that says whether
+    the md5 key actually balanced the epoch before the job ships.
+
+    Scale: rolls the |bins|·epochs frame up to epochs·LOADER_SHARDS rows,
+    then one epoch-keyed combine — negligible next to the pack itself."""
+    per_shard = (
+        loader_shards(spark, sf_dir)
+        .groupBy("epoch", "shard")
+        .agg(F.sum("bin_tokens").alias("shard_tokens"))
+    )
+    return (
+        per_shard.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+            F.min("shard_tokens").cast("long").alias("min_tokens"),
+            F.max("shard_tokens").cast("long").alias("max_tokens"),
+            F.sum("shard_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.max("shard_tokens")
+                / (F.sum("shard_tokens") / F.count(F.lit(1))),
+                6,
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+def pack_overflow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured dial for pack_sequences' overflow concession (its
+    docstring: a boundary doc may overflow its bin by < one doc, which
+    the trainer's truncation absorbs): per language, how many bins
+    overflow the PACK_CAPACITY token budget, by how much, and the
+    fraction of corpus tokens the truncation would drop — the number
+    that says whether prefix-sum packing's simplicity is actually free
+    at the corpus' length distribution.
+
+    Scale: one rollup of the packed frame to |bins| rows, then a
+    lang-keyed combine; exact integers end to end."""
+    bins = (
+        pack_sequences(spark, sf_dir)
+        .groupBy("lang", "bin_id")
+        .agg(F.sum("n_tokens").cast("long").alias("bin_tokens"))
+    )
+    over = F.greatest(
+        F.lit(0).cast("long"), F.col("bin_tokens") - F.lit(PACK_CAPACITY)
+    )
+    return (
+        bins.withColumn("overflow", over)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum((F.col("overflow") > 0).cast("long"))
+            .cast("long")
+            .alias("n_overflowing"),
+            F.sum("overflow").cast("long").alias("overflow_tokens"),
+            F.sum("bin_tokens").cast("long").alias("total_tokens"),
+            F.round(F.sum("overflow") / F.sum("bin_tokens"), 6).alias(
+                "truncation_frac"
+            ),
+        )
+    )
+
+
 SAMPLE_PCT = 20  # keep ~20% of each language stratum
 
 

@@ -1088,6 +1088,50 @@ register(
 )
 
 register(
+    "shard_skew_audit",
+    ta.shard_skew_audit,
+    f"""
+    WITH ls AS ({ORACLE["loader_shards"]}),
+    per_shard AS (
+      SELECT epoch, shard, CAST(sum(bin_tokens) AS BIGINT) AS shard_tokens
+      FROM ls GROUP BY epoch, shard
+    )
+    SELECT epoch, CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(min(shard_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(shard_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(shard_tokens) AS BIGINT) AS total_tokens,
+           round(max(shard_tokens) / (sum(shard_tokens) / count(*)), 6)
+             AS skew_ratio
+    FROM per_shard GROUP BY epoch
+    """,
+)
+
+register(
+    "pack_overflow_stats",
+    ta.pack_overflow_stats,
+    f"""
+    WITH packed AS ({ORACLE["pack_sequences"]}),
+    bins AS (
+      SELECT lang, bin_id, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      FROM packed GROUP BY lang, bin_id
+    ),
+    o AS (
+      SELECT lang, bin_tokens,
+             greatest(CAST(0 AS BIGINT), bin_tokens - 256) AS overflow
+      FROM bins
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(CASE WHEN overflow > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflowing,
+           CAST(sum(overflow) AS BIGINT) AS overflow_tokens,
+           CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+           round(sum(overflow) / CAST(sum(bin_tokens) AS DOUBLE), 6)
+             AS truncation_frac
+    FROM o GROUP BY lang
+    """,
+)
+
+register(
     "sample_stratified",
     ta.sample_stratified,
     """
@@ -9820,6 +9864,8 @@ _DEMOTED_STABLE = [
     # round 4 new-entry wave: registers straight into the r5+ backlog
     # (local parity + driver_sim MATCH on record this session)
     "loader_shards",
+    "shard_skew_audit",
+    "pack_overflow_stats",
 ]
 
 

@@ -247,6 +247,8 @@ def _empty_sf(spark, tmp_path):
         "bigram_llr",
         "quality_auc",
         "loader_shards",
+        "shard_skew_audit",
+        "pack_overflow_stats",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -4087,3 +4087,43 @@ def test_loader_shards_is_a_valid_epoch_plan(spark):
 
     rows2 = loader_shards(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_shard_skew_and_overflow_dials_reconcile(spark):
+    """Both loader dials must reconcile exactly against their source
+    frames: shard totals sum to the packed corpus total per epoch, skew
+    >= 1, and the overflow accounting recomputes from pack_sequences
+    bins by hand."""
+    from hedera_spark.operators.text_analysis import (
+        PACK_CAPACITY,
+        loader_shards,
+        pack_overflow_stats,
+        pack_sequences,
+        shard_skew_audit,
+    )
+    from tests.conftest import SF_DIR
+
+    packed = pack_sequences(spark, SF_DIR).collect()
+    bins = {}
+    for r in packed:
+        bins[(r["lang"], r["bin_id"])] = bins.get((r["lang"], r["bin_id"]), 0) + r["n_tokens"]
+    corpus_tokens = sum(bins.values())
+
+    for r in shard_skew_audit(spark, SF_DIR).collect():
+        assert r["total_tokens"] == corpus_tokens
+        assert r["min_tokens"] <= r["max_tokens"]
+        assert r["skew_ratio"] >= 1.0
+        assert r["n_shards"] >= 1
+
+    got = {r["lang"]: r for r in pack_overflow_stats(spark, SF_DIR).collect()}
+    by_lang = {}
+    for (lang, _), t in bins.items():
+        n, over, tot = by_lang.get(lang, (0, 0, 0))
+        by_lang[lang] = (n + 1, over + max(0, t - PACK_CAPACITY), tot + t)
+    assert set(got) == set(by_lang)
+    for lang, (n, over, tot) in by_lang.items():
+        r = got[lang]
+        assert r["n_bins"] == n
+        assert r["overflow_tokens"] == over
+        assert r["total_tokens"] == tot
+        assert abs(r["truncation_frac"] - round(over / tot, 6)) < 1e-9
