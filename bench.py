@@ -78,10 +78,12 @@ def main() -> None:
     for n in names + ext_names:
         QUERIES[n](spark, "/root/testdata/sf0.001").collect()
 
-    # best-of-N per query (default 2): single-shot timings on a shared box
-    # swing 2-4x with ambient load; the min is the reproducible number the
-    # plan actually costs. N=1 restores single-shot timing.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # best-of-N per query (default 3): single-shot timings on a shared box
+    # swing 2-4x with ambient load and JIT warm-up (r4: the same build
+    # measured 22.2s at N=2 and 14.1s at N=3 minutes apart); the min is
+    # the reproducible number the plan actually costs. N=1 restores
+    # single-shot timing.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def timed(group: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
