@@ -277,7 +277,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     .persist() (at 10^10 docs that cache is |docs| x 512 B — terabytes of
     cluster memory); the cost is a fixed 512 B of signature on each band
     row, bounded by band fan-out (4/doc), never by candidate volume.
-    Measured ~25% faster at sf0.1 with identical output."""
+    Measured ~25% faster at sf0.1 with identical output.
+
+    The self-join carries a merge hint (the dedup_simhash discipline):
+    under AQE's toy-scale broadcast choice the signature pipeline runs
+    on both sides; the sort-merge shape gives both sides the identical
+    (band, band_hash) shuffle that ReusedExchange collapses to ONE
+    signature pass — 24% faster measured at sf0.1, and the shape a
+    corpus-scale build side forces anyway."""
     sigs = _minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -299,7 +306,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
-    )
+    ).hint("merge")
     return (
         a.join(b, ["band", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
