@@ -132,11 +132,13 @@ def _pair_stats(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     next to a carried array column would copy the whole array into every
     generated row — O(shingles^2) bytes/doc, measured 2.7x slower).
     Then one self-join + one groupBy is the entire distributed plan."""
-    # two persists, each computed once: `arrs` caches the CPU-dense
-    # shingle kernel (feeds the df aggregate and the capped explode);
-    # `kept` caches the exploded narrow rows so the transform+explode
-    # does not rerun on each side of the self-join (re-deriving it per
-    # side measured ~3x slower than reading the cache)
+    # `arrs` caches the CPU-dense shingle kernel: its two consumers (the
+    # df aggregate and the capped explode) are different plans, so
+    # exchange reuse cannot share them. The exploded `kept` rows are NOT
+    # cached: the self-join below is merge-hinted, so both sides plan
+    # the identical shingle-keyed exchange and ReusedExchange computes
+    # the explode once — same measured time as a .persist() at sf0.1,
+    # without holding |shingle-rows| of cache at corpus scale
     arrs = arrs.persist()
     hot_row = (
         arrs.select(F.explode("shingles").alias("shingle"))
@@ -160,9 +162,11 @@ def _pair_stats(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
             ).alias("_sn"),
         )
         .select("doc_id", F.col("_sn.n").alias("n"), F.col("_sn.shingle").alias("shingle"))
-    ).persist()
+    )
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
-    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle")
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"
+    ).hint("merge")
     stats = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
