@@ -134,11 +134,17 @@ def _pair_stats(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     Then one self-join + one groupBy is the entire distributed plan."""
     # `arrs` caches the CPU-dense shingle kernel: its two consumers (the
     # df aggregate and the capped explode) are different plans, so
-    # exchange reuse cannot share them. The exploded `kept` rows are NOT
-    # cached: the self-join below is merge-hinted, so both sides plan
-    # the identical shingle-keyed exchange and ReusedExchange computes
-    # the explode once — same measured time as a .persist() at sf0.1,
-    # without holding |shingle-rows| of cache at corpus scale
+    # exchange reuse cannot share them (dropping this persist measured
+    # 1.7x slower). It cannot be unpersisted here — the returned frame
+    # is lazy and composed further by the jaccard/containment scorers —
+    # so like markov_attribution's persisted frames the cache lives
+    # until the caller's action completes (callers that materialize,
+    # e.g. bench/driver, clear it via clearCache between queries). The
+    # exploded `kept` rows are NOT cached: the self-join below is
+    # merge-hinted, so both sides plan the identical shingle-keyed
+    # exchange and ReusedExchange computes the explode once — same
+    # measured time as a .persist() at sf0.1, without holding
+    # |shingle-rows| of cache at corpus scale
     arrs = arrs.persist()
     hot_row = (
         arrs.select(F.explode("shingles").alias("shingle"))
