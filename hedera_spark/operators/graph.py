@@ -595,6 +595,14 @@ def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     that exist; this surfaces the pairs that don't yet). Reference
     graph: entityrelation.pig's co-mention edges.
 
+    Prediction runs over the STRONG-EDGE backbone: edges at or above
+    the 60th weight percentile (a 1-row exact-percentile broadcast).
+    On a small shared vocabulary the full co-mention graph is complete
+    — every pair adjacent, nothing to predict — so a relative cut, not
+    an absolute one, keeps the operator exercised at every corpus
+    scale while the semantics stay the natural "predict the next
+    strong co-mention from the strong backbone".
+
     Plan shape: the two-hop candidate join is the triangle-enumeration
     shape (sym ⋈ sym on the shared endpoint — Σdeg² bounded by
     anchor_cooccur's df-cap and per-doc cuts), existing edges removed
@@ -602,7 +610,14 @@ def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cartesian anywhere; ties break lexicographically."""
     from hedera_spark.operators.anchors import anchor_cooccur
 
-    e = anchor_cooccur(spark, sf_dir).select("a1", "a2").persist()
+    e_all = anchor_cooccur(spark, sf_dir).select("a1", "a2", "n_docs")
+    cut = e_all.agg(F.expr("percentile(n_docs, 0.6)").alias("cut"))
+    e = (
+        e_all.crossJoin(F.broadcast(cut))
+        .where(F.col("n_docs") >= F.col("cut"))
+        .select("a1", "a2")
+        .persist()
+    )
     sym = e.union(e.select(F.col("a2").alias("a1"), F.col("a1").alias("a2")))
     x = sym.select(F.col("a1").alias("a"), F.col("a2").alias("v"))
     y = sym.select(F.col("a1").alias("v"), F.col("a2").alias("c"))

@@ -5671,7 +5671,9 @@ register(
     "graph_two_hop",
     gr.graph_two_hop,
     f"""
-    WITH e AS (SELECT a1, a2 FROM ({ORACLE["anchor_cooccur"]}) t),
+    WITH e_all AS (SELECT a1, a2, n_docs FROM ({ORACLE["anchor_cooccur"]}) t),
+    cut AS (SELECT quantile_cont(n_docs, 0.6) AS cut FROM e_all),
+    e AS (SELECT a1, a2 FROM e_all, cut WHERE n_docs >= cut),
     sym AS (SELECT a1 AS s, a2 AS d FROM e
             UNION ALL SELECT a2, a1 FROM e),
     cand AS (

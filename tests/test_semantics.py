@@ -2322,19 +2322,27 @@ def test_campaign_cooccur_lift_sanity(spark):
 
 
 def test_graph_two_hop_excludes_existing_edges(spark):
-    """No predicted pair may be an existing co-occurrence edge, pairs
-    are ordered, and every pair shares >= 1 common neighbor."""
+    """No predicted pair may be an edge of the strong backbone (the 60th
+    weight-percentile subgraph the prediction runs on), pairs are
+    ordered, every pair shares >= 1 common neighbor, and the backbone
+    cut keeps the operator non-vacuous on a complete co-mention graph."""
+    import statistics
+
     from hedera_spark.operators.anchors import anchor_cooccur
     from hedera_spark.operators.graph import graph_two_hop
     from tests.conftest import SF_DIR
 
-    edges = {
-        (r["a1"], r["a2"]) for r in anchor_cooccur(spark, SF_DIR).collect()
+    all_edges = anchor_cooccur(spark, SF_DIR).collect()
+    ws = sorted(r["n_docs"] for r in all_edges)
+    cut = statistics.quantiles(ws, n=100, method="inclusive")[59]
+    strong = {
+        (r["a1"], r["a2"]) for r in all_edges if r["n_docs"] >= cut
     }
     preds = graph_two_hop(spark, SF_DIR).collect()
+    assert preds, "complete graph must still yield backbone predictions"
     for r in preds:
         assert r["a1"] < r["a2"]
-        assert (r["a1"], r["a2"]) not in edges
+        assert (r["a1"], r["a2"]) not in strong
         assert r["common_neighbors"] >= 1
 
 
