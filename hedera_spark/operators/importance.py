@@ -203,12 +203,21 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     w = [0.0] * (DSIR_BUCKETS + 1)  # last entry = bias
+    # the bias rides the SAME gradient aggregate as a synthetic bucket
+    # -1 with x = 1 (r*1.0 is exact, the doc_id-sorted fold is
+    # unchanged, so the update is bit-identical to a separate bias
+    # pass) — one driver action per iteration instead of two, which
+    # halves the per-iteration recomputation of the scoring pipeline
+    bias_feat = labels.select(
+        "doc_id", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x")
+    )
+    feats_all = per_doc.select("doc_id", "bucket", "x").unionByName(bias_feat)
     for _ in range(LR_ITERATIONS) if n_docs else []:  # empty corpus: skip GD
         resid = score(w).join(labels, "doc_id").select(
             "doc_id", (F.col("p") - F.col("y")).alias("r")
         )
         grads = (
-            per_doc.join(resid, "doc_id")
+            feats_all.join(resid, "doc_id")
             .groupBy("bucket")
             .agg(
                 F.aggregate(
@@ -223,17 +232,9 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        bias_g = resid.agg(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct(F.col("doc_id"), F.col("r")))),
-                F.lit(0.0).cast("double"),
-                lambda acc, s: acc + s["r"],
-            ).alias("g")
-        ).collect()[0]["g"]
         for row in grads:
             b = int(row["bucket"])
             w[b] = round(w[b] - LR_RATE * round(row["g"] / n_docs, 6), 6)
-        w[-1] = round(w[-1] - LR_RATE * round(bias_g / n_docs, 6), 6)
 
     out = (
         score(w)
