@@ -652,6 +652,9 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band",
             "band_hash",
         )
+        # no merge hint here (unlike dedup_minhash): measured NEUTRAL to
+        # slightly negative across the 4-config union — the per-config
+        # frames are small enough that sort overhead eats the reuse win
         pairs = (
             a.join(b, ["band", "band_hash"])
             .where(F.col("doc_a") < F.col("doc_b"))
