@@ -140,11 +140,11 @@ def _pair_stats(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     # so like markov_attribution's persisted frames the cache lives
     # until the caller's action completes (callers that materialize,
     # e.g. bench/driver, clear it via clearCache between queries). The
-    # exploded `kept` rows are NOT cached: the self-join below is
-    # merge-hinted, so both sides plan the identical shingle-keyed
-    # exchange and ReusedExchange computes the explode once — same
-    # measured time as a .persist() at sf0.1, without holding
-    # |shingle-rows| of cache at corpus scale
+    # exploded `kept` rows are NOT cached: each side of the merge-hinted
+    # self-join re-derives them from the cached `arrs` (a cheap
+    # array_except+explode over in-memory rows — measured equal to a
+    # second .persist() at sf0.1), so the corpus-scale |shingle-rows|
+    # cache is gone and only the compact per-doc arrays are held
     arrs = arrs.persist()
     hot_row = (
         arrs.select(F.explode("shingles").alias("shingle"))

@@ -299,3 +299,21 @@ def test_frequent_itemsets_generates_candidates_map_side(spark):
     assert "BroadcastHashJoin [l_orderkey" not in plan
     # the basket build is persisted: both consumers read the cache
     assert "InMemoryTableScan" in plan
+
+
+@pytest.mark.parametrize(
+    "qname", ["dedup_simhash", "dedup_minhash", "anchor_cooccur"]
+)
+def test_banded_self_joins_reuse_the_expensive_exchange(spark, qname):
+    """The blocked/banded candidate self-joins derive BOTH sides from one
+    expensive frame (fingerprint/signature/token pipeline). The merge
+    hint forces the sort-merge shape whose identical keyed exchanges
+    ReusedExchange collapses to ONE computation — if this regresses (the
+    hint dropped, or a plan change breaks canonical equality), the
+    pipeline silently runs twice and the r4 perf wins evaporate."""
+    from hedera_spark.registry import QUERIES
+
+    df = QUERIES[qname](spark, SF_DIR)
+    df.collect()  # AQE finalizes the physical plan on execution
+    plan = executed_plan(df)
+    assert "ReusedExchange" in plan, f"{qname}: self-join no longer reuses"
