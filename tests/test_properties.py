@@ -536,9 +536,19 @@ def test_pack_efficiency_matches_direct(spark, tmp_path_factory, lengths):
         assert r["total_tokens"] == sum(pos)
         assert r["n_sequences"] == sum(ns)
         assert r["padded_tokens"] == sum(ns) * L - sum(pos)
-        assert r["padding_share"] == round(
-            (sum(ns) * L - sum(pos)) / (sum(ns) * L), 6
+        # replicate Spark's round(): HALF_UP on the double's shortest
+        # decimal representation (BigDecimal.valueOf semantics) — Python's
+        # built-in round() is banker's HALF_EVEN and disagrees on exact
+        # .5 ties (hypothesis found padding_share = 0.0078125)
+        import decimal
+
+        share = (sum(ns) * L - sum(pos)) / (sum(ns) * L)
+        want = float(
+            decimal.Decimal(repr(share)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
         )
+        assert r["padding_share"] == want
 
 
 @settings(
