@@ -1984,29 +1984,38 @@ def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("s"),
         F.sum(F.col("exposed") * F.col("cents")).cast("long").alias("s1"),
     )
+    # chunked-md5 uniforms (the dedup_minhash hash-family discipline):
+    # one digest per (user, replicate-PAIR), sliced into two independent
+    # 48-bit uniforms — halves the md5 count, which dominates the
+    # R x |users| map side
+    n_groups = (AB_PERM_REPS + 1) // 2
     reps = (
         per_user.crossJoin(F.broadcast(obs))
         .select(
             "*",
-            F.explode(F.expr(f"sequence(1, {AB_PERM_REPS})")).alias("r"),
+            F.explode(F.expr(f"sequence(1, {n_groups})")).alias("g"),
         )
+        .withColumn(
+            "digest",
+            F.md5(
+                F.concat_ws(
+                    "~",
+                    F.lit("perm"),
+                    F.col("user_id").cast("string"),
+                    F.col("g").cast("string"),
+                )
+            ),
+        )
+        .select("*", F.explode(F.expr("sequence(0, 1)")).alias("j"))
+        .select(
+            "*",
+            (F.col("g") * 2 - 1 + F.col("j")).alias("r"),
+        )
+        .where(F.col("r") <= AB_PERM_REPS)
         .withColumn(
             "h",
             F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "~",
-                            F.lit("perm"),
-                            F.col("user_id").cast("string"),
-                            F.col("r").cast("string"),
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
+                F.expr("substring(digest, 1 + j * 12, 12)"), 16, 10
             ).cast("long"),
         )
         .withColumn(

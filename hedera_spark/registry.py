@@ -8398,13 +8398,18 @@ register(
              CAST(sum(exposed * cents) AS BIGINT) AS s1
       FROM per_user
     ),
-    reps AS (
-      SELECT per_user.*, obs.*, r,
-             (('0x' || substr(md5(concat_ws('~', 'perm',
-                CAST(user_id AS VARCHAR), CAST(r AS VARCHAR))),
-                1, 12))::BIGINT) AS h
+    grouped AS (
+      SELECT per_user.*, obs.*, g,
+             md5(concat_ws('~', 'perm', CAST(user_id AS VARCHAR),
+                 CAST(g AS VARCHAR))) AS digest
       FROM per_user, obs,
-           generate_series(1, {ts.AB_PERM_REPS}) AS g(r)
+           generate_series(1, {(ts.AB_PERM_REPS + 1) // 2}) AS gs(g)
+    ),
+    reps AS (
+      SELECT grouped.*, g * 2 - 1 + j AS r,
+             (('0x' || substr(digest, 1 + j * 12, 12))::BIGINT) AS h
+      FROM grouped, generate_series(0, 1) AS js(j)
+      WHERE g * 2 - 1 + j <= {ts.AB_PERM_REPS}
     ),
     flagged AS (
       SELECT *,

@@ -4,11 +4,11 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
 # vanilla driver-style session: NO hedera_spark tuned confs — except
-# driver memory: this sim sweeps the FULL registry (156 queries) in one
-# session where the round driver grades 50, and local mode shares one
-# heap between driver and executors; at the default 1g the cumulative
-# session state OOMs around query ~90 regardless of which query runs
-# there (reproduced on r2-green pagerank_anchors)
+# driver memory: this sim sweeps the FULL registry (316 queries as of
+# r4) in one session where the round driver grades 50, and local mode
+# shares one heap between driver and executors; at the default 1g the
+# cumulative session state OOMs around query ~90 regardless of which
+# query runs there (reproduced on r2-green pagerank_anchors)
 spark = (SparkSession.builder.master("local[8]")
          .appName("driver-sim")
          .config("spark.driver.memory", "4g")
