@@ -64,7 +64,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from hedera_spark.registry import QUERIES
-    from hedera_spark.session import get_spark
+    from hedera_spark.session import get_spark, reset_session_state
 
     spark = get_spark("hedera_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -90,10 +90,12 @@ def main() -> None:
         for n in group:
             best = float("inf")
             for _ in range(reps):
-                # drop caches left by prior queries/reps (several operators
-                # persist intermediates): timings must be independent, not
-                # serialized through one session's accumulating storage pool
-                spark.catalog.clearCache()
+                # drop caches AND trained in-process models left by prior
+                # queries/reps (several operators persist intermediates;
+                # kmeans/quality_classifier register models per sf_dir):
+                # every rep must pay the same full plan, or min() reports
+                # a cache-hit scoring-only time as the operator's cost
+                reset_session_state(spark)
                 t0 = time.perf_counter()
                 rows = QUERIES[n](spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)

@@ -307,6 +307,106 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORESET_K = 8
 
 
+CORESET_POOL = 4 * CORESET_K  # candidates pulled per scan (pool refinement)
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's round(double, 6): BigDecimal HALF_UP on the shortest
+    decimal representation — Decimal(repr(x)) is the Python equivalent
+    (repr gives the same shortest round-trip string as Double.toString)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _py_dist2(a: list, b: list) -> float:
+    """Driver-side replica of _dist2: LEFT-FOLD summation order, then the
+    HALF_UP quantization — bit-identical to the column expression so pool
+    refinement ranks candidates on the same doubles the scan produced."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+    return _round6_half_up(acc)
+
+
+def _coreset_rows(spark: SparkSession, sf_dir: str):
+    """coreset_maxmin's driver loop, returning (rows, n_scans) so the
+    action-count test can assert the scan budget directly."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .persist()
+    )
+    try:
+        seed = emb.orderBy("vec_id").limit(1).collect()
+        if not seed:
+            return [], 1
+        sel = [(seed[0]["vec_id"], list(seed[0]["emb"]))]
+        rows = [(1, seed[0]["vec_id"], None)]
+        n_scans = 0
+        while len(sel) < CORESET_K:
+            mind = F.array_min(
+                F.transform(
+                    _cent_lit(sel), lambda c: _dist2(F.col("emb"), c["cemb"])
+                )
+            )
+            key = F.struct(
+                mind.alias("d"), (-F.col("vec_id")).alias("nid"), F.col("emb").alias("e")
+            )
+            pool = (
+                emb.select(key.alias("s"))
+                .orderBy(F.col("s").desc())
+                .limit(CORESET_POOL)
+                .collect()
+            )
+            n_scans += 1
+            if not pool:
+                break
+            # thr = the pool cut: every point OUTSIDE the pool has struct
+            # key strictly below pool[-1], hence min-distance <= thr. A
+            # refinement pick of value >= thr is therefore the exact
+            # global argmax (ties resolve to the pool too: outside points
+            # tied at thr have LARGER vec_id than every pool member by
+            # the (d, -vec_id) ordering, and ties prefer smallest vec_id)
+            thr = float(pool[-1]["s"]["d"]) if len(pool) == CORESET_POOL else None
+            cur = {}  # nid -> (current min-dist, emb)
+            for r in pool:
+                s = r["s"]
+                cur[s["nid"]] = (float(s["d"]), list(s["e"]))
+            progressed = False
+            degenerate = False
+            while len(sel) < CORESET_K:
+                best_nid = max(cur, key=lambda nid: (cur[nid][0], nid))
+                v, e = cur[best_nid]
+                if thr is not None and v < thr:
+                    break  # the true next pick may live outside the pool
+                # corpus smaller than K: once every point is selected the
+                # argmax min-distance collapses to 0 and would re-pick an
+                # already-chosen vec_id forever — stop with < K rows
+                if v == 0.0 and any(-best_nid == vid for vid, _ in sel):
+                    degenerate = True
+                    break
+                sel.append((-best_nid, e))
+                rows.append((len(sel), -best_nid, v))
+                progressed = True
+                for nid, (d, ce) in cur.items():
+                    nd = _py_dist2(ce, e)
+                    if nd < d:
+                        cur[nid] = (nd, ce)
+            if degenerate or (not progressed and thr is None):
+                break
+        return rows, n_scans
+    finally:
+        emb.unpersist()
+
+
 def coreset_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Farthest-point coreset selection (Gonzalez 1985 — the greedy
     2-approximation to k-center): pick the K most mutually distant
@@ -320,50 +420,19 @@ def coreset_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: seed = the smallest vec_id; every step takes argmax of
     the per-vector min rounded distance (the kmeans _dist2 quantization)
     with ties to the smallest vec_id — identical in the unrolled
-    DuckDB oracle (ORDER BY mind DESC, vec_id LIMIT 1).
+    DuckDB oracle (ORDER BY mind DESC, vec_id LIMIT 1, with the same
+    already-selected-at-distance-0 stop).
 
-    Scale: the kmeans parameter-server shape — the selected set is a
-    K-row driver literal folded per row (map-only min-distance), each
-    step ONE scan + a 1-row argmax agg; the corpus never shuffles and
-    the driver never holds more than K vectors. K-1 passes total over
-    the persisted projection."""
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-        )
-        .persist()
-    )
+    Scale: pool refinement instead of one scan per pick. Each scan pulls
+    the top-POOL candidates by current min-distance (TakeOrdered — one
+    job, no shuffle); the driver then runs EXACT Gonzalez inside the
+    pool for as long as each pick's value stays >= the pool cut, because
+    every point outside the pool is provably at distance <= the cut (and
+    loses vec_id ties). Output is bit-identical to the sequential K-1
+    scan version; driver round-trips drop from K-1 to 1-2 typical
+    (<= ceil(log2 K)+1 asserted on the test corpus, K-1 worst case).
+    The corpus never shuffles; the driver never holds more than
+    POOL = 4K vectors."""
+    rows, _ = _coreset_rows(spark, sf_dir)
     schema = "sel_rank long, vec_id long, radius2 double"
-    seed = emb.orderBy("vec_id").limit(1).collect()
-    if not seed:
-        return spark.createDataFrame([], schema)
-    sel = [(seed[0]["vec_id"], seed[0]["emb"])]
-    rows = [(1, seed[0]["vec_id"], None)]
-    for step in range(2, CORESET_K + 1):
-        mind = F.array_min(
-            F.transform(
-                _cent_lit(sel), lambda c: _dist2(F.col("emb"), c["cemb"])
-            )
-        )
-        far = (
-            emb.select(
-                F.struct(
-                    mind.alias("d"),
-                    (-F.col("vec_id")).alias("nid"),
-                    F.col("emb").alias("e"),
-                ).alias("s")
-            )
-            .agg(F.max("s").alias("s"))
-            .collect()[0]["s"]
-        )
-        # corpus smaller than K: once every point is selected the argmax
-        # min-distance collapses to 0 and would re-pick an already-chosen
-        # vec_id forever — stop with fewer than K rows instead
-        if float(far["d"]) == 0.0 and any(-far["nid"] == v for v, _ in sel):
-            break
-        sel.append((-far["nid"], far["e"]))
-        rows.append((step, -far["nid"], float(far["d"])))
-    emb.unpersist()
     return spark.createDataFrame(rows, schema)

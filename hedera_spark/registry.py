@@ -8666,7 +8666,14 @@ register(
 def _coreset_oracle() -> str:
     """Unroll CORESET_K-1 farthest-point steps as chained CTEs (the
     _kmeans_oracle pattern): per step, min rounded distance to the
-    selected set, argmax with vec_id tie-break, union into the set."""
+    selected set, argmax with vec_id tie-break, union into the set.
+
+    Degenerate-stop parity: the operator stops once the global argmax
+    collapses to distance 0 on an ALREADY-selected vec_id (corpus has
+    fewer than K distinct points). pick{i} mirrors that by filtering the
+    raw argmax row AFTER the LIMIT — sel{i} then equals sel{i-1}, every
+    later pickraw recomputes the same degenerate argmax, and all
+    remaining steps emit nothing, exactly like the operator's break."""
     d2 = (
         "round(list_reduce(list_transform(list_zip({E}, {C}),"
         " x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),"
@@ -8683,9 +8690,13 @@ def _coreset_oracle() -> str:
              min({d2.format(E="e.emb", C="s.emb")}) AS mind
       FROM e CROSS JOIN {prev} s GROUP BY e.vec_id, e.emb
     ),
-    pick{i} AS (
+    pickraw{i} AS (
       SELECT vec_id, emb, mind FROM d{i}
       ORDER BY mind DESC, vec_id LIMIT 1
+    ),
+    pick{i} AS (
+      SELECT vec_id, emb, mind FROM pickraw{i}
+      WHERE NOT (mind = 0 AND vec_id IN (SELECT vec_id FROM {prev}))
     ),
     sel{i} AS (
       SELECT vec_id, emb FROM {prev}

@@ -45,3 +45,34 @@ def get_spark(app_name: str = "hedera_spark", shuffle_partitions: int | None = N
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def reset_session_state(spark: SparkSession) -> None:
+    """Return a long-lived session to a plan-clean state between
+    materialized queries.
+
+    Two kinds of state accumulate across queries in one session and
+    change LATER plans, not just memory pressure:
+
+    - Persisted intermediates (the shingle kernel in operators/dedup.py
+      and operators/text_analysis.py, graph frontiers, ...). Spark's
+      CacheManager substitutes a cached subtree into any new plan that
+      contains it, and AQE does NOT reuse exchanges across the resulting
+      TableCacheQueryStage nodes — so e.g. a leaked `_shingles` cache
+      makes dedup_simhash/dedup_minhash compute their fingerprint
+      aggregate on BOTH sides of the band self-join (the r4
+      ReusedExchange win silently evaporates).
+    - The in-process model registries (kmeans._CENTROID_REGISTRY,
+      importance._LR_REGISTRY): trained once per sf_dir, so a timing rep
+      after the first measures scoring only, and a query after an
+      in-place data rewrite scores under a stale model.
+
+    bench.py calls this between reps; the plan-audit tests call it
+    before asserting plan shapes; any driver embedding the engine in a
+    long-lived session should call it between independent queries.
+    """
+    spark.catalog.clearCache()
+    from hedera_spark.operators import importance, kmeans
+
+    kmeans._CENTROID_REGISTRY.clear()
+    importance._LR_REGISTRY.clear()

@@ -19,6 +19,24 @@ from hedera_spark.plans import (
 from tests.conftest import SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _clean_session(spark):
+    """Plan audits assert the shapes a FRESH session produces. The
+    session-scoped fixture accumulates state from earlier test modules —
+    persisted intermediates (e.g. test_oracle_parity materializing
+    ngram_novelty leaks the `_shingles` cache) and trained model
+    registries — and Spark substitutes any cached subtree into new
+    plans, where AQE then refuses to reuse exchanges across the
+    TableCacheQueryStage nodes (the exact regression
+    test_banded_self_joins_reuse_the_expensive_exchange exists to
+    catch). Reset to a clean state so the audited plan is the one the
+    operator actually ships, independent of suite ordering."""
+    from hedera_spark.session import reset_session_state
+
+    reset_session_state(spark)
+    yield
+
+
 def test_tpch_q6_pushes_filters_to_scan(spark):
     from hedera_spark.operators.tpch import tpch_q6
 

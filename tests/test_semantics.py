@@ -3689,6 +3689,64 @@ def test_coreset_maxmin_greedy_invariants(spark):
         assert abs(mind - r["radius2"]) < 1e-5
 
 
+def test_coreset_scan_budget(spark):
+    """Pool refinement must resolve the K picks in at most ceil(log2 K)+1
+    driver scans on the test corpus — the r5 replacement for the K-1
+    sequential argmax round-trips (at 100 TB each scan is a full pass)."""
+    import math
+
+    from hedera_spark.operators.kmeans import CORESET_K, _coreset_rows
+    from tests.conftest import SF_DIR
+
+    rows, n_scans = _coreset_rows(spark, SF_DIR)
+    assert len(rows) == CORESET_K
+    assert n_scans <= math.ceil(math.log2(CORESET_K)) + 1
+
+
+def test_coreset_degenerate_corpus_matches_oracle(spark, tmp_path):
+    """Fewer distinct embedding points than K: the operator stops once
+    the argmax min-distance hits 0 on an already-selected vec_id, and
+    the unrolled DuckDB oracle must stop at the SAME row (operator/
+    oracle parity on duplicate-heavy corpora — the r4 advice item)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.operators.kmeans import coreset_maxmin
+    from hedera_spark.registry import ORACLE
+
+    # 2 distinct points across 5 vectors: picks = vec 1 (seed), vec 3
+    # (the far point), then every min-distance is 0 and the argmax
+    # tie-breaks to vec 1 (already selected) -> stop at 2 rows
+    pts = {1: [0.0, 0.0], 2: [0.0, 0.0], 3: [3.0, 4.0], 4: [3.0, 4.0], 5: [3.0, 4.0]}
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(pts), type=pa.int64()),
+                "embedding": pa.array(list(pts.values()), type=pa.list_(pa.float32())),
+                "label": pa.array([0] * len(pts), type=pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+    got = sorted(
+        coreset_maxmin(spark, str(tmp_path)).collect(), key=lambda r: r["sel_rank"]
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = con.execute(
+        ORACLE["coreset_maxmin"] + " ORDER BY sel_rank"
+    ).fetchall()
+    con.close()
+    assert [(r["sel_rank"], r["vec_id"], r["radius2"]) for r in got] == [
+        (int(a), int(b), c) for a, b, c in want
+    ]
+    assert len(got) == 2  # stopped, not padded to K
+
+
 def test_linreg_value_hour_matches_direct_fit(spark):
     """The closed-form integer-sum fit must equal a direct Python OLS
     over the same (hour, cents) pairs, and r2 must be in [0, 1]."""
