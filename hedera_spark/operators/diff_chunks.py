@@ -7,25 +7,38 @@ revised text).
 The set-based `rev_diff` operator covers the aggregate view; this one
 emits the actual edit script. Sequence alignment (longest-matching-block
 diffing) is genuinely not expressible in relational algebra, so this is
-the designed use of the Arrow escape hatch: `applyInPandas` over page
-groups — each group arrives sorted driver-defined, pairs are formed
-in-memory per page, and difflib (same greedy longest-match family as the
-reference's diffutils) produces opcodes. Registered rows-only (no SQL
-oracle can replicate the alignment), which the driver records as the
-weaker check by design.
+the designed use of the Arrow escape hatch — but the alignment only ever
+needs TWO texts at a time, so the unit of Python work is a consecutive
+(prev, cur) PAIR, never a page's whole history:
 
-Scale: one shuffle on page_id; per-group work is O(revisions-per-page x
-diff cost) — the same distribution as every other page-window operator,
-so skewed mega-pages are the AQE/salting concern, not the operator.
+1. pair formation is relational — lag(doc_id), lag(text) over the
+   (source, doc_id) window. Spark windows stream through the sort with
+   disk spill, so a mega-page's history never has to fit in memory;
+2. the pairs are then REPARTITIONED off the page key and diffed per-row
+   with mapInPandas (difflib, same greedy longest-match family as the
+   reference's diffutils). A 10^5-revision page becomes 10^5 - 1
+   independent rows spread across the cluster — there is no per-page
+   pandas group to OOM (the previous groupBy(source).applyInPandas
+   design materialized the full history per task; r4 verdict item #3).
+   Peak Python memory is one Arrow batch
+   (spark.sql.execution.arrow.maxRecordsPerBatch), not a page.
+
+Registered rows-only (no SQL oracle can replicate the alignment), which
+the driver records as the weaker check by design;
+tests/test_semantics.py replays the operator against a direct difflib
+pass and plants a mega-page to prove the spread.
 """
 
 from __future__ import annotations
 
 import difflib
+from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hedera_spark.sources.tables import load_table
 
@@ -34,36 +47,48 @@ CHUNK_SCHEMA = (
     "a_text string, b_text string"
 )
 
+_OPS = {"replace": "CHANGE", "delete": "DELETE", "insert": "INSERT"}
 
-def _diff_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("doc_id")
-    out: list[tuple] = []
-    prev_id, prev_toks = None, None
-    for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
-        toks = text.split(" ")
-        if prev_toks is not None:
-            sm = difflib.SequenceMatcher(a=prev_toks, b=toks, autojunk=False)
+
+def _diff_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: list[tuple] = []
+        for page, doc_id, prev_id, a_text, b_text in zip(
+            pdf["source"], pdf["doc_id"], pdf["prev_id"], pdf["a_text"], pdf["text"]
+        ):
+            a_toks, b_toks = a_text.split(" "), b_text.split(" ")
+            sm = difflib.SequenceMatcher(a=a_toks, b=b_toks, autojunk=False)
             for op, i1, i2, j1, j2 in sm.get_opcodes():
                 if op == "equal":
                     continue
                 out.append(
                     (
-                        source,
+                        page,
                         doc_id,
                         prev_id,
-                        {"replace": "CHANGE", "delete": "DELETE", "insert": "INSERT"}[op],
-                        " ".join(prev_toks[i1:i2]),
-                        " ".join(toks[j1:j2]),
+                        _OPS[op],
+                        " ".join(a_toks[i1:i2]),
+                        " ".join(b_toks[j1:j2]),
                     )
                 )
-        prev_id, prev_toks = doc_id, toks
-    return pd.DataFrame(
-        out, columns=["page_id", "doc_id", "prev_id", "op", "a_text", "b_text"]
-    )
+        yield pd.DataFrame(
+            out, columns=["page_id", "doc_id", "prev_id", "op", "a_text", "b_text"]
+        )
 
 
 def rev_diff_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit script between consecutive snapshots of each page:
     (page, rev, prev_rev, INSERT|DELETE|CHANGE, original, revised)."""
     docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
-    return docs.groupBy("source").applyInPandas(_diff_group, schema=CHUNK_SCHEMA)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.withColumn("prev_id", F.lag("doc_id").over(w))
+        .withColumn("a_text", F.lag("text").over(w))
+        .where(F.col("prev_id").isNotNull())
+    )
+    # spread a skewed page's pairs across the cluster: the diff is
+    # per-pair, so nothing ties a page to one task once pairs exist
+    pairs = pairs.repartition(
+        spark.sparkContext.defaultParallelism, "source", "doc_id"
+    )
+    return pairs.mapInPandas(_diff_pairs, schema=CHUNK_SCHEMA)

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hedera_spark.sources.tables import load_table
+from hedera_spark.sources.tables import load_table, table_state_key
 
 DSIR_BUCKETS = 512
 DSIR_TARGET_LANG = "en"
@@ -139,8 +139,10 @@ LR_RATE = 4.0  # step size; features are occupancy-normalized so |grad| ~ 1e-2
 # corpus (fixed init/iterations/rate, every fold ordered, 6-dp
 # quantized), so the five composing dials (calibration, AUC, gains,
 # kappa, ppl-correlation) score with the published model instead of
-# retraining — a hit can never change a result.
-_LR_REGISTRY: dict[str, list] = {}
+# retraining — a hit can never change a result. Keyed by (path,
+# file-metadata fingerprint) via table_state_key so an in-place rewrite
+# of documents within one session retrains instead of serving stale.
+_LR_REGISTRY: dict[tuple, list] = {}
 
 
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,7 +213,8 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p")
         )
 
-    w = _LR_REGISTRY.get(sf_dir)
+    model_key = table_state_key(sf_dir, "documents")
+    w = _LR_REGISTRY.get(model_key)
     if w is None:
         w = [0.0] * (DSIR_BUCKETS + 1)  # last entry = bias
         # the bias rides the SAME gradient aggregate as a synthetic bucket
@@ -246,7 +249,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             for row in grads:
                 b = int(row["bucket"])
                 w[b] = round(w[b] - LR_RATE * round(row["g"] / n_docs, 6), 6)
-        _LR_REGISTRY[sf_dir] = w
+        _LR_REGISTRY[model_key] = w
 
     out = (
         score(w)

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hedera_spark.operators.similarity import _dot
-from hedera_spark.sources.tables import load_table
+from hedera_spark.sources.tables import load_table, table_state_key
 
 KMEANS_K = 8
 KMEANS_ITERATIONS = 3
@@ -111,10 +111,11 @@ def _empty_assign(emb: DataFrame) -> DataFrame:
 # means), so composing operators (dedup_semantic, kmeans_silhouette,
 # coreset comparisons) reuse the published model instead of re-running
 # Lloyd's — exactly what a production pipeline does with a model store.
-# Keyed by sf_dir; test corpora live at unique tmp paths, and identical
-# input always yields identical centroids, so a hit can never change a
-# result.
-_CENTROID_REGISTRY: dict[str, list] = {}
+# Keyed by (path, file-metadata fingerprint) via table_state_key: an
+# in-place rewrite of the table within one session changes the key and
+# retrains instead of serving a stale model; identical input always
+# yields identical centroids, so a hit can never change a result.
+_CENTROID_REGISTRY: dict[tuple, list] = {}
 
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,8 +127,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    if sf_dir in _CENTROID_REGISTRY:
-        cent_rows = _CENTROID_REGISTRY[sf_dir]
+    model_key = table_state_key(sf_dir, "embeddings")
+    if model_key in _CENTROID_REGISTRY:
+        cent_rows = _CENTROID_REGISTRY[model_key]
         if not cent_rows:
             return _empty_assign(emb).select("vec_id", "cluster_id", "dist2")
         return _assign(emb, cent_rows).select("vec_id", "cluster_id", "dist2")
@@ -138,7 +140,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.orderBy("vec_id").limit(KMEANS_K).collect()
     ]
     if not cent_rows:
-        _CENTROID_REGISTRY[sf_dir] = []
+        _CENTROID_REGISTRY[model_key] = []
         return _empty_assign(emb).select("vec_id", "cluster_id", "dist2")
     for _ in range(KMEANS_ITERATIONS):
         new_cents = (
@@ -159,7 +161,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         cent_rows = sorted((r["cid"], r["cemb"]) for r in new_cents)
-    _CENTROID_REGISTRY[sf_dir] = cent_rows
+    _CENTROID_REGISTRY[model_key] = cent_rows
     # final assignment under the trained centroids — map-only plan
     return _assign(emb, cent_rows).select("vec_id", "cluster_id", "dist2")
 

@@ -300,51 +300,61 @@ def ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     names, realized: 4 independent 8-bit hash tables; a candidate pair
     needs to collide in ANY table. Candidates are generated per table by
     the same bucket-equality join (each probe still touches ~1/256 of
-    the corpus per table) and deduped by (query, neighbor) with a max
-    over the identical scores, so the extra tables multiply candidate
-    generation by T but never change the join's equality-key shape.
-    Scale note: scoring before the dedup re-scores a pair once per
-    colliding table (bounded x T); at 100 TB with expensive scoring,
-    dedup the (q_id, vec_id) pairs first and join embeddings back —
-    same plan family as dedup_minhash's band join."""
-    emb = _with_table_buckets(
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("vec_id", "embedding")
-    ).select(
+    the corpus per table), then DEDUPED to distinct (q_id, vec_id) keys
+    BEFORE any scoring, and the embeddings are joined back for exactly
+    one dot product per surviving pair — the dedup_minhash band-join
+    plan family. vs score-then-dedup this trades one narrow distinct
+    aggregate + a vec_id join-back for T-1 redundant dot products per
+    multi-table collision and a T-times-wider candidate shuffle (the
+    embedding never rides the (t, bucket) join at all); at 100 TB with
+    wide vectors the scoring and shuffle width dominate, so the deduped
+    form is the shipped shape (test_plans pins score-after-dedup: no
+    max(cos) aggregate may reappear)."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("vec_id", "embedding")
+    bucketed = _with_table_buckets(emb).select(
         "vec_id",
-        "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
         F.array(*[F.col(f"bucket_{t}") for t in range(N_TABLES)]).alias("bks"),
     )
-    # (vec_id, t, bucket) — narrow rows; the embedding rides once per table
+    # (vec_id, t, bucket) — narrow candidate rows, no payload
     tb = F.explode(
         F.expr(f"transform(sequence(0, {N_TABLES - 1}), t -> struct(t, bks[t] AS b))")
     )
-    eb = emb.select("vec_id", "embedding", "nrm", tb.alias("tb")).select(
-        "vec_id", "embedding", "nrm", F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket")
+    eb = bucketed.select("vec_id", tb.alias("tb")).select(
+        "vec_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket")
     )
-    q = eb.select(
+    qk = eb.select(F.col("vec_id").alias("q_id"), "t", "bucket").where(
+        F.col("q_id") % QUERY_MOD == 0
+    )
+    cand = (
+        eb.join(F.broadcast(qk), ["t", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    # join the embeddings back: one scoring row per distinct pair
+    nemb = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    qemb = nemb.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
-        "t",
-        "bucket",
-    ).where(F.col("q_id") % QUERY_MOD == 0)
-    pairs = eb.join(F.broadcast(q), ["t", "bucket"]).where(
-        F.col("vec_id") != F.col("q_id")
     )
-    scored = pairs.select(
-        "q_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
-            6,
-        ).alias("cos"),
+    scored = (
+        cand.join(nemb, "vec_id")
+        .join(F.broadcast(qemb), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cos"),
+        )
     )
-    dedup = scored.groupBy("q_id", "neighbor_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
-    return dedup.withColumn("rk", F.row_number().over(w).cast("long")).where(
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).where(
         F.col("rk") <= LSH_TOPK
     )
 

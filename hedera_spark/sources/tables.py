@@ -60,3 +60,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def table_state_key(sf_dir: str, name: str) -> tuple:
+    """Cache key for driver-side model registries: (path, file metadata
+    fingerprint). The in-process model stores (kmeans centroids, the LR
+    quality classifier) must retrain when the data under a path changes
+    within one session — a path-only key silently serves a stale model
+    after an in-place rewrite. File (relpath, size, mtime_ns) triples are
+    a metadata-only fingerprint (no data scan, so checking the key costs
+    microseconds); on a store where the driver cannot stat (HDFS/S3
+    paths), fall back to path-only keying — same contract as before,
+    documented as path->data immutability for the process lifetime."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = []
+            for root, _dirs, files in os.walk(path):
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    parts.append((os.path.relpath(fp, path), st.st_size, st.st_mtime_ns))
+            return (path, tuple(parts))
+        st = os.stat(path)
+        return (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (path,)

@@ -88,8 +88,15 @@ def stream_upsert(
                 .localCheckpoint(eager=True)
             )
             merged = _latest_per_key(prev.unionByName(delta))
-        except AnalysisException:
-            # [PATH_NOT_FOUND] / empty dir: first batch, nothing to merge
+        except AnalysisException as ex:
+            # ONLY the missing-path case means "first batch, nothing to
+            # merge" — a schema mismatch, corrupt footer, or permission
+            # error must abort the batch, or the dynamic overwrite below
+            # would silently replace touched buckets without merging
+            # their prior rows
+            cls = ex.getCondition() if hasattr(ex, "getCondition") else None
+            if cls != "PATH_NOT_FOUND" and "PATH_NOT_FOUND" not in str(ex):
+                raise
             merged = delta
         (
             merged.write.mode("overwrite")

@@ -26,6 +26,83 @@ def test_rev_diff_chunks_opcodes(spark, tmp_path):
     assert all(r["prev_id"] == 1 and r["doc_id"] == 2 for r in chunks)
 
 
+def test_rev_diff_chunks_replays_direct_difflib(spark):
+    """The pair-spread mapInPandas rewrite must emit EXACTLY the chunks a
+    direct per-page difflib pass produces on the real corpus (replay
+    equality with the r4 groupBy-applyInPandas output, which computed the
+    same opcodes per consecutive pair)."""
+    import difflib
+
+    from tests.conftest import SF_DIR
+
+    from hedera_spark.operators.diff_chunks import rev_diff_chunks
+    from hedera_spark.sources.tables import load_table
+
+    got = {
+        (r["page_id"], r["doc_id"], r["prev_id"], r["op"], r["a_text"], r["b_text"])
+        for r in rev_diff_chunks(spark, SF_DIR).collect()
+    }
+    docs = sorted(
+        load_table(spark, SF_DIR, "documents")
+        .select("source", "doc_id", "text")
+        .collect(),
+        key=lambda r: (r["source"], r["doc_id"]),
+    )
+    want = set()
+    prev = {}
+    ops = {"replace": "CHANGE", "delete": "DELETE", "insert": "INSERT"}
+    for r in docs:
+        if r["source"] in prev:
+            pid, ptoks = prev[r["source"]]
+            toks = r["text"].split(" ")
+            sm = difflib.SequenceMatcher(a=ptoks, b=toks, autojunk=False)
+            for op, i1, i2, j1, j2 in sm.get_opcodes():
+                if op != "equal":
+                    want.add(
+                        (
+                            r["source"],
+                            r["doc_id"],
+                            pid,
+                            ops[op],
+                            " ".join(ptoks[i1:i2]),
+                            " ".join(toks[j1:j2]),
+                        )
+                    )
+        prev[r["source"]] = (r["doc_id"], r["text"].split(" "))
+    assert got == want
+
+
+def test_rev_diff_chunks_megapage_has_no_single_task_group(spark, tmp_path):
+    """A planted mega-page (one page, 20k revisions) must diff with its
+    pairs SPREAD across partitions — the plan may not contain the
+    groupBy-applyInPandas shape (FlatMapGroupsInPandas) whose per-page
+    pandas group OOMs a single task at 100x history sizes; the pair
+    repartition must be present instead, and the output must still be
+    the per-pair edit script."""
+    n = 20_000
+    rows = [(i, f"tok{i} common tail", "megapage", "en", 10) for i in range(1, n + 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "mega"
+    docs.repartition(8).write.parquet(str(out / "documents.parquet"))
+
+    from hedera_spark.operators.diff_chunks import rev_diff_chunks
+    from hedera_spark.plans import formatted_plan
+
+    df = rev_diff_chunks(spark, str(out))
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" not in plan  # no per-page pandas group
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(source" in plan  # the pair spread exchange
+    chunks = df.collect()
+    # every consecutive pair changes exactly its leading token
+    assert len(chunks) == n - 1
+    assert all(r["op"] == "CHANGE" for r in chunks)
+    sample = next(r for r in chunks if r["doc_id"] == 2)
+    assert (sample["a_text"], sample["b_text"]) == ("tok1", "tok2")
+
+
 def test_connected_components_chain(spark):
     from hedera_spark.operators.clusters import connected_components
 

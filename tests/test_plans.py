@@ -335,3 +335,21 @@ def test_banded_self_joins_reuse_the_expensive_exchange(spark, qname):
     df.collect()  # AQE finalizes the physical plan on execution
     plan = executed_plan(df)
     assert "ReusedExchange" in plan, f"{qname}: self-join no longer reuses"
+
+
+def test_ann_lsh_multi_scores_after_pair_dedup(spark):
+    """The multi-table LSH must dedup (q_id, vec_id) candidate keys and
+    join embeddings back for ONE dot product per pair — never score per
+    colliding table and max() the duplicates away. If score-then-dedup
+    returns, a max(cos) aggregate reappears in the plan and the distinct
+    aggregate keys gain no payload-free shape."""
+    from hedera_spark.operators.similarity import ann_lsh_multi
+
+    plan = formatted_plan(ann_lsh_multi(spark, SF_DIR))
+    assert "max(cos" not in plan  # scoring happens once, above the dedup
+    # the candidate (t, bucket) join must be payload-free: no embedding
+    # column may ride the broadcast side of the bucket-equality join
+    import re
+
+    for m in re.finditer(r"BroadcastHashJoin \[([^\]]*)\]", plan):
+        assert "emb" not in m.group(1)

@@ -2496,6 +2496,55 @@ def test_pv_entropy_uniform_user_hits_one(spark, tmp_path):
     assert got[2]["norm_entropy"] < 0.7
 
 
+def test_model_registry_retrains_after_inplace_rewrite(spark, tmp_path):
+    """The in-process model registries are keyed by (path, file-metadata
+    fingerprint): rewriting a table in place under the SAME path within
+    one session must retrain, not serve the stale model (the r4 advice
+    item — a path-only key silently changes results with no error)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.operators.kmeans import kmeans_embeddings
+    from hedera_spark.sources.tables import table_state_key
+
+    def write(pts: dict) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(list(pts), type=pa.int64()),
+                    "embedding": pa.array(
+                        list(pts.values()), type=pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([0] * len(pts), type=pa.int32()),
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+
+    write({i: [float(i), 0.0] for i in range(1, 13)})
+    key1 = table_state_key(str(tmp_path), "embeddings")
+    first = {
+        r["vec_id"]: r["dist2"]
+        for r in kmeans_embeddings(spark, str(tmp_path)).collect()
+    }
+    # rewrite in place with DIFFERENT data; bump mtime explicitly so the
+    # test never races a same-nanosecond rewrite
+    write({i: [0.0, float(i) * 7.0] for i in range(1, 13)})
+    st = os.stat(tmp_path / "embeddings.parquet")
+    os.utime(tmp_path / "embeddings.parquet", ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    assert table_state_key(str(tmp_path), "embeddings") != key1
+    second = {
+        r["vec_id"]: r["dist2"]
+        for r in kmeans_embeddings(spark, str(tmp_path)).collect()
+    }
+    # served from a stale model, the new corpus scores absurd distances;
+    # retrained, both runs converge on their own data -> same dist2 curve
+    assert first != second  # different corpora -> different assignments
+    assert max(second.values()) < 100.0  # not scored under corpus-1 centroids
+
+
 def test_kmeans_silhouette_bounds_and_coverage(spark):
     """One row per non-empty cluster; mean silhouette in [-1, 1]; ns sum
     to the corpus."""

@@ -1254,6 +1254,37 @@ def test_stream_upsert_maintains_latest_per_key(spark, tmp_path):
     assert got2.equals(expect)
 
 
+def test_stream_upsert_aborts_on_unreadable_prior_state(spark, tmp_path):
+    """Only PATH_NOT_FOUND may be treated as 'first batch': a prior-state
+    read that fails for any OTHER reason (here: a state table missing the
+    bucket partition column) must abort the batch instead of silently
+    dynamic-overwriting the touched buckets without merging — that path
+    drops prior rows with no error."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hedera_spark.sources.tables import load_table
+    from hedera_spark.streaming.upsert import stream_upsert
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    ev.limit(50).coalesce(1).write.parquet(str(src / "day=0"))
+
+    # seed a CORRUPT prior state: right path, wrong layout (no bucket
+    # column/partition) -> the .where(bucket) probe raises an
+    # AnalysisException that is NOT PATH_NOT_FOUND
+    state = str(tmp_path / "state")
+    ev.limit(5).select("user_id", "ts").write.parquet(state)
+
+    q = stream_upsert(spark, str(src), state, str(tmp_path / "ckpt"))
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(180)
+        q.processAllAvailable()
+
+
 def test_stream_scd2_resolve_equals_batch(spark):
     """Temporal stream-static lookup replayed over the whole log == batch
     scd2_resolve row-for-row (stateless broadcast join against the SCD2
