@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from hedera_spark.operators import anchors as anc
+from hedera_spark.operators import codec
 from hedera_spark.operators import corpus_clean as cc
 from hedera_spark.operators import dedup
 from hedera_spark.operators import functions_queries as fq
@@ -3391,6 +3392,64 @@ register(
                 + 4 * pfor_exceptions + 4 AS BIGINT)
                 / (n_terms * 4), 6) AS pfor_ratio
     FROM px
+    """,
+)
+
+def _duck_vlen(g: str) -> str:
+    """DuckDB varint byte count — 5 levels, mirroring codec._VARINT_LEVELS."""
+    return (
+        f"(CASE WHEN ({g}) < 128 THEN 1 WHEN ({g}) < 16384 THEN 2"
+        f" WHEN ({g}) < 2097152 THEN 3 WHEN ({g}) < 268435456 THEN 4"
+        f" ELSE 5 END)"
+    )
+
+
+register(
+    "doc_vectors_codec",
+    codec.doc_vectors_codec,
+    f"""
+    WITH {_TF},
+    dict AS (
+      SELECT term, row_number() OVER (ORDER BY term) AS term_id
+      FROM tf GROUP BY term
+    ),
+    vec AS (
+      SELECT tf.doc_id, list(dict.term_id ORDER BY dict.term_id) AS v
+      FROM tf JOIN dict ON tf.term = dict.term
+      GROUP BY tf.doc_id
+    ),
+    g AS (
+      SELECT doc_id, v, len(v) AS n,
+             list_transform(
+               list_zip(v, list_prepend(0, list_slice(v, 1, len(v) - 1))),
+               x -> x[1] - x[2]) AS gaps
+      FROM vec
+    ),
+    pw AS (
+      SELECT *, list_sort(list_transform(gaps,
+               gp -> CAST(length(bin(gp)) AS BIGINT)))[(n * 9 + 9) // 10] AS b
+      FROM g
+    ),
+    ex AS (
+      SELECT *, list_filter(
+               list_transform(range(1, len(gaps) + 1),
+                              i -> {{'pos': i, 'g': gaps[i]}}),
+               e -> CAST(length(bin(e.g)) AS BIGINT) > b) AS exc
+      FROM pw
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_terms,
+           array_to_string(v, ',') AS vector,
+           array_to_string(v, ',') AS vector_pfor,
+           CAST(list_sum(list_transform(gaps, gp -> {_duck_vlen('gp')}))
+                AS BIGINT) AS vbyte_bytes,
+           CAST({_duck_vlen('b')} + {_duck_vlen('n')} + {_duck_vlen('len(exc)')}
+                + (n * b + 7) // 8
+                + coalesce(list_sum(list_transform(exc,
+                    e -> {_duck_vlen('e.pos')}
+                         + {_duck_vlen('e.g // (CAST(1 AS BIGINT) << b)')})), 0)
+                AS BIGINT) AS pfor_bytes
+    FROM ex
     """,
 )
 
@@ -9975,6 +10034,10 @@ _DEMOTED_STABLE = [
     "calibration_isotonic",
     "ams_f2",
     "kmv_intersect",
+    # demoted to make room for doc_vectors_codec in the r5 front-50:
+    # independently judge-swept green at sf0.01 in the r4 verdict, so it
+    # carries the strongest non-driver witness of the never-gated set
+    "classifier_auc",
 ]
 
 

@@ -4300,3 +4300,81 @@ def test_shard_skew_and_overflow_dials_reconcile(spark):
         assert r["overflow_tokens"] == over
         assert r["total_tokens"] == tot
         assert abs(r["truncation_frac"] - round(over / tot, 6)) < 1e-9
+
+
+def test_codec_roundtrip_property(spark):
+    """VByte and PFor posting blocks must decode back to the exact id
+    array for adversarial shapes: gap 0 (id 0 first), singletons, long
+    uniform runs, 34-bit jumps, mixed small/huge gaps, and the
+    exception-heavy case (one giant gap among tiny ones)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.codec import (
+        pfor_decode,
+        pfor_encode,
+        vbyte_decode,
+        vbyte_encode,
+    )
+
+    rng = random.Random(42)
+    cases = [
+        [0],
+        [0, 1],
+        [5],
+        [127],
+        [128],
+        [16384],
+        list(range(0, 500)),
+        [1, 130, 20000, 3000000, 400000000, 400000000 + (1 << 34)],
+        [7, 8, 9, 10, 11, 12, 13, 14, 15, 9999999999],
+    ]
+    for _ in range(40):
+        n = rng.randint(1, 200)
+        ids, cur = [], 0
+        for _ in range(n):
+            cur += rng.choice(
+                [1, 2, 3, 7, 127, 128, 129, rng.randint(1, 1 << rng.randint(1, 34))]
+            )
+            ids.append(cur)
+        cases.append(ids)
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "case_id long, ids array<bigint>"
+    )
+    bad = (
+        df.withColumn("vb", vbyte_encode("ids"))
+        .withColumn("pf", pfor_encode("ids"))
+        .where(
+            (vbyte_decode("vb") != F.col("ids"))
+            | (pfor_decode("pf") != F.col("ids"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_codec_realizes_the_vbyte_cost_model(spark):
+    """The REAL VByte block length must equal doc_vectors_delta's
+    vbyte_bytes accounting for every document on the test corpus (the
+    size model and the codec describe the same bytes; they may only
+    diverge on >2^28 gaps, where the model caps at 4 bytes and the
+    codec spends 5 — absent from any realistic dictionary)."""
+    from tests.conftest import SF_DIR
+
+    from hedera_spark.operators.codec import doc_vectors_codec
+    from hedera_spark.operators.ir import doc_vectors, doc_vectors_delta
+
+    real = {
+        r["doc_id"]: (r["vbyte_bytes"], r["vector"])
+        for r in doc_vectors_codec(spark, SF_DIR).collect()
+    }
+    model = {
+        r["doc_id"]: r["vbyte_bytes"]
+        for r in doc_vectors_delta(spark, SF_DIR).collect()
+    }
+    plain = {r["doc_id"]: r["vector"] for r in doc_vectors(spark, SF_DIR).collect()}
+    assert set(real) == set(model) == set(plain)
+    for doc_id, (nbytes, vector) in real.items():
+        assert nbytes == model[doc_id], doc_id
+        assert vector == plain[doc_id], doc_id
