@@ -58,10 +58,41 @@ def cut_last(col) -> Column:
 def extract_links(col) -> Column:
     """All [[wiki link]] targets (text before any | alias) as an array.
     Ref: io/LinkProfile.java, io/etl/RevisionLinkInputFormat.java,
-    mapreduce/Json2Anchor.java (link mining from markup)."""
+    mapreduce/Json2Anchor.java (link mining from markup),
+    pignlproc/markup/AnnotatingMarkupParser.java (getWikiLinks).
+
+    Innermost-first: a link nested inside a file caption
+    ([[File:x.jpg|thumb|A [[cat]] photo]]) is extracted as 'cat' — the
+    outer bracket pair, whose body still contains brackets, never
+    matches, which is exactly bliki's behavior (imageNodeToText renders
+    the caption children; the image target itself is not a wikilink).
+    File:/Image:/Category: targets of simple links are filtered for the
+    same reason — the reference collects article anchors, images and
+    categories ride separate channels."""
+    pat = "\\\\[\\\\[([^\\\\[\\\\]|]+)(?:\\\\|[^\\\\[\\\\]]*)?\\\\]\\\\]"
     return F.expr(
-        f"transform(regexp_extract_all({col}, '\\\\[\\\\[([^\\\\]|]+)(?:\\\\|[^\\\\]]*)?\\\\]\\\\]', 1),"
-        " x -> trim(x))"
+        f"filter(transform(regexp_extract_all({col}, '{pat}', 1), x -> trim(x)),"
+        " x -> NOT (x LIKE 'File:%' OR x LIKE 'Image:%' OR x LIKE 'Category:%'))"
+    )
+
+
+def extract_redirect(col) -> Column:
+    """Redirect target of a page, or NULL for non-redirects. Matches the
+    reference's English pattern '^#REDIRECT [[target]]' exactly
+    (pignlproc/markup/AnnotatingMarkupParser.java REDIRECT_PATTERNS,
+    'en' entry) — anchored at the start, case as published."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.regexp_extract(c, r"^#REDIRECT \[\[([^\]]*)\]\]", 1)
+    return F.when(t != "", t)
+
+
+def title_to_uri(col, language_code: str = "en") -> Column:
+    """Wikipedia URI of a page title: spaces to underscores, URL-encoded
+    (AnnotatingMarkupParser.titleToUri)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(
+        F.lit(f"http://{language_code}.wikipedia.org/wiki/"),
+        F.url_encode(F.regexp_replace(c, " ", "_")),
     )
 
 
@@ -73,17 +104,32 @@ def extract_references(col) -> Column:
     )
 
 
+TEMPLATE_DEPTH = 5  # nesting levels unrolled ({{a|{{b|{{c}}}}}} needs 3)
+LINK_DEPTH = 3  # link-in-caption nesting levels unrolled
+
+
 def strip_markup(col) -> Column:
-    """Plain text from MediaWiki markup: drop templates, keep link aliases,
-    drop refs/tags/emphasis. A declarative regexp-chain statement of
-    util/MediaWikiProcessor.java (which wraps bliki + jsoup); heavy corner
-    cases (nested templates) are out of scope exactly as they are flaky in
-    the reference."""
+    """Plain text from MediaWiki markup: drop templates (NESTED up to
+    TEMPLATE_DEPTH levels, innermost-first), drop wiki tables and
+    category links, strip the #REDIRECT directive (the target title
+    remains as text, the way a redirect page reads), render links to
+    their display text (last |-segment, so [[a|b]] -> b AND a file
+    caption [[File:x|thumb|cap]] -> cap, unrolled LINK_DEPTH levels for
+    links nested in captions), drop refs/tags/emphasis. A declarative
+    regexp-chain statement of util/MediaWikiProcessor.java /
+    pignlproc/markup/AnnotatingMarkupParser.java (bliki + jsoup): each
+    unrolled level is one more regexp_replace in the SAME codegen'd
+    projection — fixed cost, no loop, no Python."""
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(c, r"\{\{[^{}]*\}\}", " ")  # templates (one level)
+    c = F.regexp_replace(c, r"^#REDIRECT ", "")  # redirect directive
+    for _ in range(TEMPLATE_DEPTH):  # nested templates, innermost-first
+        c = F.regexp_replace(c, r"\{\{[^{}]*\}\}", " ")
+    c = F.regexp_replace(c, r"(?s)\{\|.*?\|\}", " ")  # wiki tables
     c = F.regexp_replace(c, r"<ref[^>/]*>.*?</ref>", " ")  # references
     c = F.regexp_replace(c, r"<[^>]+>", " ")  # html tags
-    c = F.regexp_replace(c, r"\[\[(?:[^\]|]*\|)?([^\]|]*)\]\]", "$1")  # links -> alias
+    c = F.regexp_replace(c, r"\[\[[Cc]ategory:[^\]]*\]\]", " ")  # categories
+    for _ in range(LINK_DEPTH):  # links -> display text, innermost-first
+        c = F.regexp_replace(c, r"\[\[(?:[^\[\]|]*\|)*([^\[\]|]*)\]\]", "$1")
     c = F.regexp_replace(c, r"'{2,}", "")  # bold/italic quotes
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)

@@ -312,9 +312,14 @@ register(
       FROM documents
     ),
     links AS (
-      SELECT unnest(regexp_extract_all(markup,
-               '\[\[([^\]|]+)(?:\|[^\]]*)?\]\]', 1)) AS anchor
-      FROM marked
+      -- innermost-only pattern + namespace filter: the r5 extract_links
+      -- semantics (nested-caption links surface, File/Image/Category
+      -- targets are not anchors)
+      SELECT trim(a) AS anchor FROM (
+        SELECT unnest(regexp_extract_all(markup,
+                 '\[\[([^\[\]|]+)(?:\|[^\[\]]*)?\]\]', 1)) AS a
+        FROM marked)
+      WHERE NOT (a LIKE 'File:%' OR a LIKE 'Image:%' OR a LIKE 'Category:%')
     )
     SELECT anchor, count(*) AS freq FROM links GROUP BY anchor
     """,

@@ -57,3 +57,98 @@ def test_extract_domain_and_cut_last(spark):
     ).first()
     assert row["d"] == "src"
     assert row["c"] == "src4"
+
+
+ADVERSARIAL = [
+    # nested templates, 3 deep (the {{refn|...{{harvnb|...}}...}} shape
+    # from the reference's TestBliki fixture)
+    (
+        "x {{refn|group=nb|plural is {{unicode|{{big|a}}}}s}} y",
+        "x y",
+        [],
+    ),
+    # template containing a template-escaped pipe ({{!}}) inside another
+    # template argument
+    (
+        "{{Two other uses|the letter|the article|English articles{{!}}articles}} A letter.",
+        "A letter.",
+        [],
+    ),
+    # file link with caption carrying a nested link: the caption renders,
+    # the inner link is the only anchor, the image target is not
+    (
+        "see [[File:A cursiva.gif|thumb|140px|Different [[glyphs]] here.]] end",
+        "see Different glyphs here. end",
+        ["glyphs"],
+    ),
+    # redirect page: directive stripped from text, target is a link,
+    # extract_redirect yields the target
+    (
+        "#REDIRECT [[Latin alpha]]",
+        "Latin alpha",
+        ["Latin alpha"],
+    ),
+    # category links vanish entirely; multi-pipe link keeps the LAST
+    # segment; table blocks drop
+    (
+        "[[Category:Vowel letters]] [[English alphabet#Letter names|named]] "
+        "{| class=\"wikitable\" |- ! Egyptian |} tail",
+        "named tail",
+        ["English alphabet#Letter names"],
+    ),
+]
+
+
+def test_strip_markup_adversarial_fixtures(spark):
+    from hedera_spark.functions import strip_markup
+
+    df = spark.createDataFrame(
+        [(i, m) for i, (m, _, _) in enumerate(ADVERSARIAL)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["p"]
+        for r in df.select("i", strip_markup("text").alias("p")).collect()
+    }
+    for i, (_, want_text, _) in enumerate(ADVERSARIAL):
+        assert got[i] == want_text, (i, got[i])
+
+
+def test_extract_links_adversarial_fixtures(spark):
+    from hedera_spark.functions import extract_links
+
+    df = spark.createDataFrame(
+        [(i, m) for i, (m, _, _) in enumerate(ADVERSARIAL)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["l"]
+        for r in df.select("i", extract_links("text").alias("l")).collect()
+    }
+    for i, (_, _, want_links) in enumerate(ADVERSARIAL):
+        assert got[i] == want_links, (i, got[i])
+
+
+def test_extract_redirect_and_uri(spark):
+    from hedera_spark.functions import extract_redirect, title_to_uri
+
+    df = spark.createDataFrame(
+        [
+            ("#REDIRECT [[Latin alpha]]",),
+            ("#REDIRECT [[A (musical note)]]",),
+            ("not a redirect [[Latin alpha]]",),
+            ("text first #REDIRECT [[X]]",),  # not anchored -> no redirect
+        ],
+        "text string",
+    )
+    rows = df.select(
+        extract_redirect("text").alias("r"),
+        title_to_uri(extract_redirect("text")).alias("uri"),
+    ).collect()
+    assert [r["r"] for r in rows] == [
+        "Latin alpha",
+        "A (musical note)",
+        None,
+        None,
+    ]
+    assert rows[0]["uri"] == "http://en.wikipedia.org/wiki/Latin_alpha"
+    # URL-encoding matches java.net.URLEncoder for spaces/parens
+    assert rows[1]["uri"] == "http://en.wikipedia.org/wiki/A_%28musical_note%29"
