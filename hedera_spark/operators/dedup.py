@@ -132,19 +132,26 @@ def _pair_stats(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     next to a carried array column would copy the whole array into every
     generated row — O(shingles^2) bytes/doc, measured 2.7x slower).
     Then one self-join + one groupBy is the entire distributed plan."""
-    # `arrs` caches the CPU-dense shingle kernel: its two consumers (the
-    # df aggregate and the capped explode) are different plans, so
-    # exchange reuse cannot share them (dropping this persist measured
-    # 1.7x slower). It cannot be unpersisted here — the returned frame
-    # is lazy and composed further by the jaccard/containment scorers —
-    # so like markov_attribution's persisted frames the cache lives
-    # until the caller's action completes (callers that materialize,
-    # e.g. bench/driver, clear it via clearCache between queries). The
-    # exploded `kept` rows are NOT cached: each side of the merge-hinted
-    # self-join re-derives them from the cached `arrs` (a cheap
-    # array_except+explode over in-memory rows — measured equal to a
-    # second .persist() at sf0.1), so the corpus-scale |shingle-rows|
-    # cache is gone and only the compact per-doc arrays are held
+    # Two persists, each computed once. `arrs` caches the CPU-dense
+    # shingle kernel (feeds the df aggregate and the capped explode;
+    # dropping it measured 1.7x slower); `kept` caches the exploded
+    # narrow rows so the transform+explode does not rerun per self-join
+    # side. Neither can be unpersisted here — the returned frame is lazy
+    # and composed further by the jaccard/containment scorers — so like
+    # markov_attribution's persisted frames the caches live until the
+    # caller's action completes (callers that materialize, e.g.
+    # bench/driver, clear them via reset_session_state between queries).
+    # r4 dropped the kept cache claiming a merge-hinted ReusedExchange
+    # covers it — it does NOT: Spark substitutes the arrs cache as
+    # TableCacheQueryStage nodes and AQE refuses exchange reuse across
+    # them (0 ReusedExchange in the executed plan), so the explode ran
+    # TWICE (+7% in BENCH_r04); and dropping BOTH persists so reuse can
+    # fire is slower still, because the hot-set branch then recomputes
+    # the kernel. Interleaved best-of-5 at sf0.1: kept-persist 1.49 s /
+    # arrs-only 2.08 s / no-persist-reuse 6.2 s. At corpus scale the
+    # kept cache is ~|tokens| narrow rows under MEMORY_AND_DISK — it
+    # spills rather than OOMs, and recomputing the shingle kernel per
+    # side costs more than the spill re-read.
     arrs = arrs.persist()
     hot_row = (
         arrs.select(F.explode("shingles").alias("shingle"))
@@ -168,11 +175,9 @@ def _pair_stats(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
             ).alias("_sn"),
         )
         .select("doc_id", F.col("_sn.n").alias("n"), F.col("_sn.shingle").alias("shingle"))
-    )
+    ).persist()
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
-    b = kept.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"
-    ).hint("merge")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle")
     stats = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))

@@ -107,16 +107,25 @@ WARC_HEADER_SCHEMA_FIELDS = {
 }
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str, exact: bool = False) -> DataFrame:
     """WARC archive → one row per record with parsed headers + payload.
-    Record boundary = the 'WARC/' version line (lineSep split, so the
-    format stays splittable); headers are regexp pulls; the payload is
-    trimmed to Content-Length, the same boundary mechanism the reference
-    ClueWeb09WarcLoader uses. Known limitation of the splittable fast
-    path: a payload line that itself begins with 'WARC/' splits early —
-    the Content-Length trim bounds the damage to that one record (exact
-    handling requires a length-aware sequential scan, which is the
-    reference's non-splittable mode)."""
+
+    Default (splittable fast path): record boundary = the 'WARC/' version
+    line (lineSep split, so the format stays splittable); headers are
+    regexp pulls; the payload is trimmed to Content-Length, the same
+    boundary mechanism the reference ClueWeb09WarcLoader uses. Known
+    limitation: a payload line that itself begins with 'WARC/' splits
+    early — the Content-Length trim bounds the damage to that one record.
+
+    exact=True: the reference's non-splittable sequential mode
+    (pig/load/ClueWeb09WarcLoader.java marks the format non-splittable
+    for exactly this reason) — one task per file, record boundaries by
+    Content-Length BYTE accounting, so 'WARC/' inside a payload can
+    never split a record. Arrow escape hatch (stateful byte scanning
+    is not expressible relationally); scale = per-file parallelism,
+    the same unit the reference's mapper gets."""
+    if exact:
+        return _read_warc_exact(spark, path)
     recs = (
         spark.read.option("lineSep", "\nWARC/")
         .text(path)
@@ -140,6 +149,76 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .otherwise(F.col("raw_payload"))
         .alias("payload"),
     )
+
+
+WARC_EXACT_SCHEMA = (
+    "warc_type string, warc_target_uri string, warc_date string, "
+    "warc_record_id string, content_length long, payload string"
+)
+
+
+def _read_warc_exact(spark: SparkSession, path: str) -> DataFrame:
+    """Sequential per-file WARC scan: consume exactly Content-Length
+    payload bytes after each header block, then seek the next 'WARC/'
+    version line. Byte-exact against adversarial payloads (fixture: a
+    payload line beginning with 'WARC/')."""
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    header_res = {
+        name: re.compile(pat) for name, pat in WARC_HEADER_SCHEMA_FIELDS.items()
+    }
+
+    def scan(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        cols = [*WARC_HEADER_SCHEMA_FIELDS.keys(), "payload"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for content in pdf["content"]:
+                data = bytes(content)
+                i = 0
+                while True:
+                    j = data.find(b"WARC/", i)
+                    if j < 0:
+                        break
+                    ends = [
+                        (e, 4) for e in [data.find(b"\r\n\r\n", j)] if e >= 0
+                    ] + [(e, 2) for e in [data.find(b"\n\n", j)] if e >= 0]
+                    if not ends:
+                        break
+                    he, seplen = min(ends)
+                    header = data[j:he].decode("utf-8", errors="replace")
+                    fields = {
+                        name: (m.group(1) if (m := rex.search(header)) else "")
+                        for name, rex in header_res.items()
+                    }
+                    if fields["content_length"]:
+                        n = int(fields["content_length"])
+                        payload = data[he + seplen : he + seplen + n]
+                        i = he + seplen + n
+                    else:
+                        # headerless length (warcinfo etc.): next version line
+                        nxt = data.find(b"WARC/", he + seplen)
+                        payload = data[he + seplen : nxt if nxt >= 0 else len(data)]
+                        i = he + seplen + len(payload)
+                    if "WARC-Type" in header:
+                        rows.append(
+                            (
+                                fields["warc_type"],
+                                fields["warc_target_uri"],
+                                fields["warc_date"],
+                                fields["warc_record_id"],
+                                int(fields["content_length"])
+                                if fields["content_length"]
+                                else None,
+                                payload.decode("utf-8", errors="replace"),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(scan, schema=WARC_EXACT_SCHEMA)
 
 
 def read_filenames(spark: SparkSession, path: str) -> DataFrame:

@@ -244,3 +244,63 @@ def test_read_common_log(spark, tmp_path):
     assert r3["request_line"] is None  # quoted "-" → null, ref isNull
     assert r3["method"] is None and r3["epoch_ms"] is None
     assert r3["remote_logname"] == "ident"
+
+
+# a payload whose second line BEGINS with 'WARC/' — the adversarial case
+# the splittable fast path mis-splits and the exact mode must not
+TRAP_PAYLOAD = "line one\nWARC/1.0 is mentioned here\nline three"
+TRAP_WARC = (
+    "WARC/1.0\r\n"
+    "WARC-Type: response\r\n"
+    "WARC-Target-URI: http://example.com/trap\r\n"
+    "WARC-Date: 2009-01-01T00:00:00Z\r\n"
+    "WARC-Record-ID: <urn:uuid:9>\r\n"
+    f"Content-Length: {len(TRAP_PAYLOAD.encode())}\r\n"
+    "\r\n"
+    f"{TRAP_PAYLOAD}\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: response\r\n"
+    "WARC-Target-URI: http://example.com/after\r\n"
+    "WARC-Date: 2009-01-02T00:00:00Z\r\n"
+    "WARC-Record-ID: <urn:uuid:10>\r\n"
+    "Content-Length: 5\r\n"
+    "\r\n"
+    "tail!\r\n"
+)
+
+
+def test_read_warc_exact_mode_survives_warc_in_payload(spark, tmp_path):
+    """exact=True consumes Content-Length bytes per record, so the
+    'WARC/'-prefixed payload line round-trips byte-exact and the record
+    count stays 2 — the reference's non-splittable sequential semantics
+    (pig/load/ClueWeb09WarcLoader.java)."""
+    from hedera_spark.sources.formats import read_warc
+
+    p = tmp_path / "trap.warc"
+    p.write_text(TRAP_WARC)
+    recs = {r["warc_target_uri"]: r for r in read_warc(spark, str(p), exact=True).collect()}
+    assert set(recs) == {"http://example.com/trap", "http://example.com/after"}
+    assert recs["http://example.com/trap"]["payload"] == TRAP_PAYLOAD
+    assert recs["http://example.com/after"]["payload"] == "tail!"
+    # the fast path mis-splits this fixture (documented limitation):
+    # the trap record's payload is cut at the embedded version line
+    fast = {
+        r["warc_target_uri"]: r for r in read_warc(spark, str(p)).collect()
+    }
+    assert fast["http://example.com/trap"]["payload"] != TRAP_PAYLOAD
+
+
+def test_read_warc_exact_matches_fast_on_clean_archives(spark, tmp_path):
+    """On a well-formed archive the two modes agree row-for-row."""
+    from hedera_spark.sources.formats import read_warc
+
+    p = tmp_path / "mini.warc"
+    p.write_text(MINI_WARC)
+    fast = sorted(
+        map(tuple, read_warc(spark, str(p)).collect()),
+    )
+    exact = sorted(
+        map(tuple, read_warc(spark, str(p), exact=True).collect()),
+    )
+    assert fast == exact
