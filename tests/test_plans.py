@@ -319,22 +319,36 @@ def test_frequent_itemsets_generates_candidates_map_side(spark):
     assert "InMemoryTableScan" in plan
 
 
-@pytest.mark.parametrize(
-    "qname", ["dedup_simhash", "dedup_minhash", "anchor_cooccur"]
-)
-def test_banded_self_joins_reuse_the_expensive_exchange(spark, qname):
-    """The blocked/banded candidate self-joins derive BOTH sides from one
-    expensive frame (fingerprint/signature/token pipeline). The merge
-    hint forces the sort-merge shape whose identical keyed exchanges
-    ReusedExchange collapses to ONE computation — if this regresses (the
-    hint dropped, or a plan change breaks canonical equality), the
-    pipeline silently runs twice and the r4 perf wins evaporate."""
+@pytest.mark.parametrize("qname", ["dedup_simhash", "dedup_minhash"])
+def test_banded_self_joins_share_one_materialization(spark, qname):
+    """The banded candidate self-joins derive BOTH sides from one
+    expensive frame (fingerprint/signature pipeline). r5 pins the frame
+    with a persist — robust to session cache state, unlike the r4
+    merge-hint ReusedExchange, which any upstream TableCacheQueryStage
+    silently disables — so the executed plan must show both join sides
+    reading the SAME InMemoryTableScan and the expensive aggregate must
+    sit INSIDE the cached plan, never above it on a join side."""
     from hedera_spark.registry import QUERIES
 
     df = QUERIES[qname](spark, SF_DIR)
     df.collect()  # AQE finalizes the physical plan on execution
     plan = executed_plan(df)
-    assert "ReusedExchange" in plan, f"{qname}: self-join no longer reuses"
+    assert plan.count("TableCacheQueryStage") >= 2, (
+        f"{qname}: self-join sides no longer share the persisted frame"
+    )
+
+
+def test_cooccur_self_join_reuses_the_expensive_exchange(spark):
+    """anchor_cooccur has no internal persist, so its merge-hinted
+    self-join must still collapse the identical token-pipeline
+    exchanges via ReusedExchange — if the hint drops, the pipeline
+    silently runs twice (the r4 −25% win evaporates)."""
+    from hedera_spark.registry import QUERIES
+
+    df = QUERIES["anchor_cooccur"](spark, SF_DIR)
+    df.collect()
+    plan = executed_plan(df)
+    assert "ReusedExchange" in plan, "anchor_cooccur: self-join no longer reuses"
 
 
 def test_ann_lsh_multi_scores_after_pair_dedup(spark):
