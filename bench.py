@@ -84,27 +84,79 @@ def main() -> None:
     # the reproducible number the plan actually costs. N=1 restores
     # single-shot timing.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # grouped (default): a query's reps run back-to-back — the series
+    # every prior round recorded. interleaved: rep-major round-robin, so
+    # an ambient load spike inflates ONE rep of every query instead of
+    # every rep of whichever query it landed on; with per-rep detail
+    # below, environmental drift is then separable from code (r5 VERDICT:
+    # the driver's +7% at lower load vs the builder's tree was not
+    # attributable from best-of-3 minima alone).
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "grouped")
 
-    def timed(group: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for n in group:
-            best = float("inf")
+    def one_rep(n: str) -> float:
+        # drop caches AND trained in-process models left by prior
+        # queries/reps (several operators persist intermediates;
+        # kmeans/quality_classifier register models per sf_dir): every
+        # rep must pay the same full plan, or min() reports a cache-hit
+        # scoring-only time as the operator's cost
+        reset_session_state(spark)
+        t0 = time.perf_counter()
+        QUERIES[n](spark, sf_dir).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    def load_now() -> float | None:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return None
+
+    def timed(group: list[str]) -> tuple[dict[str, float], dict[str, dict]]:
+        runs: dict[str, list[float]] = {n: [] for n in group}
+        loads: dict[str, list[float | None]] = {n: [] for n in group}
+        if mode == "interleaved":
             for _ in range(reps):
-                # drop caches AND trained in-process models left by prior
-                # queries/reps (several operators persist intermediates;
-                # kmeans/quality_classifier register models per sf_dir):
-                # every rep must pay the same full plan, or min() reports
-                # a cache-hit scoring-only time as the operator's cost
-                reset_session_state(spark)
-                t0 = time.perf_counter()
-                rows = QUERIES[n](spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            out[n] = round(best, 3)
-            print(f"# {n}: {out[n]:.3f}s ({len(rows)} rows)", file=sys.stderr)
-        return out
+                for n in group:
+                    loads[n].append(load_now())
+                    runs[n].append(one_rep(n))
+        else:
+            for n in group:
+                for _ in range(reps):
+                    loads[n].append(load_now())
+                    runs[n].append(one_rep(n))
+        out = {n: min(r) for n, r in runs.items()}
+        detail = {
+            n: {"reps": runs[n], "load_1m": loads[n]} for n in group
+        }
+        for n in group:
+            print(f"# {n}: {out[n]:.3f}s (reps {runs[n]})", file=sys.stderr)
+        return out, detail
 
-    times = timed(names)
-    ext_times = timed(ext_names)
+    times, detail = timed(names)
+    ext_times, ext_detail = timed(ext_names)
+
+    # train-vs-score split for the operators that publish a trained model
+    # (r5 VERDICT #3): the timed reps above pay the honest full
+    # train+score cost each rep; one extra call with caches cleared but
+    # the model registry KEPT isolates score-only, so both regimes are
+    # tracked instead of conflated. full ≈ train + score, so
+    # train = full − score up to noise; totals above stay full-cost.
+    trained: dict[str, dict[str, float]] = {}
+    for n in ("kmeans_embeddings", "quality_classifier"):
+        if n in ext_times:
+            # untimed call trains + registers the model (later queries'
+            # resets cleared whatever the timed reps registered), then
+            # the timed call hits the registry: score-only
+            reset_session_state(spark)
+            QUERIES[n](spark, sf_dir).collect()
+            spark.catalog.clearCache()  # caches drop, model stays
+            t0 = time.perf_counter()
+            QUERIES[n](spark, sf_dir).collect()
+            score = round(time.perf_counter() - t0, 3)
+            trained[n] = {
+                "full": ext_times[n],
+                "score": score,
+                "train": round(max(ext_times[n] - score, 0.0), 3),
+            }
 
     # 1-minute load average at run time: BENCH_r02's 40.2s "regression"
     # was ambient load on a shared box (controlled rerun: 22.6s). Numbers
@@ -122,10 +174,19 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load_avg_1m": load_1m,
         "reps": reps,
+        "mode": mode,
         # post-r1 heavy families, reported separately so the headline
         # total stays comparable across rounds
         "extended_total": round(sum(ext_times.values()), 3),
         "extended": ext_times,
+        # per-rep wall times + 1m load sampled before each rep: lets a
+        # reader separate ambient drift (uniform rep inflation, high
+        # load) from a plan regression (all reps slow at idle load)
+        "detail": detail,
+        "extended_detail": ext_detail,
+        # full = train+score per rep (honest retrain); score = model-
+        # registry hit with caches cleared; train = full - score
+        "trained": trained,
     }
     print(json.dumps(out))
 

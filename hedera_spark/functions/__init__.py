@@ -70,9 +70,13 @@ def extract_links(col) -> Column:
     same reason — the reference collects article anchors, images and
     categories ride separate channels."""
     pat = "\\\\[\\\\[([^\\\\[\\\\]|]+)(?:\\\\|[^\\\\[\\\\]]*)?\\\\]\\\\]"
+    # namespace match is case-insensitive, like MediaWiki itself (and like
+    # the sibling strip_markup's [Cc]ategory handling) — '[[file:X]]' is an
+    # image link, not an article anchor (r5 ADVICE)
     return F.expr(
         f"filter(transform(regexp_extract_all({col}, '{pat}', 1), x -> trim(x)),"
-        " x -> NOT (x LIKE 'File:%' OR x LIKE 'Image:%' OR x LIKE 'Category:%'))"
+        " x -> NOT (lower(x) LIKE 'file:%' OR lower(x) LIKE 'image:%'"
+        " OR lower(x) LIKE 'category:%'))"
     )
 
 

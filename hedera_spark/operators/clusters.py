@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hedera_spark.operators.dedup import dedup_ngram_jaccard
+from hedera_spark.operators.graph import _detach
 
 MAX_ITERATIONS = 20
 
@@ -77,8 +78,10 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
             "iterations (graph diameter exceeds the cap); raise "
             "MAX_ITERATIONS rather than returning partial components"
         )
-    sym.unpersist()
-    return labels
+    # store the |V|-row label table off the frontier cache and release
+    # the final frontier persist (graph._detach: no live persists left
+    # behind for callers to leak)
+    return _detach(labels, cached, sym)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,6 +26,26 @@ from pyspark.sql import functions as F
 
 from hedera_spark.operators.anchors import anchor_cooccur
 
+def _detach(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize `result` off its persisted ancestors, then release
+    them (the r5-VERDICT unpersist-on-materialize item). The iterative
+    operators persist the final frontier because the returned frame's
+    lineage is the whole peel/power chain — unpersisting alone would
+    make the caller's first action recompute the chain from the corpus.
+    localCheckpoint truncates that lineage into the result's OWN blocks
+    (every graph result here is a |V|-bounded aggregate, so the blocks
+    are small), after which the ancestor persists are dead weight:
+    dropping them leaves the session CacheManager EMPTY, so no cached
+    subtree can substitute into later queries' plans (the r4 AQE
+    reuse-killer), and no registry entry relies on reset_session_state
+    for memory hygiene. The checkpoint blocks themselves are
+    ContextCleaner-collected when the returned frame is GC'd."""
+    out = result.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 PR_ITERATIONS = 5
 PR_DAMPING = 0.85
 # literal, NOT computed as 1.0 - PR_DAMPING: the subtraction rounds to a
@@ -90,12 +110,11 @@ def pagerank_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + PR_DAMPING * F.coalesce(F.col("contrib"), F.lit(0.0))
             ).alias("rank"),
         )
-    ranks = ranks.persist()
-    ranks.count()  # materialize before releasing trans/nodes
-    out = ranks.select("anchor", F.round("rank", 8).alias("rank"))
-    trans.unpersist()
-    nodes.unpersist()
-    return out
+    # one eager materialization runs the 5 power steps over the cached
+    # trans/nodes, stores the |V|-row result, and releases every persist
+    return _detach(
+        ranks.select("anchor", F.round("rank", 8).alias("rank")), trans, nodes
+    )
 
 
 def hits_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,10 +198,9 @@ def hits_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # edges stays persisted (read by all five sub-plans of the lazy
-    # result); dropped with the session/cache like dedup.py's signature
-    # table — an eager unpersist here would force 5x recomputation
-    return out
+    # edges is read by all five sub-plans of the result: keep it hot for
+    # the ONE materialization _detach performs, then release it
+    return _detach(out, edges)
 
 
 def anchor_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +274,7 @@ def anchor_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("anchor")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    return (
+    return _detach(
         deg.join(tri_nodes, "anchor", "left")
         .select(
             "anchor",
@@ -272,7 +290,8 @@ def anchor_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(F.lit(0.0))
             .alias("clustering_coeff"),
-        )
+        ),
+        e,
     )
 
 
@@ -361,12 +380,11 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label")
             )
         )
-    labels = labels.persist()
-    labels.count()  # materialize before releasing sym/nodes
-    out = labels.select("anchor", F.col("label").alias("community"))
-    sym.unpersist()
-    nodes.unpersist()
-    return out
+    # one eager materialization runs the LPA rounds over the cached
+    # sym/nodes, stores the |V|-row result, and releases every persist
+    return _detach(
+        labels.select("anchor", F.col("label").alias("community")), sym, nodes
+    )
 
 
 KCORE_K = 3
@@ -427,8 +445,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_nxt == n_edges:
             break
         n_edges = n_nxt
-    return edges.groupBy(F.col("src").alias("anchor")).agg(
-        F.count(F.lit(1)).alias("degree")
+    return _detach(
+        edges.groupBy(F.col("src").alias("anchor")).agg(
+            F.count(F.lit(1)).alias("degree")
+        ),
+        edges,
     )
 
 
@@ -481,7 +502,7 @@ def graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.count()  # materialize before releasing the parent frontier
         dists.unpersist()
         dists = nxt
-    return dists
+    return _detach(dists, dists, edges)
 
 
 def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,7 +662,7 @@ def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_neighbors"), "a1", "a2")
         .limit(TWO_HOP_TOPK)
     )
-    return out
+    return _detach(out, e)
 
 
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,7 +723,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_term"),
         )
     )
-    return out
+    return _detach(out, e)
 
 
 WALK_STEPS = 4
@@ -765,7 +786,5 @@ def graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start").alias("start_anchor"),
         "walk",
         F.lit(WALK_STEPS + 1).cast("long").alias("walk_len"),
-    ).persist()
-    out.count()  # materialize before releasing the edge cache
-    sym.unpersist()
-    return out
+    )
+    return _detach(out, sym)

@@ -373,15 +373,19 @@ def _coreset_rows(spark: SparkSession, sf_dir: str):
                 break
             # thr = the pool cut: every point OUTSIDE the pool has struct
             # key strictly below pool[-1], hence min-distance <= thr. A
-            # refinement pick of value >= thr is therefore the exact
-            # global argmax (ties resolve to the pool too: outside points
-            # tied at thr have LARGER vec_id than every pool member by
-            # the (d, -vec_id) ordering, and ties prefer smallest vec_id)
+            # refinement pick of value > thr is therefore the exact
+            # global argmax; at value == thr the pick is exact only for
+            # members whose SCAN-TIME distance was thr (outside points
+            # tied at thr then have LARGER vec_id by the (d, -vec_id)
+            # pool ordering, and ties prefer smallest vec_id) — decayed-
+            # to-thr members force a rescan, handled below
             thr = float(pool[-1]["s"]["d"]) if len(pool) == CORESET_POOL else None
             cur = {}  # nid -> (current min-dist, emb)
+            scan_d = {}  # nid -> scan-time min-dist (before in-pool decay)
             for r in pool:
                 s = r["s"]
                 cur[s["nid"]] = (float(s["d"]), list(s["e"]))
+                scan_d[s["nid"]] = float(s["d"])
             progressed = False
             degenerate = False
             while len(sel) < CORESET_K:
@@ -389,6 +393,16 @@ def _coreset_rows(spark: SparkSession, sf_dir: str):
                 v, e = cur[best_nid]
                 if thr is not None and v < thr:
                     break  # the true next pick may live outside the pool
+                # v == thr is only provably the global argmax when the
+                # member sat AT the cut at scan time (then every outside
+                # point tied at thr has a larger vec_id by the (d, -nid)
+                # pool ordering). A member that DECAYED to exactly thr
+                # after an in-pool pick carries no such vec_id guarantee
+                # versus outside points still at thr — rescan instead of
+                # risking a wrong tie-break (6-dp quantized distances
+                # make exact ties attainable).
+                if thr is not None and v == thr and scan_d[best_nid] != thr:
+                    break
                 # corpus smaller than K: once every point is selected the
                 # argmax min-distance collapses to 0 and would re-pick an
                 # already-chosen vec_id forever — stop with < K rows
@@ -428,9 +442,10 @@ def coreset_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pool refinement instead of one scan per pick. Each scan pulls
     the top-POOL candidates by current min-distance (TakeOrdered — one
     job, no shuffle); the driver then runs EXACT Gonzalez inside the
-    pool for as long as each pick's value stays >= the pool cut, because
-    every point outside the pool is provably at distance <= the cut (and
-    loses vec_id ties). Output is bit-identical to the sequential K-1
+    pool for as long as each pick's value stays strictly above the pool
+    cut (or equals it for a member that sat at the cut at scan time),
+    because every point outside the pool is provably at distance <= the
+    cut and loses vec_id ties only against scan-time-cut members. Output is bit-identical to the sequential K-1
     scan version; driver round-trips drop from K-1 to 1-2 typical
     (<= ceil(log2 K)+1 asserted on the test corpus, K-1 worst case).
     The corpus never shuffles; the driver never holds more than

@@ -76,3 +76,73 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOPK)
         .select("q_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
     )
+
+
+def ann_topk_fast_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled agreement projection over ann_topk_fast (the r5
+    waiver retirement): raw BLAS neighbors cannot hash-match a SQL fold
+    oracle (summation order, tie-subset choice at the local-cut
+    argpartition), but every statistic emitted here is a MULTISET
+    function of the 6-dp-rounded top-k cos values — invariant under
+    which member of a rounded tie the kernel kept — so it is
+    deterministic and equal to the same projection over the exact
+    brute-force top-k:
+
+    - n_topk / min_cos / max_cos: cardinality and range of the rounded
+      score multiset (min_cos is the k-th exact score = the cut);
+    - sum_cos: score mass, summed exactly as integers (round(cos*1e6)
+      is integral because cos is already rounded) so Spark's and
+      DuckDB's float fold order cannot diverge;
+    - n_core_common: how many of the MUST-HAVE neighbors (rounded cos
+      strictly above the cut — provably members of every correct top-k
+      under any tie resolution) the fast kernel actually returned,
+      counted by joining fast against exact on (q_id, neighbor_id).
+
+    The oracle composes ann_topk's independently-checked SQL. A fast
+    kernel returning a wrong neighbor, a wrong score, or a starved
+    query shifts at least one column."""
+    from hedera_spark.operators.similarity import ann_topk
+
+    fast = ann_topk_fast(spark, sf_dir)
+    exact = ann_topk(spark, sf_dir).select(
+        "q_id",
+        F.col("neighbor_id").alias("x_neighbor_id"),
+        F.col("cos").alias("x_cos"),
+    )
+    cut = exact.groupBy("q_id").agg(F.min("x_cos").alias("cut"))
+    stats = (
+        fast.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_topk"),
+            F.min("cos").alias("min_cos"),
+            F.max("cos").alias("max_cos"),
+            F.round(
+                F.sum(F.expr("CAST(round(cos * 1e6) AS BIGINT)")) / 1e6, 6
+            ).alias("sum_cos"),
+        )
+    )
+    # join fast's above-cut rows to exact's above-cut rows on the pair key
+    fa = fast.join(cut, "q_id").where(F.col("cos") > F.col("cut")).select(
+        "q_id", "neighbor_id"
+    )
+    xa = exact.join(cut, "q_id").where(F.col("x_cos") > F.col("cut")).select(
+        "q_id", F.col("x_neighbor_id").alias("neighbor_id")
+    )
+    core = (
+        fa.join(xa, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_core_common"))
+    )
+    return (
+        stats.join(core, "q_id", "left")
+        .select(
+            "q_id",
+            "n_topk",
+            "min_cos",
+            "max_cos",
+            "sum_cos",
+            F.coalesce(F.col("n_core_common"), F.lit(0).cast("long")).alias(
+                "n_core_common"
+            ),
+        )
+    )

@@ -314,12 +314,15 @@ register(
     links AS (
       -- innermost-only pattern + namespace filter: the r5 extract_links
       -- semantics (nested-caption links surface, File/Image/Category
-      -- targets are not anchors)
+      -- targets are not anchors). Filter on the TRIMMED target,
+      -- case-insensitively — mirroring the operator's trim-then-filter
+      -- order and MediaWiki's case-insensitive namespaces (r5 ADVICE)
       SELECT trim(a) AS anchor FROM (
         SELECT unnest(regexp_extract_all(markup,
                  '\[\[([^\[\]|]+)(?:\|[^\[\]]*)?\]\]', 1)) AS a
         FROM marked)
-      WHERE NOT (a LIKE 'File:%' OR a LIKE 'Image:%' OR a LIKE 'Category:%')
+      WHERE NOT (lower(trim(a)) LIKE 'file:%' OR lower(trim(a)) LIKE 'image:%'
+                 OR lower(trim(a)) LIKE 'category:%')
     )
     SELECT anchor, count(*) AS freq FROM links GROUP BY anchor
     """,
@@ -1341,8 +1344,28 @@ from hedera_spark.operators import similarity_fast as simf  # noqa: E402
 
 # rows-only: BLAS summation order differs from the sequential fold in the
 # last float bits, so the SQL-oracle hash would be fragile by construction;
-# tests/test_iterative.py checks agreement with ann_topk instead.
+# tests/test_iterative.py checks agreement with ann_topk instead — and the
+# _agreement twin below carries the FULL value oracle for the same kernel.
 register("ann_topk_fast", simf.ann_topk_fast, None)
+
+register(
+    "ann_topk_fast_agreement",
+    simf.ann_topk_fast_agreement,
+    f"""
+    WITH topk AS ({ORACLE["ann_topk"]}),
+    cut AS (SELECT q_id, min(cos) AS cut FROM topk GROUP BY q_id)
+    -- multiset statistics of the exact top-k's rounded cos values: the
+    -- fast kernel's top-k must carry the SAME multiset under any
+    -- tie-subset choice, and every neighbor strictly above the cut is a
+    -- member of every correct top-k (n_core_common)
+    SELECT t.q_id, count(*) AS n_topk,
+           min(t.cos) AS min_cos, max(t.cos) AS max_cos,
+           round(sum(CAST(round(t.cos * 1e6) AS BIGINT)) / 1e6, 6) AS sum_cos,
+           count(*) FILTER (WHERE t.cos > c.cut) AS n_core_common
+    FROM topk t JOIN cut c USING (q_id)
+    GROUP BY t.q_id
+    """,
+)
 
 register(
     "tfidf_topk",
@@ -9837,71 +9860,21 @@ _DEMOTED_STABLE = [
     # twenty-sixth wave
     # twenty-seventh wave
     # twenty-eighth wave
-    "quality_mi",
-    "pv_dow_hour",
-    "rare_token_ratio",
     # twenty-ninth wave
-    "k_anonymity",
-    "pv_entropy",
     # thirtieth wave
-    "erasure_impact",
-    "gate_agreement",
-    "pv_ewma",
     # thirty-first wave
-    "pv_cusum",
-    "rfm_segments",
-    "basket_lift",
-    "data_split",
     # thirty-second wave
-    "cohort_ltv",
-    "revenue_hhi",
-    "pv_xcorr",
-    "active_users",
     # thirty-third wave
-    "conversion_lift",
-    "conversion_latency",
-    "quality_ppl_corr",
     # thirty-fourth wave
-    "dedup_method_agreement",
     # thirty-fifth wave
-    "shipping_delay",
-    "order_gaps",
-    "bm25_param_sweep",
-    "ivf_nprobe_sweep",
     # thirty-sixth wave
-    "trade_matrix",
-    "split_oov",
-    "split_contamination",
     # thirty-seventh wave
-    "pv_holt",
-    "return_rates",
     # thirty-eighth wave
-    "table_fingerprint",
-    "pv_daily_bands",
     # thirty-ninth wave
-    "checksum_by_type",
     # fortieth wave
-    "value_anova",
-    "value_mad",
     # forty-first wave
-    "bootstrap_means",
     # forty-second wave
-    "cms_topk",
-    "bloom_semi_join",
     # forty-third wave
-    "join_size_estimate",
-    "partition_planner",
-    "mv_refresh_plan",
-    "zonemap_prune_stats",
-    "dim_truncation_recall",
-    "keyword_rake",
-    "skew_salt_plan",
-    "salted_join",
-    "audience_overlap",
-    "embedding_drift",
-    "zorder_layout_audit",
-    "hll_union",
-    "equi_depth_histogram",
     "encoding_advisor",
     "pv_stl",
     "dp_counts",
@@ -10043,6 +10016,63 @@ _DEMOTED_STABLE = [
     # independently judge-swept green at sf0.01 in the r4 verdict, so it
     # carries the strongest non-driver witness of the never-gated set
     "classifier_auc",
+    # demoted to make room for ann_topk_fast_agreement (the r5-VERDICT
+    # waiver retirement) in the r6 front-50: judge-swept green at sf0.01
+    # this round, so it carries an independent witness; r7 rotation
+    # picks it back up with the remaining debt
+    "equi_depth_histogram",
+    # round 6 rotation (tools/rotate_gate.py): latest-gate-green front demotes,
+    # next 50 never-checked entries promote (SURVEY §7 schedule)
+    "approx_stats",
+    "multimodal_features",
+    "asof_join_nearest",
+    "chunk_documents",
+    "doc_vectors_codec",
+    "pv_hour_profile",
+    "key_skew_stats",
+    "pv_changepoint",
+    "simhash_recall",
+    "embedding_outliers",
+    "lang_id_ngram",
+    "bigram_pmi",
+    "user_thresholds",
+    "multimodal_resample",
+    "skipgram_pairs",
+    "sample_fixed_k",
+    "text_normalize",
+    "late_events",
+    "vocab_coverage",
+    "dedup_threshold_sweep",
+    "pack_efficiency",
+    "minhash_band_sweep",
+    "blocklist_gate",
+    "contamination_report",
+    "quality_threshold_sweep",
+    "mix_temperature",
+    "data_profile",
+    "quantile_error",
+    "dup_by_source",
+    "attribution_last_touch",
+    "label_cohesion",
+    "dedup_containment",
+    "profile_drift",
+    "corpus_rollup",
+    "event_transitions",
+    "length_quality_curve",
+    "robust_stats",
+    "fk_integrity",
+    "session_paths",
+    "attribution_linear",
+    "retrieval_agreement",
+    "dedup_impact",
+    "term_entropy",
+    "sample_weighted",
+    "readability",
+    "ann_mrr",
+    "ks_drift",
+    "events_gap_stats",
+    "campaign_cooccur",
+    "hll_error",
 ]
 
 

@@ -76,7 +76,13 @@ def table_state_key(sf_dir: str, name: str) -> tuple:
     try:
         if os.path.isdir(path):
             parts = []
-            for root, _dirs, files in os.walk(path):
+            for root, dirs, files in os.walk(path):
+                # os.walk enumerates in filesystem order — sort the
+                # recursion and the files so the fingerprint tuple is a
+                # deterministic function of the file SET, not of inode
+                # enumeration order (a spurious order change would force
+                # a needless model retrain)
+                dirs.sort()
                 for f in sorted(files):
                     fp = os.path.join(root, f)
                     st = os.stat(fp)

@@ -96,6 +96,30 @@ ADVERSARIAL = [
         "named tail",
         ["English alphabet#Letter names"],
     ),
+    # namespace filter is case-INsensitive (MediaWiki semantics, r5
+    # ADVICE): a lowercase file link renders its caption but is not an
+    # article anchor
+    (
+        "a [[file:X.gif|thumb|cap]] b",
+        "a cap b",
+        [],
+    ),
+    # lowercase category: strip_markup's [Cc]ategory drop and the anchor
+    # filter now agree
+    (
+        "a [[category:Xyz]] b",
+        "a b",
+        [],
+    ),
+    # leading space inside the target: the anchor filter applies AFTER
+    # trim, so '[[ Category:Xyz]]' is still no anchor (strip_markup's
+    # category regex requires the bracket-adjacent form, so the link
+    # renders as text)
+    (
+        "a [[ Category:Xyz]] b",
+        "a Category:Xyz b",
+        [],
+    ),
 ]
 
 

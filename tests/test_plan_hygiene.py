@@ -189,3 +189,36 @@ def test_plan_hygiene(name, spark):
         assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan and (
             "FlatMapGroupsInPandas" not in plan
         ), f"{name}: unexpected Python stage"
+
+
+# the iterative operators that formerly returned frames whose lineage held
+# a live persist (r5 VERDICT #8): each now ends in graph._detach —
+# localCheckpoint the |V|-bounded result, release every ancestor persist —
+# so materializing the entry leaves the session CacheManager EMPTY and no
+# cached subtree can substitute into a later query's plan (the r4 AQE
+# exchange-reuse killer). The clusters.connected_components compositions
+# (dedup_clusters & co) are detached too, but their upstream
+# dedup_ngram_jaccard keeps its measured kept-rows persist by design, so
+# they are asserted through the jaccard allowance instead.
+DETACHED_ITERATIVE = [
+    "pagerank_anchors",
+    "hits_anchors",
+    "anchor_triangles",
+    "graph_communities",
+    "graph_kcore",
+    "graph_distances",
+    "graph_two_hop",
+    "graph_modularity",
+    "graph_walks",
+]
+
+
+@pytest.mark.parametrize("name", DETACHED_ITERATIVE)
+def test_iterative_entries_leave_no_sql_cache(name, spark):
+    from hedera_spark.registry import QUERIES
+
+    spark.catalog.clearCache()
+    df = QUERIES[name](spark, SF_DIR)
+    df.collect()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), f"{name}: live SQL-cache entries after collect()"

@@ -3796,6 +3796,65 @@ def test_coreset_degenerate_corpus_matches_oracle(spark, tmp_path):
     assert len(got) == 2  # stopped, not padded to K
 
 
+def test_coreset_pool_refinement_bit_identical_under_ties(spark, tmp_path, monkeypatch):
+    """Adversarial tie stress for the pool refinement (r5 ADVICE medium):
+    embeddings on a tiny integer grid make 6-dp-quantized distances tie
+    exactly, and a shrunken pool forces the cut threshold to engage. A
+    pool member whose distance DECAYS to exactly the cut after an
+    in-pool pick must not be accepted over an outside point tied at the
+    cut with a smaller vec_id — the operator must stay bit-identical to
+    sequential Gonzalez (argmax quantized min-distance, ties to the
+    smallest vec_id) on every seed."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.operators import kmeans as km
+
+    def seq_gonzalez(pts, k):
+        ids = sorted(pts)
+        sel = [ids[0]]
+        rows = [(1, ids[0], None)]
+        mind = {i: km._py_dist2(pts[i], pts[sel[0]]) for i in ids}
+        while len(sel) < k:
+            best = max(ids, key=lambda i: (mind[i], -i))
+            v = mind[best]
+            if v == 0.0 and best in sel:
+                break
+            sel.append(best)
+            rows.append((len(sel), best, v))
+            for i in ids:
+                nd = km._py_dist2(pts[i], pts[best])
+                if nd < mind[i]:
+                    mind[i] = nd
+        return rows
+
+    monkeypatch.setattr(km, "CORESET_POOL", 5)  # cut engages on 48 points
+    for seed in range(4):
+        rng = random.Random(seed)
+        pts = {
+            vid: [float(rng.randrange(4)), float(rng.randrange(4))]
+            for vid in range(1, 49)
+        }
+        d = tmp_path / f"tie{seed}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(list(pts), type=pa.int64()),
+                    "embedding": pa.array(
+                        list(pts.values()), type=pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([0] * len(pts), type=pa.int32()),
+                }
+            ),
+            d / "embeddings.parquet",
+        )
+        got, _ = km._coreset_rows(spark, str(d))
+        assert got == seq_gonzalez(pts, km.CORESET_K), f"seed {seed}"
+
+
 def test_linreg_value_hour_matches_direct_fit(spark):
     """The closed-form integer-sum fit must equal a direct Python OLS
     over the same (hour, cents) pairs, and r2 must be in [0, 1]."""

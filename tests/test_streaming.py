@@ -1660,3 +1660,214 @@ def test_stream_common_log_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from clog_counts").collect()
     }
     assert counts == {(200, "GET"): 1, (404, "POST"): 2}
+
+
+def _chunked_src(spark, tmp_path, n_chunks: int = 6):
+    """events split into `n_chunks` parquet files of consecutive FULL
+    days (one micro-batch per chunk under maxFilesPerTrigger=1 — each
+    batch still aligns with the date partitions it carries, just
+    carries several of them). Returns (src_dir, [[days of chunk i]],
+    events_df)."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    days = sorted(
+        r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    step = max(1, (len(days) + n_chunks - 1) // n_chunks)
+    chunks = [days[i : i + step] for i in range(0, len(days), step)]
+    for i, ch in enumerate(chunks):
+        ev.where(F.to_date("ts").isin([str(d) for d in ch])).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"chunk={i}"))
+    return src, chunks, ev
+
+
+def _epoch_files(ckpt: str, batch_id: int) -> list[str]:
+    """File paths the file-stream source recorded for one epoch
+    (checkpoint sources/0/<batch>[.compact] log — the replay manifest;
+    every 10th batch the source compacts the whole history into one
+    file, so filter entries by their recorded batchId)."""
+    import json
+    import os
+
+    p = os.path.join(ckpt, "sources", "0", str(batch_id))
+    if not os.path.exists(p):
+        p += ".compact"
+    out = []
+    with open(p) as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith("{"):
+                rec = json.loads(line)
+                if rec.get("batchId") == batch_id:
+                    out.append(rec["path"])
+    return out
+
+
+def test_stream_write_partitioned_recovers_from_partial_epoch(spark, tmp_path):
+    """Failure injection (r5 VERDICT #6): crash epoch N in the exact
+    window where its offsets are logged and its output partition is
+    PARTIALLY promoted but the commit is not — then restart from the
+    checkpoint and prove the lake converges to the content-identical
+    state of the clean run. The crash state is constructed by
+    checkpoint surgery on a real run (delete commits/N, replace the
+    partition epoch N carried with a half-written file); the restart,
+    offset replay, and dynamic-overwrite rewrite are real Structured
+    Streaming recovery."""
+    import os
+    import re
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from hedera_spark.streaming.sink import stream_write_partitioned
+
+    src, chunks, ev = _chunked_src(spark, tmp_path)
+    out = tmp_path / "lake"
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_write_partitioned(spark, str(src), str(out), ckpt)
+    assert q.awaitTermination(540), "clean ingest did not drain in time"
+    expect = (
+        spark.read.parquet(str(out))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    expect = expect[sorted(expect.columns)]
+
+    # epoch N = the last committed batch; find the chunk it carried from
+    # the source's replay manifest, then one of that chunk's date
+    # partitions
+    commits = [f for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()]
+    n = max(int(f) for f in commits)
+    files_n = _epoch_files(ckpt, n)
+    m = re.search(r"chunk=(\d+)", files_n[0])
+    assert m, files_n
+    day_n = chunks[int(m.group(1))][0]
+    part_dir = out / f"event_date={day_n}"
+    assert part_dir.is_dir()
+
+    # surgery: drop the commit record, leave offsets -> epoch N replays.
+    os.remove(os.path.join(ckpt, "commits", str(n)))
+    crc = os.path.join(ckpt, "commits", f".{n}.crc")  # hadoop checksum twin
+    if os.path.exists(crc):
+        os.remove(crc)
+    # partial promotion: one of epoch N's partitions holds HALF its rows
+    full = pq.read_table(str(part_dir))
+    half = full.slice(0, max(1, full.num_rows // 2))
+    shutil.rmtree(part_dir)
+    part_dir.mkdir()
+    pq.write_table(half, str(part_dir / "part-partial.parquet"))
+    lame = spark.read.parquet(str(out))
+    assert lame.count() < len(expect)  # the lake really is torn
+
+    # real recovery: restart from the same checkpoint
+    q = stream_write_partitioned(spark, str(src), str(out), ckpt)
+    assert q.awaitTermination(540), "recovery replay did not drain in time"
+    got = (
+        spark.read.parquet(str(out))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = got[sorted(got.columns)]
+    assert got.equals(expect)
+
+
+def test_stream_upsert_recovers_from_partial_epoch_state(spark, tmp_path):
+    """Failure injection for the CDC upsert (r5 VERDICT #6): epoch N's
+    dynamic partition overwrite crashed after promoting only ONE of the
+    state buckets it touched (the others still hold pre-epoch content)
+    and before the commit was logged. Restarting from the checkpoint
+    must replay the epoch over the torn state and converge to the
+    content-identical state table of the clean run — the
+    last-writer-wins merge is idempotent over partially-applied
+    epochs."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hedera_spark.streaming.upsert import (
+        _bucketed,
+        _latest_per_key,
+        _STATE_COLS,
+        read_upsert_state,
+        stream_upsert,
+    )
+
+    src, chunks, ev = _chunked_src(spark, tmp_path)
+    last_days = [str(d) for d in chunks[-1]]
+    last_file = src / f"chunk={len(chunks) - 1}"
+    held = tmp_path / "held"
+    shutil.move(str(last_file), str(held))
+
+    state = tmp_path / "state"
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_upsert(spark, str(src), str(state), ckpt)
+    assert q.awaitTermination(540), "initial ingest did not drain in time"
+    pre = tmp_path / "state_pre"
+    shutil.copytree(state, pre)
+
+    # final chunk arrives; clean run to capture the converged state
+    shutil.move(str(held), str(last_file))
+    q = stream_upsert(spark, str(src), str(state), ckpt)
+    assert q.awaitTermination(540), "final-chunk ingest did not drain in time"
+    expect = (
+        read_upsert_state(spark, str(state))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    expect = expect[sorted(expect.columns)]
+
+    # buckets epoch N touched
+    delta = _bucketed(
+        _latest_per_key(
+            ev.where(F.to_date("ts").isin(last_days)).select(*_STATE_COLS)
+        )
+    )
+    touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
+    assert len(touched) >= 2, "fixture too small to tear a multi-bucket epoch"
+
+    # surgery: epoch N promoted ONLY its first touched bucket; every
+    # other touched bucket reverts to the pre-epoch content
+    commits = [f for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()]
+    n = max(int(f) for f in commits)
+    os.remove(os.path.join(ckpt, "commits", str(n)))
+    crc = os.path.join(ckpt, "commits", f".{n}.crc")  # hadoop checksum twin
+    if os.path.exists(crc):
+        os.remove(crc)
+    for b in touched[1:]:
+        cur = state / f"bucket={b}"
+        old = pre / f"bucket={b}"
+        if cur.is_dir():
+            shutil.rmtree(cur)
+        if old.is_dir():
+            shutil.copytree(old, cur)
+    torn = (
+        read_upsert_state(spark, str(state))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert not torn[sorted(torn.columns)].equals(expect)  # really torn
+
+    # real recovery: restart replays epoch N over the torn state
+    q = stream_upsert(spark, str(src), str(state), ckpt)
+    assert q.awaitTermination(540), "recovery replay did not drain in time"
+    got = (
+        read_upsert_state(spark, str(state))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got = got[sorted(got.columns)]
+    assert got.equals(expect)
