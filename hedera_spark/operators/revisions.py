@@ -3,10 +3,15 @@
 Hedera's revision machinery (pairing consecutive revisions, diffing them,
 sampling one per time interval, time-span filtering) is imperative reader
 code in the reference. Spark-first, every one of these is a *window over
-the page key ordered by time*: one shuffle on the page key, no self-join,
-and AQE splits skewed pages at runtime. At 100 TB the shuffle is keyed on
-page_id (high cardinality, near-uniform for real corpora), so the plan
-scales linearly with executors.
+the page key ordered by time*: one shuffle on the page key, no self-join.
+At 100 TB the shuffle is keyed on page_id (high cardinality, near-uniform
+for real corpora), so the plan scales linearly with executors. AQE cannot
+split a skewed WINDOW partition (skew splitting is a join optimization),
+so the sequential operators (rev_pairs / rev_diff / rev_concat) run their
+lag/concat per (page, bucket) and stitch bucket boundaries through the
+tiny (page × bucket) edge table — a mega-page holding p% of all revisions
+spreads across its buckets instead of pinning p% of the corpus to one
+task (see test_plans.py's planted-skew stress).
 """
 
 from __future__ import annotations
@@ -18,6 +23,14 @@ from hedera_spark.sources.revisions import load_revisions, load_snapshots
 
 def _page_time() -> Window:
     return Window.partitionBy("page_id").orderBy("ts", "rev_id")
+
+
+# the skew-spread bucket grains for the sequential (lag/concat) operators:
+# rev_pairs buckets the page timeline by hour; rev_diff / rev_concat bucket
+# the revision sequence by id range. A mega-page spreads across its
+# buckets; the tiny per-(page, bucket) edge table stitches the boundaries.
+REV_SKEW_BUCKET_SECONDS = 3600
+REV_SEQ_BUCKET = 1024
 
 
 def rev_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,22 +51,65 @@ def rev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive revision pairs per page with value delta and gap.
     Reference: io/input/WikiRevisionPairInputFormat.java (emits every pair
     of consecutive snapshots instead of each individually).
-    """
-    revs = load_revisions(spark, sf_dir)
-    w = _page_time()
-    return (
-        revs.select(
+
+    Skew-spread execution (r5 VERDICT #7): a page-keyed lag window puts a
+    mega-page (one page holding p% of all revisions) into ONE task — AQE
+    cannot split window partitions the way it splits skewed joins. The
+    lag is therefore computed per (page, hour-bucket) — the hot page
+    spreads across its time range — and the per-bucket FIRST rows get
+    their predecessors by stitching each bucket's first row to the
+    previous bucket's last row through a window over the tiny
+    (page × bucket) edge table. Exactly the same pairs, value deltas and
+    gaps as the single-window form; worst case (every revision in one
+    hour) degrades to it."""
+    revs = load_revisions(spark, sf_dir).select("page_id", "rev_id", "ts", "value")
+    rb = revs.withColumn(
+        "b", F.floor(F.unix_timestamp("ts") / REV_SKEW_BUCKET_SECONDS)
+    )
+    wb = Window.partitionBy("page_id", "b").orderBy("ts", "rev_id")
+    inb = rb.select(
+        "page_id",
+        F.lag("rev_id").over(wb).alias("prev_rev_id"),
+        F.col("rev_id").alias("cur_rev_id"),
+        F.lag("value").over(wb).alias("prev_value"),
+        F.col("value").alias("cur_value"),
+        F.lag("ts").over(wb).alias("prev_ts"),
+        "ts",
+    ).where(F.col("prev_rev_id").isNotNull())
+    row = F.struct("ts", "rev_id", "value")
+    order = F.struct("ts", "rev_id")  # the window's (ts, rev_id) order
+    edges = rb.groupBy("page_id", "b").agg(
+        F.min_by(row, order).alias("first_row"),
+        F.max_by(row, order).alias("last_row"),
+    )
+    wpage = Window.partitionBy("page_id").orderBy("b")
+    stitched = (
+        edges.select(
             "page_id",
-            F.lag("rev_id").over(w).alias("prev_rev_id"),
-            F.col("rev_id").alias("cur_rev_id"),
-            F.lag("value").over(w).alias("prev_value"),
-            F.col("value").alias("cur_value"),
-            (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
-            (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-            ).alias("gap_seconds"),
+            F.lag("last_row").over(wpage).alias("prev"),
+            F.col("first_row").alias("cur"),
         )
-        .where(F.col("prev_rev_id").isNotNull())
+        .where(F.col("prev").isNotNull())
+        .select(
+            "page_id",
+            F.col("prev.rev_id").alias("prev_rev_id"),
+            F.col("cur.rev_id").alias("cur_rev_id"),
+            F.col("prev.value").alias("prev_value"),
+            F.col("cur.value").alias("cur_value"),
+            F.col("prev.ts").alias("prev_ts"),
+            F.col("cur.ts").alias("ts"),
+        )
+    )
+    return inb.unionByName(stitched).select(
+        "page_id",
+        "prev_rev_id",
+        "cur_rev_id",
+        "prev_value",
+        "cur_value",
+        (F.col("cur_value") - F.col("prev_value")).alias("value_delta"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias(
+            "gap_seconds"
+        ),
     )
 
 
@@ -150,13 +206,34 @@ def rev_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee after a shuffle.
     """
     snaps = load_snapshots(spark, sf_dir)
-    return (
-        snaps.groupBy("page_id")
+    # hierarchical ordered concat (r5 VERDICT #7): level 1 concatenates
+    # within rev_seq-range buckets — a mega-page's texts aggregate in
+    # parallel across its buckets instead of one collect_list task
+    # holding p% of the corpus — level 2 concatenates the per-bucket
+    # chunks in bucket order. concat_ws is associative over non-null
+    # strings, so the result is byte-identical to the flat form.
+    lvl1 = (
+        snaps.withColumn("b", F.floor(F.col("rev_seq") / REV_SEQ_BUCKET))
+        .groupBy("page_id", "b")
         .agg(F.array_sort(F.collect_list(F.struct("rev_seq", "text"))).alias("parts"))
         .select(
             "page_id",
-            F.concat_ws(" ", F.transform("parts", lambda s: s["text"])).alias("full_text"),
-            F.size("parts").alias("n_revs"),
+            "b",
+            F.concat_ws(" ", F.transform("parts", lambda s: s["text"])).alias("chunk"),
+            F.size("parts").alias("n"),
+        )
+    )
+    return (
+        lvl1.groupBy("page_id")
+        .agg(F.array_sort(F.collect_list(F.struct("b", "chunk", "n"))).alias("chunks"))
+        .select(
+            "page_id",
+            F.concat_ws(
+                " ", F.transform("chunks", lambda c: c["chunk"])
+            ).alias("full_text"),
+            F.aggregate(
+                "chunks", F.lit(0), lambda a, c: a + c["n"]
+            ).alias("n_revs"),
         )
     )
 
@@ -202,14 +279,42 @@ def rev_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_seq").alias("doc_id"),
         F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
     )
-    w = Window.partitionBy("page_id").orderBy("doc_id")
-    paired = toks.select(
+    # skew-spread lag (r5 VERDICT #7, the rev_pairs discipline): the lag
+    # window runs per (page, rev_seq-range bucket), and each bucket's
+    # first row is stitched to the previous bucket's last row through
+    # the tiny (page × bucket) edge table — a mega-page diffs in
+    # parallel across its buckets.
+    rb = toks.withColumn("b", F.floor(F.col("doc_id") / REV_SEQ_BUCKET))
+    wb = Window.partitionBy("page_id", "b").orderBy("doc_id")
+    inb = rb.select(
         "page_id",
         "doc_id",
-        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("doc_id").over(wb).alias("prev_id"),
         "toks",
-        F.lag("toks").over(w).alias("prev_toks"),
+        F.lag("toks").over(wb).alias("prev_toks"),
     ).where(F.col("prev_id").isNotNull())
+    row = F.struct("doc_id", "toks")
+    bedges = rb.groupBy("page_id", "b").agg(
+        F.min_by(row, F.col("doc_id")).alias("first_row"),
+        F.max_by(row, F.col("doc_id")).alias("last_row"),
+    )
+    wpage = Window.partitionBy("page_id").orderBy("b")
+    stitched = (
+        bedges.select(
+            "page_id",
+            F.lag("last_row").over(wpage).alias("prev"),
+            F.col("first_row").alias("cur"),
+        )
+        .where(F.col("prev").isNotNull())
+        .select(
+            "page_id",
+            F.col("cur.doc_id").alias("doc_id"),
+            F.col("prev.doc_id").alias("prev_id"),
+            F.col("cur.toks").alias("toks"),
+            F.col("prev.toks").alias("prev_toks"),
+        )
+    )
+    paired = inb.unionByName(stitched)
     return paired.select(
         "page_id",
         "doc_id",
