@@ -66,38 +66,57 @@ def rev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb = revs.withColumn(
         "b", F.floor(F.unix_timestamp("ts") / REV_SKEW_BUCKET_SECONDS)
     )
+    # ONE exchange on (page, bucket): lag + row_number share the ordered
+    # window and the bucket-size count shares its partitioning, so the
+    # in-bucket pairs AND the bucket-edge rows (rn==1 first / rn==cnt
+    # last) come out of the same shuffle — the union branches below reuse
+    # that exchange instead of re-shuffling the corpus for an edge agg.
     wb = Window.partitionBy("page_id", "b").orderBy("ts", "rev_id")
-    inb = rb.select(
+    # lag and lead share ONE window spec -> a single Window operator per
+    # consumer; bucket-first = lag null, bucket-last = lead null
+    wf = rb.select(
         "page_id",
-        F.lag("rev_id").over(wb).alias("prev_rev_id"),
-        F.col("rev_id").alias("cur_rev_id"),
-        F.lag("value").over(wb).alias("prev_value"),
-        F.col("value").alias("cur_value"),
-        F.lag("ts").over(wb).alias("prev_ts"),
+        "b",
+        "rev_id",
         "ts",
-    ).where(F.col("prev_rev_id").isNotNull())
-    row = F.struct("ts", "rev_id", "value")
-    order = F.struct("ts", "rev_id")  # the window's (ts, rev_id) order
-    edges = rb.groupBy("page_id", "b").agg(
-        F.min_by(row, order).alias("first_row"),
-        F.max_by(row, order).alias("last_row"),
+        "value",
+        F.lag("rev_id").over(wb).alias("prev_rev_id"),
+        F.lag("value").over(wb).alias("prev_value"),
+        F.lag("ts").over(wb).alias("prev_ts"),
+        F.lead("rev_id").over(wb).alias("next_rev_id"),
     )
-    wpage = Window.partitionBy("page_id").orderBy("b")
+    inb = wf.where(F.col("prev_rev_id").isNotNull()).select(
+        "page_id",
+        "prev_rev_id",
+        F.col("rev_id").alias("cur_rev_id"),
+        "prev_value",
+        F.col("value").alias("cur_value"),
+        "prev_ts",
+        "ts",
+    )
+    # bucket edges: each bucket's first and last row (one row plays both
+    # roles in a single-row bucket). Ordered per page by the same
+    # (ts, rev_id) time order, the edge row BEFORE a bucket's first is
+    # the previous bucket's last — the lag window over this tiny
+    # (<= 2 x buckets-per-page) table stitches the boundary pairs.
+    edges = wf.where(
+        F.col("prev_rev_id").isNull() | F.col("next_rev_id").isNull()
+    )
+    wpage = Window.partitionBy("page_id").orderBy("ts", "rev_id")
+    prev = F.lag(F.struct("ts", "rev_id", "value")).over(wpage)
     stitched = (
-        edges.select(
-            "page_id",
-            F.lag("last_row").over(wpage).alias("prev"),
-            F.col("first_row").alias("cur"),
-        )
-        .where(F.col("prev").isNotNull())
+        edges.select("page_id", "rev_id", "ts", "value",
+                     F.col("prev_rev_id").alias("was_first"),
+                     prev.alias("prev"))
+        .where(F.col("was_first").isNull() & F.col("prev").isNotNull())
         .select(
             "page_id",
             F.col("prev.rev_id").alias("prev_rev_id"),
-            F.col("cur.rev_id").alias("cur_rev_id"),
+            F.col("rev_id").alias("cur_rev_id"),
             F.col("prev.value").alias("prev_value"),
-            F.col("cur.value").alias("cur_value"),
+            F.col("value").alias("cur_value"),
             F.col("prev.ts").alias("prev_ts"),
-            F.col("cur.ts").alias("ts"),
+            "ts",
         )
     )
     return inb.unionByName(stitched).select(
@@ -285,32 +304,34 @@ def rev_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tiny (page × bucket) edge table — a mega-page diffs in
     # parallel across its buckets.
     rb = toks.withColumn("b", F.floor(F.col("doc_id") / REV_SEQ_BUCKET))
+    # one exchange on (page, bucket), same discipline as rev_pairs: the
+    # in-bucket lag pairs and the bucket-edge rows come out of a single
+    # shuffle, and the boundary stitch is a lag over the tiny edge table
     wb = Window.partitionBy("page_id", "b").orderBy("doc_id")
-    inb = rb.select(
+    wf = rb.select(
         "page_id",
+        "b",
         "doc_id",
-        F.lag("doc_id").over(wb).alias("prev_id"),
         "toks",
+        F.lag("doc_id").over(wb).alias("prev_id"),
         F.lag("toks").over(wb).alias("prev_toks"),
-    ).where(F.col("prev_id").isNotNull())
-    row = F.struct("doc_id", "toks")
-    bedges = rb.groupBy("page_id", "b").agg(
-        F.min_by(row, F.col("doc_id")).alias("first_row"),
-        F.max_by(row, F.col("doc_id")).alias("last_row"),
+        F.lead("doc_id").over(wb).alias("next_id"),
     )
-    wpage = Window.partitionBy("page_id").orderBy("b")
+    inb = wf.where(F.col("prev_id").isNotNull()).select(
+        "page_id", "doc_id", "prev_id", "toks", "prev_toks"
+    )
+    edges = wf.where(F.col("prev_id").isNull() | F.col("next_id").isNull())
+    wpage = Window.partitionBy("page_id").orderBy("doc_id")
+    prev = F.lag(F.struct("doc_id", "toks")).over(wpage)
     stitched = (
-        bedges.select(
-            "page_id",
-            F.lag("last_row").over(wpage).alias("prev"),
-            F.col("first_row").alias("cur"),
-        )
-        .where(F.col("prev").isNotNull())
+        edges.select("page_id", "doc_id", "toks",
+                     F.col("prev_id").alias("was_first"), prev.alias("prev"))
+        .where(F.col("was_first").isNull() & F.col("prev").isNotNull())
         .select(
             "page_id",
-            F.col("cur.doc_id").alias("doc_id"),
+            "doc_id",
             F.col("prev.doc_id").alias("prev_id"),
-            F.col("cur.toks").alias("toks"),
+            "toks",
             F.col("prev.toks").alias("prev_toks"),
         )
     )
