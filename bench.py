@@ -85,12 +85,14 @@ def main() -> None:
     # single-shot timing.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # grouped (default): a query's reps run back-to-back — the series
-    # every prior round recorded. interleaved: rep-major round-robin, so
-    # an ambient load spike inflates ONE rep of every query instead of
-    # every rep of whichever query it landed on; with per-rep detail
-    # below, environmental drift is then separable from code (r5 VERDICT:
-    # the driver's +7% at lower load vs the builder's tree was not
-    # attributable from best-of-3 minima alone).
+    # every prior round recorded, and the one that measures WARM code
+    # (adjacent reps reuse the query's JIT-compiled codegen).
+    # interleaved: rep-major round-robin — a diagnostic mode, NOT a
+    # headline mode: with ~23 plans cycling in one JVM the reserved code
+    # cache flushes between a query's reps (UseCodeCacheFlushing), so
+    # later reps re-pay codegen+JIT (measured: dedup_simhash reps
+    # [3.6, 10.0, 14.9] interleaved vs [2.4, 2.4, 2.2] grouped on the
+    # same tree — see SCALING.md round-6 notes).
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "grouped")
 
     def one_rep(n: str) -> float:

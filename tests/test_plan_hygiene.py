@@ -37,6 +37,9 @@ from tests.conftest import SF_DIR
 ALLOWED_NESTED_LOOP = {
     "dedup_embedding",
     "ann_topk",
+    # grades ann_topk_fast AGAINST the ann_topk baseline, so it contains
+    # both designed plans: the baseline's BNLJ and the kernel's Arrow map
+    "ann_topk_fast_agreement",
     "ann_recall",  # measures ann_lsh AGAINST the ann_topk baseline
     "ann_mrr",  # measures ann_lsh AGAINST the ann_topk baseline
     "tpch_q11",
@@ -149,6 +152,7 @@ ALLOWED_PYTHON = {
     "multimodal_resample",  # same stub plumbing, audio modality
     "rev_diff_chunks",
     "ann_topk_fast",
+    "ann_topk_fast_agreement",  # composes ann_topk_fast's Arrow kernel
 }
 
 
