@@ -39,12 +39,42 @@ def rev_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     revision). Reference: mapreduce/ExtractRevisionIds.java,
     io/etl/RevisionIdsFormat.java.
     """
-    revs = load_revisions(spark, sf_dir)
-    return revs.select(
+    revs = load_revisions(spark, sf_dir).select("page_id", "rev_id", "ts")
+    # same skew-spread discipline as rev_pairs: lag per (page, hour
+    # bucket) off one exchange; bucket-first rows take their parent from
+    # the previous bucket's last revision via the tiny edge-table stitch
+    # (coalesced to 0 for a page's true first revision)
+    rb = revs.withColumn(
+        "b", F.floor(F.unix_timestamp("ts") / REV_SKEW_BUCKET_SECONDS)
+    )
+    wb = Window.partitionBy("page_id", "b").orderBy("ts", "rev_id")
+    wf = rb.select(
         "page_id",
         "rev_id",
-        F.coalesce(F.lag("rev_id").over(_page_time()), F.lit(0)).alias("parent_id"),
+        "ts",
+        F.lag("rev_id").over(wb).alias("prev_id"),
+        F.lead("rev_id").over(wb).alias("next_id"),
     )
+    inb = wf.where(F.col("prev_id").isNotNull()).select(
+        "page_id", "rev_id", F.col("prev_id").alias("parent_id")
+    )
+    edges = wf.where(F.col("prev_id").isNull() | F.col("next_id").isNull())
+    wpage = Window.partitionBy("page_id").orderBy("ts", "rev_id")
+    firsts = (
+        edges.select(
+            "page_id",
+            "rev_id",
+            F.col("prev_id").alias("was_first"),
+            F.lag("rev_id").over(wpage).alias("stitch_parent"),
+        )
+        .where(F.col("was_first").isNull())
+        .select(
+            "page_id",
+            "rev_id",
+            F.coalesce("stitch_parent", F.lit(0)).alias("parent_id"),
+        )
+    )
+    return inb.unionByName(firsts)
 
 
 def rev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

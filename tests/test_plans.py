@@ -389,6 +389,7 @@ def test_window_family_spreads_planted_mega_page(spark, tmp_path):
         REV_SKEW_BUCKET_SECONDS,
         rev_concat,
         rev_diff,
+        rev_ids,
         rev_pairs,
     )
     from hedera_spark.registry import ORACLE
@@ -487,6 +488,7 @@ def test_window_family_spreads_planted_mega_page(spark, tmp_path):
     from tests.oracle_compare import assert_frames_match
 
     for name, fn in (
+        ("rev_ids", rev_ids),
         ("rev_pairs", rev_pairs),
         ("rev_diff", rev_diff),
         ("rev_concat", rev_concat),
