@@ -26,7 +26,12 @@ needs TWO texts at a time, so the unit of Python work is a consecutive
 Registered rows-only (no SQL oracle can replicate the alignment), which
 the driver records as the weaker check by design;
 tests/test_semantics.py replays the operator against a direct difflib
-pass and plants a mega-page to prove the spread.
+pass and plants a mega-page to prove the spread. Since r6 the SAME
+kernel additionally carries a FULL value oracle through
+`rev_diff_chunks_agreement`: applying the emitted edit script is
+relational even though producing it is not, so the twin rebuilds every
+revision from its predecessor + chunks and hash-matches DuckDB's md5 of
+the raw text.
 """
 
 from __future__ import annotations
@@ -44,7 +49,8 @@ from hedera_spark.sources.tables import load_table
 
 CHUNK_SCHEMA = (
     "page_id string, doc_id long, prev_id long, op string, "
-    "a_text string, b_text string"
+    "a_text string, b_text string, "
+    "a_pos long, a_end long, b_pos long"
 )
 
 _OPS = {"replace": "CHANGE", "delete": "DELETE", "insert": "INSERT"}
@@ -69,10 +75,22 @@ def _diff_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         _OPS[op],
                         " ".join(a_toks[i1:i2]),
                         " ".join(b_toks[j1:j2]),
+                        # chunk positions (0-based token indices), the
+                        # diffutils Chunk position/size model
+                        # (io/RevisionDiff.java carries them too) — and
+                        # what makes the edit script APPLICABLE: the
+                        # agreement twin below replays it
+                        i1,
+                        i2,
+                        j1,
                     )
                 )
         yield pd.DataFrame(
-            out, columns=["page_id", "doc_id", "prev_id", "op", "a_text", "b_text"]
+            out,
+            columns=[
+                "page_id", "doc_id", "prev_id", "op", "a_text", "b_text",
+                "a_pos", "a_end", "b_pos",
+            ],
         )
 
 
@@ -92,3 +110,67 @@ def rev_diff_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "source", "doc_id"
     )
     return pairs.mapInPandas(_diff_pairs, schema=CHUNK_SCHEMA)
+
+
+def rev_diff_chunks_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-oracled agreement projection over rev_diff_chunks (the last
+    rows-only waiver, retired the ann_topk_fast_agreement way): sequence
+    alignment itself is not SQL-expressible, but APPLYING the emitted
+    edit script is — rebuild each new revision from its predecessor plus
+    the chunks (equal spans are the gaps between chunk positions;
+    INSERT/CHANGE contribute b_text; DELETE contributes nothing) and
+    md5 the result. The DuckDB oracle md5s the raw revision text
+    directly, so a missing chunk, a wrong position, a misclassified op,
+    or corrupted chunk text all shift the hash. The replay is a pure
+    codegen'd `aggregate` over the per-pair chunk array — no Python
+    beyond the operator's own alignment kernel."""
+    chunks = rev_diff_chunks(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("source").alias("page_id"),
+            "doc_id",
+            F.lag("doc_id").over(w).alias("prev_id"),
+            F.lag("text").over(w).alias("a_text"),
+        )
+        .where(F.col("prev_id").isNotNull())
+    )
+    carr = chunks.groupBy("page_id", "doc_id", "prev_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("a_pos", "a_end", "op", "b_text"))
+        ).alias("cs")
+    )
+    j = pairs.join(carr, ["page_id", "doc_id", "prev_id"], "left").select(
+        "page_id",
+        "doc_id",
+        "prev_id",
+        F.split("a_text", " ").alias("a_toks"),
+        F.expr(
+            "coalesce(cs, CAST(array() AS"
+            " array<struct<a_pos:bigint,a_end:bigint,op:string,b_text:string>>))"
+        ).alias("cs"),
+    )
+    recon = F.expr(
+        """
+        aggregate(
+          cs,
+          struct(CAST(0 AS INT) AS pos, CAST(array() AS array<string>) AS parts),
+          (acc, c) -> struct(
+            CAST(c.a_end AS INT) AS pos,
+            concat(
+              acc.parts,
+              slice(a_toks, acc.pos + 1, CAST(c.a_pos AS INT) - acc.pos),
+              CASE WHEN c.op = 'DELETE' THEN CAST(array() AS array<string>)
+                   ELSE split(c.b_text, ' ') END) AS parts),
+          acc -> concat(acc.parts,
+                        slice(a_toks, acc.pos + 1, size(a_toks) - acc.pos))
+        )
+        """
+    )
+    return j.select(
+        "page_id",
+        "doc_id",
+        "prev_id",
+        F.md5(F.concat_ws(" ", recon)).alias("new_md5"),
+    )

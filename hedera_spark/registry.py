@@ -1263,8 +1263,26 @@ from hedera_spark.operators import clusters as cl  # noqa: E402
 from hedera_spark.operators import diff_chunks as dc  # noqa: E402
 
 # rows-only: sequence alignment (difflib/diffutils) is not expressible in
-# SQL — the driver records the weaker rows-only check for this one.
+# SQL — the driver records the weaker rows-only check for this one. The
+# _agreement twin below value-oracles the SAME kernel by APPLYING the
+# edit script (which IS relational) and hash-matching the rebuilt text.
 register("rev_diff_chunks", dc.rev_diff_chunks, None)
+
+register(
+    "rev_diff_chunks_agreement",
+    dc.rev_diff_chunks_agreement,
+    """
+    WITH snaps AS (SELECT source AS page_id, doc_id, text FROM documents),
+    pairs AS (
+      SELECT page_id, doc_id,
+             lag(doc_id) OVER (PARTITION BY page_id ORDER BY doc_id) AS prev_id,
+             md5(text) AS new_md5
+      FROM snaps
+    )
+    SELECT page_id, doc_id, prev_id, new_md5
+    FROM pairs WHERE prev_id IS NOT NULL
+    """,
+)
 
 # shared CTE chain for the cluster-resolution family: near-dup pairs →
 # symmetric closure → reachability fixpoint → per-node min-label cluster
@@ -10021,6 +10039,10 @@ _DEMOTED_STABLE = [
     # this round, so it carries an independent witness; r7 rotation
     # picks it back up with the remaining debt
     "equi_depth_histogram",
+    # demoted to make room for rev_diff_chunks_agreement (the second
+    # waiver retirement, same round) — also judge-swept green at sf0.01
+    # in the r5 verdict; rejoins in r7
+    "zorder_layout_audit",
     # round 6 rotation (tools/rotate_gate.py): latest-gate-green front demotes,
     # next 50 never-checked entries promote (SURVEY §7 schedule)
     "approx_stats",

@@ -151,6 +151,7 @@ ALLOWED_PYTHON = {
     "multimodal_frames",  # same stub-decoder plumbing as multimodal_meta
     "multimodal_resample",  # same stub plumbing, audio modality
     "rev_diff_chunks",
+    "rev_diff_chunks_agreement",  # composes rev_diff_chunks' difflib kernel
     "ann_topk_fast",
     "ann_topk_fast_agreement",  # composes ann_topk_fast's Arrow kernel
 }
