@@ -160,6 +160,19 @@ def main() -> None:
                 "train": round(max(ext_times[n] - score, 0.0), 3),
             }
 
+    # count-terminal twins for the transfer-bound queries (r6 VERDICT #2):
+    # fingerprint/scd2_build emit ~1M rows, so their .collect() rep mixes
+    # distributed plan cost with driver materialization. One extra timed
+    # run each with a .count() terminal isolates the distributed cost —
+    # recorded alongside the collect number, never substituted for it.
+    count_terminal: dict[str, float] = {}
+    for n in ("fingerprint", "scd2_build"):
+        if n in QUERIES:
+            reset_session_state(spark)
+            t0 = time.perf_counter()
+            QUERIES[n](spark, sf_dir).count()
+            count_terminal[n] = round(time.perf_counter() - t0, 3)
+
     # 1-minute load average at run time: BENCH_r02's 40.2s "regression"
     # was ambient load on a shared box (controlled rerun: 22.6s). Numbers
     # taken under heavy external load are noise — record the conditions
@@ -168,6 +181,31 @@ def main() -> None:
         load_1m = round(os.getloadavg()[0], 2)
     except OSError:
         load_1m = None
+    # bulky per-rep instrumentation goes to a SIDE FILE (and stderr),
+    # never the metric line: r6's BENCH record was unparseable because
+    # the detail blocks grew the one-line JSON past the driver's tail
+    # capture (BENCH_r06.json `parsed: null`). The driver contract is a
+    # compact metric line, and it must be the LAST stdout line.
+    side = {
+        # per-rep wall times + 1m load sampled before each rep: lets a
+        # reader separate ambient drift (uniform rep inflation, high
+        # load) from a plan regression (all reps slow at idle load)
+        "detail": detail,
+        "extended_detail": ext_detail,
+        # full = train+score per rep (honest retrain); score = model-
+        # registry hit with caches cleared; train = full - score
+        "trained": trained,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(side, fh)
+        print(f"# per-rep detail -> {detail_path}", file=sys.stderr)
+    except OSError as exc:  # pragma: no cover - read-only checkout
+        print(f"# detail not written: {exc}", file=sys.stderr)
+    print(json.dumps(side), file=sys.stderr)
+
     out = {
         "metric": "headline_query_wall_clock_total",
         "value": round(sum(times.values()), 3),
@@ -181,16 +219,14 @@ def main() -> None:
         # total stays comparable across rounds
         "extended_total": round(sum(ext_times.values()), 3),
         "extended": ext_times,
-        # per-rep wall times + 1m load sampled before each rep: lets a
-        # reader separate ambient drift (uniform rep inflation, high
-        # load) from a plan regression (all reps slow at idle load)
-        "detail": detail,
-        "extended_detail": ext_detail,
-        # full = train+score per rep (honest retrain); score = model-
-        # registry hit with caches cleared; train = full - score
-        "trained": trained,
+        # distributed-cost-only timing for the two queries whose collect
+        # rep is dominated by driver transfer (~1M result rows)
+        "count_terminal": count_terminal,
     }
+    sys.stderr.flush()
+    sys.stdout.flush()
     print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

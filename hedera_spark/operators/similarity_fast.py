@@ -67,7 +67,13 @@ def ann_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             yield pd.DataFrame(out)
 
-    cands = emb.mapInPandas(score_batches, schema=OUT_SCHEMA).where(
+    # Parallelism REBALANCE of the raw scan before the CPU-dense kernel:
+    # a compact parquet corpus scans as a handful of row-group partitions
+    # (sf1 = 2), which would serialize the BLAS matmul onto that many
+    # cores. Same discipline as fingerprint / dedup._shingles — this is
+    # not an algorithmic shuffle, it spreads the matmul over all cores.
+    spread = emb.repartition(spark.sparkContext.defaultParallelism)
+    cands = spread.mapInPandas(score_batches, schema=OUT_SCHEMA).where(
         F.col("neighbor_id") != F.col("q_id")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("neighbor_id"))

@@ -413,13 +413,18 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash array as a NAMED column so it's computed once per row — inlining
     # it into the window lambda would re-evaluate the whole array per
     # window position (Catalyst does not hoist loop-invariant lambdas)
-    hashed = docs.select(
+    # same loop-invariant discipline as `hs` below: split once into a
+    # named `toks` column instead of re-evaluating split() three times
+    # inside one projection (Catalyst does not CSE subexpressions across
+    # a CASE's branches)
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    hashed = toks.select(
         "doc_id",
         # same short-doc guard as dedup._shingles: sequence(1, 0) descends
         F.expr(
-            "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-            " transform(sequence(1, size(split(text, ' ')) - 2),"
-            " j -> md5(concat_ws(' ', slice(split(text, ' '), j, 3))))"
+            "CASE WHEN size(toks) >= 3 THEN"
+            " transform(sequence(1, size(toks) - 2),"
+            " j -> md5(concat_ws(' ', slice(toks, j, 3))))"
             " ELSE array() END"
         ).alias("hs"),
     )

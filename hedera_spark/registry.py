@@ -9893,40 +9893,10 @@ _DEMOTED_STABLE = [
     # forty-first wave
     # forty-second wave
     # forty-third wave
-    "encoding_advisor",
-    "pv_stl",
-    "dp_counts",
-    "ann_pareto",
     # sixth-session wave: SCD2 / CDC primitives (locally parity-tested;
     # rotate into the gate in r4)
-    "pv_pivot",
-    "pv_unpivot",
-    "retention_sweep",
-    "corpus_grouping_sets",
-    "dp_mean",
-    "moments_quantiles",
-    "frequent_itemsets",
-    "constraint_audit",
-    "ab_permutation_test",
-    "score_quantile_norm",
     # seventh-session wave: all driver_sim-green at sf0.01 in-session;
     # rotate into the gate in r4 with the other r3-new demotees
-    "linreg_value_hour",
-    "chi2_independence",
-    "revenue_gini",
-    "benford_audit",
-    "l_diversity",
-    "events_sample_k",
-    "curriculum_buckets",
-    "heaps_law_fit",
-    "pv_holt_winters",
-    "order_reconciliation",
-    "dp_quantile",
-    "abc_classification",
-    "dispersion_index",
-    "classifier_gains",
-    "brand_transitions",
-    "bigram_llr",
     # round 4 rotation: the 47 r3-gate-green entries demote to make
     # room for 46 never-driver-checked promotions (trained/iterative,
     # SCD2/CDC, retrieval, graph, revision families + the two
@@ -9978,9 +9948,6 @@ _DEMOTED_STABLE = [
     "zipf_fit",
     # round 4 new-entry wave: registers straight into the r5+ backlog
     # (local parity + driver_sim MATCH on record this session)
-    "loader_shards",
-    "shard_skew_audit",
-    "pack_overflow_stats",
     # round 5 rotation (tools/rotate_gate.py): latest-gate-green front demotes,
     # next 47 never-checked entries promote (SURVEY §7 schedule)
     "multimodal_dedup",
@@ -10033,16 +10000,13 @@ _DEMOTED_STABLE = [
     # demoted to make room for doc_vectors_codec in the r5 front-50:
     # independently judge-swept green at sf0.01 in the r4 verdict, so it
     # carries the strongest non-driver witness of the never-gated set
-    "classifier_auc",
     # demoted to make room for ann_topk_fast_agreement (the r5-VERDICT
     # waiver retirement) in the r6 front-50: judge-swept green at sf0.01
     # this round, so it carries an independent witness; r7 rotation
     # picks it back up with the remaining debt
-    "equi_depth_histogram",
     # demoted to make room for rev_diff_chunks_agreement (the second
     # waiver retirement, same round) — also judge-swept green at sf0.01
     # in the r5 verdict; rejoins in r7
-    "zorder_layout_audit",
     # round 6 rotation (tools/rotate_gate.py): latest-gate-green front demotes,
     # next 50 never-checked entries promote (SURVEY §7 schedule)
     "approx_stats",
@@ -10095,6 +10059,58 @@ _DEMOTED_STABLE = [
     "events_gap_stats",
     "campaign_cooccur",
     "hll_error",
+    # round 7 rotation (tools/rotate_gate.py): latest-gate-green front demotes,
+    # next 36 never-checked entries promote (SURVEY §7 schedule)
+    "rev_diff_chunks_agreement",
+    "ann_topk_fast_agreement",
+    "quality_mi",
+    "pv_dow_hour",
+    "rare_token_ratio",
+    "k_anonymity",
+    "pv_entropy",
+    "erasure_impact",
+    "gate_agreement",
+    "pv_ewma",
+    "pv_cusum",
+    "rfm_segments",
+    "basket_lift",
+    "data_split",
+    "cohort_ltv",
+    "revenue_hhi",
+    "pv_xcorr",
+    "active_users",
+    "conversion_lift",
+    "conversion_latency",
+    "quality_ppl_corr",
+    "dedup_method_agreement",
+    "shipping_delay",
+    "order_gaps",
+    "bm25_param_sweep",
+    "ivf_nprobe_sweep",
+    "trade_matrix",
+    "split_oov",
+    "split_contamination",
+    "pv_holt",
+    "return_rates",
+    "table_fingerprint",
+    "pv_daily_bands",
+    "checksum_by_type",
+    "value_anova",
+    "value_mad",
+    "bootstrap_means",
+    "cms_topk",
+    "bloom_semi_join",
+    "join_size_estimate",
+    "partition_planner",
+    "mv_refresh_plan",
+    "zonemap_prune_stats",
+    "dim_truncation_recall",
+    "keyword_rake",
+    "skew_salt_plan",
+    "salted_join",
+    "audience_overlap",
+    "embedding_drift",
+    "hll_union",
 ]
 
 

@@ -497,3 +497,17 @@ def test_window_family_spreads_planted_mega_page(spark, tmp_path):
         want = con.execute(ORACLE[name]).df()
         assert_frames_match(got, want, f"{name}@planted-skew")
     con.close()
+
+
+def test_ann_topk_fast_rebalances_before_the_blas_kernel(spark):
+    """r6 scale defect: the BLAS mapInPandas kernel mapped over the RAW
+    parquet scan, so its parallelism was the scan's row-group count (2
+    partitions at sf1 -> the CPU-dense matmul ran on 2 of 32 cores,
+    3x SLOWER than the exact fold it exists to beat). The fix is the
+    same rebalance discipline as fingerprint/dedup._shingles: a
+    round-robin repartition to defaultParallelism ahead of the kernel.
+    Pin it in the plan so a refactor can't silently drop it."""
+    from hedera_spark.operators.similarity_fast import ann_topk_fast
+
+    plan = formatted_plan(ann_topk_fast(spark, SF_DIR))
+    assert "RoundRobinPartitioning" in plan, plan
