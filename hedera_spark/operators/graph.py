@@ -39,8 +39,21 @@ def _detach(result: DataFrame, *cached: DataFrame) -> DataFrame:
     subtree can substitute into later queries' plans (the r4 AQE
     reuse-killer), and no registry entry relies on reset_session_state
     for memory hygiene. The checkpoint blocks themselves are
-    ContextCleaner-collected when the returned frame is GC'd."""
-    out = result.localCheckpoint(eager=True)
+    ContextCleaner-collected when the returned frame is GC'd.
+
+    Fault tolerance: localCheckpoint blocks live only on executors, so
+    on a real cluster losing an executor AFTER the operator returns
+    would make the result unrecomputable (lineage is truncated). When a
+    reliable checkpoint dir is configured (cluster deploys set one),
+    use checkpoint() — blocks go to the shared filesystem and survive
+    executor loss. localCheckpoint stays the local-mode path, where the
+    executors ARE the driver process and the reliability distinction is
+    moot."""
+    sc = result.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        out = result.checkpoint(eager=True)
+    else:
+        out = result.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
     return out

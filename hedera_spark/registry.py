@@ -4133,29 +4133,39 @@ register(
     """,
 )
 
+# graph_kcore's oracle MATERIALIZES every multiply-referenced CTE
+# (r6 VERDICT #4): DuckDB inlines plain CTEs per reference, so the
+# 4-level peel chain (each e_k referenced 3x by k_{k+1} and e_{k+1})
+# re-evaluated the dtoks unnest + self-join O(3^4) times — a >75 GB
+# spill at sf1. With AS MATERIALIZED each level is built exactly once
+# and the oracle runs at sf1.
+_CTOKS_MAT = _CTOKS.replace("dtoks AS (", "dtoks AS MATERIALIZED (").replace(
+    "ctoks AS (", "ctoks AS MATERIALIZED ("
+)
+
 register(
     "graph_kcore",
     gr.graph_kcore,
     f"""
-    WITH {_CTOKS},
-    pairs AS (
+    WITH {_CTOKS_MAT},
+    pairs AS MATERIALIZED (
       SELECT a.anchor AS a1, b.anchor AS a2, count(*) AS n_docs
       FROM ctoks a JOIN ctoks b ON a.doc_id = b.doc_id AND a.anchor < b.anchor
       GROUP BY 1, 2
       HAVING count(*) >= 5
     ),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT a1 AS src, a2 AS dst FROM pairs
       UNION ALL SELECT a2, a1 FROM pairs
     ),
     k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= {gr.KCORE_K}),
-    e1 AS (SELECT e.src, e.dst FROM e0 e
+    e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
            JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
     k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= {gr.KCORE_K}),
-    e2 AS (SELECT e.src, e.dst FROM e1 e
+    e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
            JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
     k3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= {gr.KCORE_K}),
-    e3 AS (SELECT e.src, e.dst FROM e2 e
+    e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
            JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src),
     k4 AS (SELECT src FROM e3 GROUP BY src HAVING count(*) >= {gr.KCORE_K}),
     e4 AS (SELECT e.src, e.dst FROM e3 e

@@ -36,13 +36,22 @@ from hedera_spark.session import get_spark, reset_session_state
 from hedera_spark.registry import QUERIES
 spark = get_spark("ab-bench")
 spark.sparkContext.setLogLevel("ERROR")
-name, sf_dir = sys.argv[2], sys.argv[3]
-QUERIES[name](spark, "/root/testdata/sf0.001").collect()  # JIT warmup
+name, sf_dir, warmup_dir = sys.argv[2], sys.argv[3], sys.argv[4]
+QUERIES[name](spark, warmup_dir).collect()  # JIT warmup
 reset_session_state(spark)
 t0 = time.perf_counter()
 QUERIES[name](spark, sf_dir).collect()
 print(json.dumps({"sec": round(time.perf_counter() - t0, 3)}))
 """
+
+
+def _repo_root() -> str:
+    out = subprocess.run(
+        ["git", "rev-parse", "--show-toplevel"],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return out.stdout.strip()
 
 
 def _worktree(ref: str, base: str) -> str:
@@ -51,14 +60,14 @@ def _worktree(ref: str, base: str) -> str:
         ["git", "worktree", "add", "--detach", path, ref],
         check=True,
         capture_output=True,
-        cwd="/root/repo",
+        cwd=_repo_root(),
     )
     return path
 
 
-def _sample(tree: str, name: str, sf_dir: str) -> float:
+def _sample(tree: str, name: str, sf_dir: str, warmup_dir: str) -> float:
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, tree, name, sf_dir],
+        [sys.executable, "-c", RUNNER, tree, name, sf_dir, warmup_dir],
         capture_output=True,
         text=True,
         check=True,
@@ -73,7 +82,25 @@ def main() -> None:
     ap.add_argument("--queries", required=True)
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--warmup-sf",
+        default=None,
+        help="sf dir for the JIT warmup pass (default: the smallest "
+        "sf* sibling of --sf-dir, so the tool works on any checkout/box)",
+    )
     args = ap.parse_args()
+
+    warmup = args.warmup_sf
+    if warmup is None:
+        parent = os.path.dirname(os.path.abspath(args.sf_dir.rstrip("/")))
+        sibs = sorted(
+            (d for d in os.listdir(parent)
+             if d.startswith("sf")
+             and os.path.isdir(os.path.join(parent, d))),
+            key=lambda d: float(d[2:]) if d[2:].replace(".", "").isdigit()
+            else float("inf"),
+        )
+        warmup = os.path.join(parent, sibs[0]) if sibs else args.sf_dir
 
     with tempfile.TemporaryDirectory(prefix="abbench-") as base:
         tree_a = _worktree(args.ref_a, base)
@@ -82,8 +109,8 @@ def main() -> None:
             for name in args.queries.split(","):
                 sa, sb = [], []
                 for _ in range(args.rounds):
-                    sa.append(_sample(tree_a, name, args.sf_dir))
-                    sb.append(_sample(tree_b, name, args.sf_dir))
+                    sa.append(_sample(tree_a, name, args.sf_dir, warmup))
+                    sb.append(_sample(tree_b, name, args.sf_dir, warmup))
                 ma, mb = statistics.median(sa), statistics.median(sb)
                 print(
                     json.dumps(
@@ -99,7 +126,7 @@ def main() -> None:
             for p in (tree_a, tree_b):
                 subprocess.run(
                     ["git", "worktree", "remove", "--force", p],
-                    cwd="/root/repo",
+                    cwd=_repo_root(),
                     capture_output=True,
                 )
 

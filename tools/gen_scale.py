@@ -124,12 +124,23 @@ def main() -> None:
     docs = src["documents"]
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
+    sources = docs.column("source").to_pylist()
     reps = [docs]
     for r in range(1, args.factor):
         tbl = _offset_col(docs, "doc_id", r * ceil["documents"])
         ti = tbl.schema.get_field_index("text")
         tbl = tbl.set_column(
             ti, "text", pa.array(_shuffle_text(texts, doc_ids, r), pa.string())
+        )
+        # suffix the page key per replica so the snapshots family
+        # (source -> page_id for rev_diff/rev_concat/rev_length) scales
+        # KEY cardinality with the corpus, not just per-page depth — a
+        # constant-cardinality page key would make the sf1 evidence
+        # measure history-depth scaling instead of corpus scaling for
+        # exactly the skew-sensitive rev family
+        si = tbl.schema.get_field_index("source")
+        tbl = tbl.set_column(
+            si, "source", pa.array([f"{s}~r{r}" for s in sources], pa.string())
         )
         reps.append(tbl)
     pq.write_table(
