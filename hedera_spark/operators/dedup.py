@@ -395,6 +395,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.68 s / hint+reuse 1.84 s / persist+hint 2.00 s). Memory:
     |docs| x 16 B — trivial at any scale. The plan test pins both join
     sides reading the one InMemoryTableScan."""
+    return (
+        _simhash_candidate_pairs(spark, sf_dir)
+        # filter BEFORE the pair-dedup shuffle: hamming is already on the
+        # row, so far-apart collisions never enter the exchange
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every chunk-colliding pair BEFORE the
+    hamming cut and pair-dedup — shared by dedup_simhash (which applies
+    both) and dedup_candidate_volume (which counts the raw candidates,
+    the quantity that must stay sub-quadratic at scale)."""
     fp = simhash_docs(spark, sf_dir).persist()
     chunks = fp.select(
         "doc_id",
@@ -413,10 +427,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["c", "chunk"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").alias("hamming"))
-        # filter BEFORE the pair-dedup shuffle: hamming is already on the
-        # row, so far-apart collisions never enter the exchange
-        .where(F.col("hamming") <= HAMMING_MAX)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -847,3 +857,43 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     for bl in blocks[1:]:
         out = out.unionByName(bl)
     return out
+
+
+def dedup_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-score candidate-pair volume for the three pair-generating
+    dedup families (r6 VERDICT #7): one row per method with the number
+    of DISTINCT candidate pairs that enter the scorer BEFORE any
+    similarity cut. This is the measured statement of the scale claim —
+    "bounded by the df-cap / band fan-out / chunk blocking, never
+    corpus^2": the similarity thresholds (jaccard >= 0.2, est_jaccard,
+    hamming <= 8) only shrink OUTPUT; the candidate count is the work
+    the cluster actually does, so IT is the number that must grow
+    sub-quadratically with the corpus. Benching this entry at sf0.1 vs
+    sf1 turns the claim into a measured curve.
+
+    - ngram_jaccard: pairs sharing >= 1 surviving (df-capped) shingle —
+      the _pair_stats inverted-index join's output cardinality;
+    - minhash_lsh: pairs colliding in >= 1 of the 4 LSH bands;
+    - simhash_block: pairs colliding in >= 1 of the 4 15-bit chunks.
+
+    Scale: each count is a full-plan run of the family's real candidate
+    generator followed by a count-style aggregate — no driver transfer
+    beyond 3 rows."""
+    ngram = (
+        _pair_stats(_shingle_arrays(spark, sf_dir))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .select(F.lit("ngram_jaccard").alias("method"), "n_candidates")
+    )
+    minhash = (
+        dedup_minhash(spark, sf_dir)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .select(F.lit("minhash_lsh").alias("method"), "n_candidates")
+    )
+    simhash = (
+        _simhash_candidate_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .select(F.lit("simhash_block").alias("method"), "n_candidates")
+    )
+    return ngram.unionByName(minhash).unionByName(simhash)

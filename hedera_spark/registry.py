@@ -675,6 +675,79 @@ register(
     """,
 )
 
+# dedup_candidate_volume: the pre-score candidate counts for the three
+# pair-generating dedups (r6 VERDICT #7 — the measured "bounded by cap,
+# not corpus^2" dial). The CTEs are the families' own oracle bodies with
+# the similarity cuts removed; sh is MATERIALIZED because three counts
+# reference it.
+register(
+    "dedup_candidate_volume",
+    dedup.dedup_candidate_volume,
+    f"""
+    WITH {_SHINGLES.replace("sh AS (", "sh AS MATERIALIZED (")},
+    kept AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {dedup.NGRAM_DF_CAP}
+      )
+    ),
+    ngram_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    mh AS (
+      SELECT doc_id, seed,
+             min(substr(md5((seed // 4) || '|' || shingle),
+                        (seed % 4) * 8 + 1, 8)) AS minh
+      FROM sh, unnest(generate_series(0, 15)) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, list(minh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(array_to_string(sig[band * 4 + 1 : band * 4 + 4], '|')) AS band_hash
+      FROM sig, unnest(generate_series(0, 3)) AS b(band)
+    ),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
+    votes AS (
+      SELECT doc_id, j, CAST(sum((h >> j) & 1) AS BIGINT) AS ones, count(*) AS n
+      FROM h, unnest(generate_series(0, 59)) AS t(j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, c, (simhash >> (c * 15)) & 32767 AS chunk
+      FROM fp, unnest(generate_series(0, 3)) AS t(c)
+    ),
+    sh_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunks a
+      JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT 'ngram_jaccard' AS method,
+           (SELECT count(*) FROM ngram_cand) AS n_candidates
+    UNION ALL
+    SELECT 'minhash_lsh', (SELECT count(*) FROM mh_cand)
+    UNION ALL
+    SELECT 'simhash_block', (SELECT count(*) FROM sh_cand)
+    """,
+)
+
 # dedup_recall wraps BOTH composed oracles verbatim (no-drift, as
 # lang_confusion / dedup_cluster_stats).
 register(

@@ -425,3 +425,14 @@ def test_classifier_auc_empty_input(spark, tmp_path):
     rows = classifier_auc(spark, sf).collect()
     assert len(rows) == 1
     assert rows[0]["auc_en"] is None
+
+
+def test_dedup_candidate_volume_empty_input(spark, tmp_path):
+    """Fixed-shape dial: an empty corpus still reports one row per
+    method, each with zero candidates."""
+    from hedera_spark.operators.dedup import dedup_candidate_volume
+
+    sf = _empty_sf(spark, tmp_path)
+    rows = {r["method"]: r["n_candidates"]
+            for r in dedup_candidate_volume(spark, sf).collect()}
+    assert rows == {"ngram_jaccard": 0, "minhash_lsh": 0, "simhash_block": 0}

@@ -200,3 +200,23 @@ def test_quality_threshold_sweep_agrees_with_text_quality(spark):
     }
     want = text_quality(spark, SF_DIR).where(F.col("quality") >= 0.7).count()
     assert sweep.get(0.7, 0) == want
+
+
+def test_candidate_volume_bounds_the_scored_outputs(spark):
+    """The pre-score candidate counts must dominate each family's
+    post-cut pair count: every emitted near-dup pair was once a
+    candidate (the dial measures the superset the cluster pays for)."""
+    from hedera_spark.operators.dedup import (
+        dedup_candidate_volume,
+        dedup_minhash,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+    from tests.conftest import SF_DIR
+
+    vol = {r["method"]: r["n_candidates"]
+           for r in dedup_candidate_volume(spark, SF_DIR).collect()}
+    assert vol["ngram_jaccard"] >= dedup_ngram_jaccard(spark, SF_DIR).count()
+    # minhash emits every band-colliding pair (no cut): counts are equal
+    assert vol["minhash_lsh"] == dedup_minhash(spark, SF_DIR).count()
+    assert vol["simhash_block"] >= dedup_simhash(spark, SF_DIR).count()

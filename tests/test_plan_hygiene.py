@@ -50,6 +50,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_ivf",
     "dedup_ngram_jaccard",
     "dedup_containment",  # shares _pair_stats' 1-row hot-set broadcast
+    "dedup_candidate_volume",  # composes _pair_stats (1-row hot-set broadcast)
     "dedup_clusters",
     "dedup_keep_best",  # composes dedup_clusters (hot-shingle array)
     "dedup_cluster_stats",  # composes dedup_clusters (hot-shingle array)
