@@ -161,12 +161,13 @@ def main() -> None:
             }
 
     # count-terminal twins for the transfer-bound queries (r6 VERDICT #2):
-    # fingerprint/scd2_build emit ~1M rows, so their .collect() rep mixes
+    # these emit 10^5-10^6 result rows, so their .collect() rep mixes
     # distributed plan cost with driver materialization. One extra timed
     # run each with a .count() terminal isolates the distributed cost —
     # recorded alongside the collect number, never substituted for it.
     count_terminal: dict[str, float] = {}
-    for n in ("fingerprint", "scd2_build"):
+    for n in ("fingerprint", "scd2_build", "rev_pairs", "rev_interval",
+              "pv_daily", "session_stats"):
         if n in QUERIES:
             reset_session_state(spark)
             t0 = time.perf_counter()
