@@ -848,3 +848,41 @@ def rev_token_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival_share"),
         )
     )
+
+
+def page_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table page-depth profile — the observability dial behind the
+    adaptive skew router (_route_hot): for each revision-bearing table
+    (events-as-revisions keyed on page_id, documents-as-snapshots keyed
+    on source), the page count, min/max/mean revision depth, and how
+    many pages exceed REV_HOT_PAGE_REVS (= how many would route through
+    the bucketed skew-spread branch). On healthy corpora n_hot_pages is
+    0; a nonzero value is the early warning that a mega-page is about
+    to pin a window task and explains a plan change in the rev family.
+
+    Scale: two map-side-combined counts down to |pages| rows each, then
+    a 1-row aggregate per table — the same pre-agg the router itself
+    runs, so this dial costs what the routing decision costs."""
+
+    def _profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        per = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        return per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.min("n").cast("long").alias("min_depth"),
+            F.max("n").cast("long").alias("max_depth"),
+            F.round(F.avg("n"), 6).alias("mean_depth"),
+            F.coalesce(
+                F.sum((F.col("n") > REV_HOT_PAGE_REVS).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_hot_pages"),
+        ).select(
+            F.lit(label).alias("table_name"),
+            "n_pages", "min_depth", "max_depth", "mean_depth", "n_hot_pages",
+        )
+
+    revs = load_revisions(spark, sf_dir).select("page_id")
+    snaps = load_snapshots(spark, sf_dir).select("page_id")
+    return _profile(revs, "page_id", "revisions").unionByName(
+        _profile(snaps, "page_id", "snapshots")
+    )

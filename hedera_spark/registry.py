@@ -201,6 +201,30 @@ register(
     """,
 )
 
+register(
+    "page_depth_stats",
+    rev.page_depth_stats,
+    f"""
+    WITH rev_per AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    snap_per AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+    SELECT 'revisions' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(min(n) AS BIGINT) AS min_depth,
+           CAST(max(n) AS BIGINT) AS max_depth,
+           round(avg(n), 6) AS mean_depth,
+           CAST(coalesce(sum(CASE WHEN n > {rev.REV_HOT_PAGE_REVS} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hot_pages
+    FROM rev_per
+    UNION ALL
+    SELECT 'snapshots',
+           CAST(count(*) AS BIGINT),
+           CAST(min(n) AS BIGINT),
+           CAST(max(n) AS BIGINT),
+           round(avg(n), 6),
+           CAST(coalesce(sum(CASE WHEN n > {rev.REV_HOT_PAGE_REVS} THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM snap_per
+    """,
+)
+
 # --- Group B: anchor / link analytics --------------------------------------
 
 _DTOKS = """

@@ -436,3 +436,47 @@ def test_dedup_candidate_volume_empty_input(spark, tmp_path):
     rows = {r["method"]: r["n_candidates"]
             for r in dedup_candidate_volume(spark, sf).collect()}
     assert rows == {"ngram_jaccard": 0, "minhash_lsh": 0, "simhash_block": 0}
+
+
+def test_page_depth_stats_empty_and_planted_hot(spark, tmp_path):
+    """Router observability: empty tables yield zero pages (null depth
+    bounds, zero hot); a planted 500-deep page is counted hot."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.operators.revisions import page_depth_stats
+
+    sf = _empty_sf(spark, tmp_path)
+    rows = {r["table_name"]: r for r in page_depth_stats(spark, sf).collect()}
+    assert set(rows) == {"revisions", "snapshots"}
+    assert all(
+        r["n_pages"] == 0 and r["n_hot_pages"] == 0 and r["min_depth"] is None
+        for r in rows.values()
+    )
+
+    hot_dir = tmp_path / "hot"
+    hot_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(510)), pa.int64()),
+                "text": pa.array(["w a b"] * 510, pa.string()),
+                "lang": pa.array(["en"] * 510, pa.string()),
+                "source": pa.array(
+                    ["mega"] * 500 + ["tiny"] * 10, pa.string()
+                ),
+                "n_chars": pa.array([5] * 510, pa.int64()),
+            }
+        ),
+        hot_dir / "documents.parquet",
+    )
+    import shutil
+
+    shutil.copytree(
+        str(tmp_path / "empty" / "events.parquet"),
+        str(hot_dir / "events.parquet"),
+    )
+    rows = {r["table_name"]: r for r in page_depth_stats(spark, str(hot_dir)).collect()}
+    snap = rows["snapshots"]
+    assert snap["n_pages"] == 2 and snap["max_depth"] == 500
+    assert snap["n_hot_pages"] == 1
