@@ -1288,3 +1288,77 @@ def ann_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in (lsh, ivf, pq, sq):
         out = out.unionByName(b)
     return out
+
+
+def ann_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored-candidate counts per ANN path — the similarity-search twin
+    of dedup_candidate_volume (r7): one row per method with the number
+    of (query, corpus) pairs its scorer actually evaluates. The top-k
+    outputs are the same size for every path; the candidate count is
+    what the cluster pays, so IT is the number that must stay bounded
+    as the corpus grows:
+
+    - brute_force: |q| x (n - 1), the exact fold/BLAS baselines' designed
+      cost (computed from the two counts, which is what the BNLJ emits
+      by construction);
+    - lsh: pairs sharing the full 8-bit sign-LSH bucket (~n/256 per probe);
+    - lsh_multi: DISTINCT pairs colliding in ANY of the 4 tables — the
+      deduped frame ann_lsh_multi scores exactly once per pair;
+    - ivf: pairs sharing the query's nearest-centroid cell (nprobe=1).
+
+    Scale: each branch is the family's real candidate generator folded
+    into a 1-row count — partial aggs all the way, 4 rows to the driver."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_all = emb.agg(F.count(F.lit(1)).alias("n"))
+    n_q = emb.where(F.col("vec_id") % QUERY_MOD == 0).agg(
+        F.count(F.lit(1)).alias("nq")
+    )
+    brute = n_q.crossJoin(n_all).select(
+        F.lit("brute_force").alias("method"),
+        (F.col("nq") * (F.col("n") - 1)).cast("long").alias("n_candidates"),
+    )
+
+    b = _with_bucket(emb).select("vec_id", "bucket")
+    qb = b.select(F.col("vec_id").alias("q_id"), "bucket").where(
+        F.col("q_id") % QUERY_MOD == 0
+    )
+    lsh = (
+        b.join(F.broadcast(qb), "bucket")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .select(F.lit("lsh").alias("method"), "n_candidates")
+    )
+
+    bucketed = _with_table_buckets(emb).select(
+        "vec_id",
+        F.array(*[F.col(f"bucket_{t}") for t in range(N_TABLES)]).alias("bks"),
+    )
+    tb = F.explode(
+        F.expr(f"transform(sequence(0, {N_TABLES - 1}), t -> struct(t, bks[t] AS b))")
+    )
+    eb = bucketed.select("vec_id", tb.alias("tb")).select(
+        "vec_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket")
+    )
+    qk = eb.select(F.col("vec_id").alias("q_id"), "t", "bucket").where(
+        F.col("q_id") % QUERY_MOD == 0
+    )
+    multi = (
+        eb.join(F.broadcast(qk), ["t", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .select(F.lit("lsh_multi").alias("method"), "n_candidates")
+    )
+
+    cells = _ivf_cells(spark, sf_dir).select("vec_id", "cid")
+    qc = cells.select(F.col("vec_id").alias("q_id"), "cid").where(
+        F.col("q_id") % QUERY_MOD == 0
+    )
+    ivf = (
+        cells.join(F.broadcast(qc), "cid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .select(F.lit("ivf").alias("method"), "n_candidates")
+    )
+    return brute.unionByName(lsh).unionByName(multi).unionByName(ivf)

@@ -975,6 +975,62 @@ register(
     """,
 )
 
+# ann_candidate_volume: the ANN twin of dedup_candidate_volume — the
+# per-method scored-candidate counts. Bucket/table/cell math reuses the
+# same literal-plane fragments as the ann_lsh/ann_lsh_multi/ann_ivf
+# oracles; e is MATERIALIZED because the ivf assign references it twice.
+_MT_BUCKETS = ",\n             ".join(
+    f"{_lsh_bucket_sql('embedding', sim.table_planes(t))} AS b{t}"
+    for t in range(sim.N_TABLES)
+)
+
+register(
+    "ann_candidate_volume",
+    sim.ann_candidate_volume,
+    f"""
+    WITH {_EMB_NORM.replace("e AS (", "e AS MATERIALIZED (")},
+    b AS MATERIALIZED (
+      SELECT vec_id, {_lsh_bucket_sql('embedding')} AS bucket FROM embeddings
+    ),
+    mtb AS MATERIALIZED (
+      SELECT vec_id, {_MT_BUCKETS}
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+      FROM e WHERE vec_id % {sim.CENTROID_MOD} = 1
+    ),
+    assign AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COS.format(A='e.embedding', B='cent.cemb', NA='e.nrm', NB='cent.cnrm')} DESC,
+                        cent.cid
+             ) AS crk
+      FROM e CROSS JOIN cent
+    ),
+    cells AS MATERIALIZED (SELECT vec_id, cid FROM assign WHERE crk = 1)
+    SELECT 'brute_force' AS method,
+           CAST((SELECT count(*) FROM embeddings WHERE vec_id % {sim.QUERY_MOD} = 0)
+                * ((SELECT count(*) FROM embeddings) - 1) AS BIGINT) AS n_candidates
+    UNION ALL
+    SELECT 'lsh', CAST(count(*) AS BIGINT)
+    FROM b c JOIN b q ON c.bucket = q.bucket
+    WHERE q.vec_id % {sim.QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
+    UNION ALL
+    SELECT 'lsh_multi', CAST(count(*) AS BIGINT) FROM (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+      FROM mtb q JOIN mtb c
+        ON (c.b0 = q.b0 OR c.b1 = q.b1 OR c.b2 = q.b2 OR c.b3 = q.b3)
+      WHERE q.vec_id % {sim.QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
+    )
+    UNION ALL
+    SELECT 'ivf', CAST(count(*) AS BIGINT)
+    FROM cells c JOIN cells q ON c.cid = q.cid
+    WHERE q.vec_id % {sim.QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
+    """,
+)
+
 _LANGS = sorted(ta.LANG_MARKERS)
 
 

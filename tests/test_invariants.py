@@ -220,3 +220,20 @@ def test_candidate_volume_bounds_the_scored_outputs(spark):
     # minhash emits every band-colliding pair (no cut): counts are equal
     assert vol["minhash_lsh"] == dedup_minhash(spark, SF_DIR).count()
     assert vol["simhash_block"] >= dedup_simhash(spark, SF_DIR).count()
+
+
+def test_ann_candidate_volume_orders_the_paths(spark):
+    """brute_force is the ceiling by construction; every approximate
+    path must evaluate strictly fewer pairs (that is its reason to
+    exist), and lsh_multi's deduped candidate set contains lsh's
+    (table 0 IS the single-table plane set)."""
+    from hedera_spark.operators.similarity import ann_candidate_volume
+    from tests.conftest import SF_DIR
+
+    vol = {r["method"]: r["n_candidates"]
+           for r in ann_candidate_volume(spark, SF_DIR).collect()}
+    assert set(vol) == {"brute_force", "lsh", "lsh_multi", "ivf"}
+    assert vol["brute_force"] > vol["lsh"]
+    assert vol["brute_force"] > vol["lsh_multi"]
+    assert vol["brute_force"] > vol["ivf"]
+    assert vol["lsh_multi"] >= vol["lsh"]

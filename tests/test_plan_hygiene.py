@@ -48,6 +48,9 @@ ALLOWED_NESTED_LOOP = {
     "tfidf_topk",
     "ts_vector",
     "ann_ivf",
+    # composes _ivf_cells (centroid-set broadcast) + a 1-row x 1-row
+    # count cross for the brute-force designed-cost row
+    "ann_candidate_volume",
     "dedup_ngram_jaccard",
     "dedup_containment",  # shares _pair_stats' 1-row hot-set broadcast
     "dedup_candidate_volume",  # composes _pair_stats (1-row hot-set broadcast)
