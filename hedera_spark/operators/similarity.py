@@ -1362,3 +1362,158 @@ def ann_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ivf").alias("method"), "n_candidates")
     )
     return brute.unionByName(lsh).unionByName(multi).unionByName(ivf)
+
+
+# --- adaptive sign-LSH: plane count grows with log2(n) (round 7) ----------
+
+N_PLANES_MAX = 16  # widest supported code; 2^16 buckets ~ 3M vectors/cell50
+ADAPTIVE_TARGET = 50  # designed mean bucket occupancy at ANY corpus size
+
+# Planes 0..7 are EXACTLY similarity.PLANES (same md5 seeds), so the
+# adaptive bucket is always a prefix-mask of this family's full code —
+# the fixed 8-bit structures and the adaptive one share hash planes.
+ADAPTIVE_PLANES: list[list[float]] = [
+    [_plane_sign(p, d) for d in range(64)] for p in range(N_PLANES_MAX)
+]
+
+
+def adaptive_nbits(n: int) -> int:
+    """ceil(log2(n / ADAPTIVE_TARGET)) clamped to [1, N_PLANES_MAX]: the
+    plane count that keeps MEAN bucket occupancy ~ADAPTIVE_TARGET as the
+    corpus grows. Mirrored bit-for-bit by the oracle's
+    GREATEST(1, LEAST(16, CEIL(LOG2(n / 50.0)))) — both sides compute the
+    same scalar from the same count, and n/50.0 is exact binary at the
+    power-of-two crossovers, so the ceil never straddles an ulp."""
+    import math
+
+    return max(1, min(N_PLANES_MAX, math.ceil(math.log2(max(n, 1) / ADAPTIVE_TARGET))))
+
+
+def _with_adaptive_bucket(df: DataFrame, nbits: int) -> DataFrame:
+    """Append the nbits-wide sign-LSH bucket (low `nbits` bits of the
+    N_PLANES_MAX-wide code; only the first `nbits` dot products are ever
+    evaluated — the mask is free)."""
+    bucket = F.lit(0)
+    for p in range(nbits):
+        lit_plane = F.array([F.lit(s) for s in ADAPTIVE_PLANES[p]])
+        bucket = bucket + F.when(
+            _dot(F.col("embedding"), lit_plane) > 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def ann_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH top-3 whose plane count GROWS WITH log2(n) — the 100 TB
+    fix for the cost shape ann_candidate_volume measured: fixed 8-bit LSH
+    keeps 256 buckets at any corpus size, so its candidate volume is the
+    brute-force quadratic divided by a constant (measured 106x at 10x
+    data, SCALING.md r7 dial #6), while IVF's K scales with n and stays
+    ~linear. This operator gives the LSH path the same property: nbits =
+    ceil(log2(n / 50)) planes, so bucket count ~ n/50 and per-probe cost
+    stays ~ADAPTIVE_TARGET vectors at ANY corpus size — candidate volume
+    ~linear in the query count, like IVF, with no centroid training.
+
+    The corpus count n comes from one cheap driver-side count() — the
+    same catalog-ANALYZE pattern as the revisions skew router; on a real
+    deployment it reads table stats. Everything downstream is the audited
+    ann_lsh plan shape: bucket-equality join, broadcast query side,
+    rebalanced scan (the fold dot products are CPU-dense per row).
+
+    Output adds the chosen `nbits` so the adaptivity itself is graded."""
+    emb0 = load_table(spark, sf_dir, "embeddings")
+    nbits = adaptive_nbits(emb0.count())
+    emb = _with_adaptive_bucket(
+        emb0.repartition(spark.sparkContext.defaultParallelism).select(
+            "vec_id", "embedding"
+        ),
+        nbits,
+    ).select("vec_id", "embedding", "bucket", _norm(F.col("embedding")).alias("nrm"))
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+    ).where(F.col("q_id") % QUERY_MOD == 0)
+    pairs = emb.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= LSH_TOPK)
+        .withColumn("nbits", F.lit(nbits).cast("long"))
+    )
+
+
+def ann_adaptive_recall(
+    spark: SparkSession, sf_dir: str, exact3: DataFrame | None = None
+) -> DataFrame:
+    """Recall@3 of the ADAPTIVE LSH probe against the exact top-3 — the
+    dial that prices what the log(n) plane growth costs in recall: more
+    planes = smaller buckets = cheaper probes but more hyperplane
+    straddles. Read together with ann_recall (fixed 8-bit) this is the
+    cost/recall trade of the adaptive width at the current corpus size.
+    Same |queries|-bounded comparison joins as every recall dial."""
+    if exact3 is None:
+        exact3 = _exact_top3(spark, sf_dir)
+    approx = ann_lsh_adaptive(spark, sf_dir).select("q_id", "neighbor_id")
+    return _recall_vs_exact(exact3, approx)
+
+
+def ann_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy audit for every ANN partitioning structure — the
+    STRAGGLER dial that candidate volume can't see: candidate counts say
+    what the cluster pays in total, the MAX bucket says what the slowest
+    task pays (a single hot bucket serializes its probes exactly like a
+    hot page serializes a window). One row per structure with bucket
+    count, max/mean occupancy and skew_x = max/mean; a capacity planner
+    reads skew_x to decide whether a structure needs salting before it
+    needs more executors.
+
+    Scale: three narrow groupBy-count aggs over (vec_id, bucket) frames —
+    partial aggs, no payload columns, 3 rows to the driver. skew_x is
+    computed as (max*count)/n in one float divide, cross-engine exact."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding")
+    )
+    nbits = adaptive_nbits(
+        load_table(spark, sf_dir, "embeddings").count()
+    )
+
+    def _stats(assign: DataFrame, method: str) -> DataFrame:
+        occ = assign.groupBy("bucket").agg(F.count(F.lit(1)).alias("occ"))
+        return occ.agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("occ").cast("long").alias("n_vectors"),
+            F.max("occ").cast("long").alias("max_occ"),
+        ).select(
+            F.lit(method).alias("method"),
+            "n_buckets",
+            "n_vectors",
+            "max_occ",
+            F.round(F.col("n_vectors") / F.col("n_buckets").cast("double"), 4).alias(
+                "mean_occ"
+            ),
+            F.round(
+                (F.col("max_occ") * F.col("n_buckets")) / F.col("n_vectors").cast("double"),
+                4,
+            ).alias("skew_x"),
+        )
+
+    lsh = _stats(_with_bucket(emb).select("vec_id", "bucket"), "lsh")
+    ada = _stats(
+        _with_adaptive_bucket(emb, nbits).select("vec_id", "bucket"), "lsh_adaptive"
+    )
+    ivf = _stats(
+        _ivf_cells(spark, sf_dir).select("vec_id", F.col("cid").alias("bucket")),
+        "ivf",
+    )
+    return lsh.unionByName(ada).unionByName(ivf)

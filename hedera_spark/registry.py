@@ -1031,6 +1031,159 @@ register(
     """,
 )
 
+# Adaptive sign-LSH (r7): the oracle rebuilds the FULL 16-plane code with
+# literal planes and masks it to the same nbits the Spark side derives —
+# both compute nbits = clamp(ceil(log2(n / 50)), 1, 16) from the corpus
+# count, so the SQL stays sf-agnostic while the structure scales.
+_ADA_CODE = _lsh_bucket_sql("embedding", sim.ADAPTIVE_PLANES)
+_ADA_NB = f"""
+    nb AS (
+      SELECT GREATEST(1, LEAST({sim.N_PLANES_MAX},
+               CAST(ceil(log2(GREATEST(count(*), 1) / {sim.ADAPTIVE_TARGET}.0)) AS INT)
+             )) AS nbits
+      FROM embeddings
+    )
+"""
+_ADA_EMB = f"""
+    raw AS (
+      SELECT vec_id, embedding,
+             ({_ADA_CODE}) % (1 << (SELECT nbits FROM nb)) AS bucket
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, embedding, bucket,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS nrm
+      FROM raw
+    )
+"""
+
+register(
+    "ann_lsh_adaptive",
+    sim.ann_lsh_adaptive,
+    f"""
+    WITH {_ADA_NB},
+    {_ADA_EMB},
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket
+      FROM e WHERE vec_id % {sim.QUERY_MOD} = 0
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             {_COS.format(A='q.q_emb', B='e.embedding', NA='q.q_nrm', NB='e.nrm')} AS cos
+      FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, cos, rk,
+           (SELECT CAST(nbits AS BIGINT) FROM nb) AS nbits
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {sim.LSH_TOPK}
+    """,
+)
+
+register(
+    "ann_adaptive_recall",
+    sim.ann_adaptive_recall,
+    f"""
+    WITH {_ADA_NB},
+    {_ADA_EMB},
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket
+      FROM e WHERE vec_id % {sim.QUERY_MOD} = 0
+    ),
+    exact3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_COS.format(A='q.q_emb', B='e.embedding',
+                                       NA='q.q_nrm', NB='e.nrm')} DESC,
+                          e.vec_id) AS rk
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rk <= 3
+    ),
+    ada3 AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_COS.format(A='q.q_emb', B='e.embedding',
+                                       NA='q.q_nrm', NB='e.nrm')} DESC,
+                          e.vec_id) AS rk
+        FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+      ) WHERE rk <= 3
+    ),
+    ne AS (SELECT q_id, count(*) AS n_exact FROM exact3 GROUP BY 1),
+    na AS (SELECT q_id, count(*) AS n_approx FROM ada3 GROUP BY 1),
+    nh AS (
+      SELECT l.q_id, count(*) AS n_hits
+      FROM ada3 l JOIN exact3 x USING (q_id, neighbor_id)
+      GROUP BY 1
+    )
+    SELECT ne.q_id,
+           CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(nh.n_hits, 0) / ne.n_exact, 6) AS recall
+    FROM ne
+    LEFT JOIN na USING (q_id)
+    LEFT JOIN nh USING (q_id)
+    """,
+)
+
+register(
+    "ann_bucket_skew",
+    sim.ann_bucket_skew,
+    f"""
+    WITH {_ADA_NB},
+    {_EMB_NORM.replace("e AS (", "e AS MATERIALIZED (")},
+    lshb AS (
+      SELECT vec_id, {_lsh_bucket_sql('embedding')} AS bucket FROM embeddings
+    ),
+    adab AS (
+      SELECT vec_id,
+             ({_ADA_CODE}) % (1 << (SELECT nbits FROM nb)) AS bucket
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+      FROM e WHERE vec_id % {sim.CENTROID_MOD} = 1
+    ),
+    assign AS (
+      SELECT e.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_COS.format(A='e.embedding', B='cent.cemb', NA='e.nrm', NB='cent.cnrm')} DESC,
+                        cent.cid
+             ) AS crk
+      FROM e CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, cid AS bucket FROM assign WHERE crk = 1),
+    occ_l AS (SELECT bucket, count(*) AS occ FROM lshb GROUP BY 1),
+    occ_a AS (SELECT bucket, count(*) AS occ FROM adab GROUP BY 1),
+    occ_i AS (SELECT bucket, count(*) AS occ FROM cells GROUP BY 1)
+    SELECT 'lsh' AS method,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(occ) AS BIGINT) AS n_vectors,
+           CAST(max(occ) AS BIGINT) AS max_occ,
+           round(sum(occ) / CAST(count(*) AS DOUBLE), 4) AS mean_occ,
+           round((max(occ) * count(*)) / CAST(sum(occ) AS DOUBLE), 4) AS skew_x
+    FROM occ_l
+    UNION ALL
+    SELECT 'lsh_adaptive', CAST(count(*) AS BIGINT), CAST(sum(occ) AS BIGINT),
+           CAST(max(occ) AS BIGINT),
+           round(sum(occ) / CAST(count(*) AS DOUBLE), 4),
+           round((max(occ) * count(*)) / CAST(sum(occ) AS DOUBLE), 4)
+    FROM occ_a
+    UNION ALL
+    SELECT 'ivf', CAST(count(*) AS BIGINT), CAST(sum(occ) AS BIGINT),
+           CAST(max(occ) AS BIGINT),
+           round(sum(occ) / CAST(count(*) AS DOUBLE), 4),
+           round((max(occ) * count(*)) / CAST(sum(occ) AS DOUBLE), 4)
+    FROM occ_i
+    """,
+)
+
 _LANGS = sorted(ta.LANG_MARKERS)
 
 

@@ -237,3 +237,84 @@ def test_ann_candidate_volume_orders_the_paths(spark):
     assert vol["brute_force"] > vol["lsh_multi"]
     assert vol["brute_force"] > vol["ivf"]
     assert vol["lsh_multi"] >= vol["lsh"]
+
+
+def test_adaptive_nbits_tracks_corpus_size():
+    """The plane count must grow with log2(n) and stay clamped: that is
+    the whole contract (mean occupancy ~ADAPTIVE_TARGET at any scale)."""
+    from hedera_spark.operators.similarity import (
+        ADAPTIVE_TARGET,
+        N_PLANES_MAX,
+        adaptive_nbits,
+    )
+
+    assert adaptive_nbits(0) == 1
+    assert adaptive_nbits(50) == 1
+    assert adaptive_nbits(500) == 4    # sf0.01 corpus
+    assert adaptive_nbits(2_000) == 6  # sf0.1 corpus
+    assert adaptive_nbits(20_000) == 9
+    assert adaptive_nbits(10**12) == N_PLANES_MAX  # clamp
+    for n in (100, 1_000, 10_000, 100_000):
+        nbits = adaptive_nbits(n)
+        # designed occupancy: n / 2^nbits <= ADAPTIVE_TARGET (mean)
+        assert n / (1 << nbits) <= ADAPTIVE_TARGET
+
+
+def test_adaptive_bucket_is_prefix_of_fixed_lsh(spark):
+    """ADAPTIVE_PLANES[:8] must BE similarity.PLANES (same md5 seeds), so
+    whenever nbits >= 8 every fixed-LSH bucket is the low byte of the
+    adaptive code — the two structures share hash planes by design."""
+    from hedera_spark.operators.similarity import ADAPTIVE_PLANES, PLANES
+
+    assert ADAPTIVE_PLANES[:8] == PLANES
+
+
+def test_ann_bucket_skew_consistency(spark):
+    """Occupancy stats must be internally consistent (max >= mean,
+    n_vectors == corpus size for every structure) and the adaptive
+    structure must have MORE buckets than fixed 8-bit LSH occupies only
+    when nbits > 8 — at test scale (n=500, nbits=4) it has fewer,
+    which is exactly the adaptivity working in the other direction."""
+    from hedera_spark.operators.similarity import ann_bucket_skew
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    rows = {r["method"]: r for r in ann_bucket_skew(spark, SF_DIR).collect()}
+    assert set(rows) == {"lsh", "lsh_adaptive", "ivf"}
+    for r in rows.values():
+        assert r["n_vectors"] == n
+        assert r["max_occ"] >= r["mean_occ"]
+        assert r["skew_x"] >= 1.0
+        assert r["n_buckets"] >= 1
+
+
+def test_ann_lsh_adaptive_candidates_within_bucket(spark):
+    """Every adaptive neighbor must share the query's nbits-wide bucket
+    (the structure's defining property), and nbits must equal the
+    corpus-derived value on every output row."""
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.similarity import (
+        _with_adaptive_bucket,
+        adaptive_nbits,
+        ann_lsh_adaptive,
+    )
+    from hedera_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    nbits = adaptive_nbits(emb.count())
+    out = ann_lsh_adaptive(spark, SF_DIR)
+    assert out.where(F.col("nbits") != nbits).count() == 0
+    bk = _with_adaptive_bucket(emb.select("vec_id", "embedding"), nbits).select(
+        "vec_id", "bucket"
+    )
+    joined = (
+        out.join(bk.withColumnsRenamed({"vec_id": "q_id", "bucket": "qb"}), "q_id")
+        .join(
+            bk.withColumnsRenamed({"vec_id": "neighbor_id", "bucket": "nb"}),
+            "neighbor_id",
+        )
+    )
+    assert joined.where(F.col("qb") != F.col("nb")).count() == 0

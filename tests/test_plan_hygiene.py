@@ -145,6 +145,8 @@ ALLOWED_NESTED_LOOP = {
     "bm25_param_sweep",  # 1-row corpus-stats + 4-row config broadcasts
     "ivf_nprobe_sweep",  # centroid-set broadcasts + 1-row totals, like ann_ivf
     "retention_sweep",  # 1-row max-day anchor broadcast
+    "ann_adaptive_recall",  # measures ann_lsh_adaptive AGAINST ann_topk
+    "ann_bucket_skew",  # composes _ivf_cells (centroid-set broadcast)
 }
 
 # the designed Arrow escape hatches (mapInPandas / applyInPandas /
