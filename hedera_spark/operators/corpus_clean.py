@@ -348,3 +348,69 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(intercept), 6).alias("k"),
         F.round((r_num / r_den) * (r_num / r_den), 6).alias("r2"),
     )
+
+
+CDC_BOUNDARY_HEX = ("0", "8")  # last md5 hex char: P(boundary) = 2/16 = 1/8
+CDC_MEAN_TOKENS = 8  # expected (geometric) chunk length implied by 1/8
+
+
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (LBFS/FastCDC family, Muthitacharoen
+    et al. 2001): a token ENDS a chunk when the last hex char of its md5
+    is in CDC_BOUNDARY_HEX, so chunk boundaries depend only on LOCAL
+    content — an insertion early in a document shifts every fixed-width
+    window (dedup_substring's scheme) but re-synchronizes CDC boundaries
+    within ~one chunk, which is why dedup systems at scale chunk this
+    way. Output: every chunk text occurring more than once corpus-wide,
+    keyed by md5, with its document reach and occurrence count.
+
+    Scale design (100 TB): the chunker is ONE map-side fold per document
+    (aggregate over the token array building (done_chunks, current)) —
+    the text column never shuffles and each token is emitted exactly
+    once, vs dedup_substring's k-fold window amplification. The only
+    shuffle is the final groupBy on chunk md5s; chunk payload size is
+    geometrically bounded (mean CDC_MEAN_TOKENS tokens). The n_occ > 1
+    cut happens inside the aggregate (HAVING), so singleton chunks —
+    the overwhelming majority at scale — never leave the exchange."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    bset = ", ".join(f"'{c}'" for c in CDC_BOUNDARY_HEX)
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                aggregate(
+                  toks,
+                  struct(cast(array() as array<string>) AS done, '' AS cur),
+                  (acc, t) -> CASE
+                    WHEN substring(md5(t), 32, 1) IN ({bset}) THEN
+                      struct(
+                        array_append(acc.done,
+                          CASE WHEN acc.cur = '' THEN t
+                               ELSE concat(acc.cur, ' ', t) END) AS done,
+                        '' AS cur)
+                    ELSE
+                      struct(acc.done AS done,
+                        CASE WHEN acc.cur = '' THEN t
+                             ELSE concat(acc.cur, ' ', t) END AS cur)
+                  END,
+                  acc -> CASE WHEN acc.cur = '' THEN acc.done
+                              ELSE array_append(acc.done, acc.cur) END)
+                """
+            )
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min(F.size(F.split("chunk", " "))).cast("long").alias("chunk_tokens"),
+        )
+        .where(F.col("n_occ") > 1)
+    )

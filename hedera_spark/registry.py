@@ -3102,6 +3102,43 @@ register(
     """,
 )
 
+_CDC_BSET = ", ".join(f"'{c}'" for c in cc.CDC_BOUNDARY_HEX)
+
+register(
+    "cdc_chunks",
+    cc.cdc_chunks,
+    f"""
+    WITH tp AS (
+      SELECT doc_id, toks[i] AS tok, CAST(i AS BIGINT) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, len(toks))) AS t(i)
+      WHERE toks[i] <> ''
+    ),
+    b AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN substring(md5(tok), 32, 1) IN ({_CDC_BSET})
+                  THEN 1 ELSE 0 END AS is_b
+      FROM tp
+    ),
+    c AS (
+      SELECT doc_id, tok, pos,
+             coalesce(sum(is_b) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM b
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM c GROUP BY doc_id, chunk_id
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(len(string_split(chunk, ' '))) AS BIGINT) AS chunk_tokens
+    FROM chunks GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+
 register(
     "dedup_substring",
     cc.dedup_substring,

@@ -480,3 +480,51 @@ def test_page_depth_stats_empty_and_planted_hot(spark, tmp_path):
     snap = rows["snapshots"]
     assert snap["n_pages"] == 2 and snap["max_depth"] == 500
     assert snap["n_hot_pages"] == 1
+
+
+def test_cdc_chunks_resynchronizes_after_insertion(spark, tmp_path):
+    """THE property that justifies content-defined over fixed-width
+    chunking: a token inserted at the front of a document shifts every
+    fixed-width window, but CDC boundaries depend only on local content,
+    so the two variants re-share all chunks after the first boundary.
+    With doc A = doc B plus one leading token, every chunk of A except
+    its first must also be a chunk of B — i.e. the duplicated-chunk
+    report recovers nearly the whole document pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from hedera_spark.operators.corpus_clean import CDC_BOUNDARY_HEX, cdc_chunks
+
+    base = [f"tok{i}" for i in range(400)]
+    docs_dir = tmp_path / "cdc"
+    docs_dir.mkdir()
+    texts = [" ".join(base), " ".join(["INSERTED"] + base)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["a", "b"], pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        docs_dir / "documents.parquet",
+    )
+    out = cdc_chunks(spark, str(docs_dir))
+    shared = out.where(F.col("n_docs") == 2)
+    # how many chunks does the unmodified doc have in total?
+    import hashlib
+
+    n_chunks = 1
+    boundaries = 0
+    for t in base:
+        if hashlib.md5(t.encode()).hexdigest()[-1] in CDC_BOUNDARY_HEX:
+            boundaries += 1
+    n_chunks = boundaries if hashlib.md5(base[-1].encode()).hexdigest()[-1] in CDC_BOUNDARY_HEX else boundaries + 1
+    # all but the first chunk must re-synchronize and be shared
+    assert shared.count() >= n_chunks - 1 > 0
+    # and the shared chunks each appear exactly once per doc
+    assert shared.where(F.col("n_occ") != 2).count() == 0
