@@ -1361,7 +1361,24 @@ def ann_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
         .select(F.lit("ivf").alias("method"), "n_candidates")
     )
-    return brute.unionByName(lsh).unionByName(multi).unionByName(ivf)
+
+    # lsh_adaptive (r7): same bucket-collision count over the log2(n)-wide
+    # code — the row that shows the adaptive width restoring the ~linear
+    # volume growth fixed-width LSH loses (SCALING.md r7 dial #6).
+    nbits = adaptive_nbits(emb.count())
+    ab = _with_adaptive_bucket(emb, nbits).select("vec_id", "bucket")
+    qa = ab.select(F.col("vec_id").alias("q_id"), "bucket").where(
+        F.col("q_id") % QUERY_MOD == 0
+    )
+    ada = (
+        ab.join(F.broadcast(qa), "bucket")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .select(F.lit("lsh_adaptive").alias("method"), "n_candidates")
+    )
+    return (
+        brute.unionByName(lsh).unionByName(multi).unionByName(ivf).unionByName(ada)
+    )
 
 
 # --- adaptive sign-LSH: plane count grows with log2(n) (round 7) ----------

@@ -1028,6 +1028,24 @@ register(
     SELECT 'ivf', CAST(count(*) AS BIGINT)
     FROM cells c JOIN cells q ON c.cid = q.cid
     WHERE q.vec_id % {sim.QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
+    UNION ALL
+    SELECT 'lsh_adaptive', CAST(count(*) AS BIGINT)
+    FROM (
+      SELECT vec_id,
+             ({_lsh_bucket_sql('embedding', sim.ADAPTIVE_PLANES)})
+               % (1 << (SELECT GREATEST(1, LEAST({sim.N_PLANES_MAX},
+                    CAST(ceil(log2(GREATEST(count(*), 1) / {sim.ADAPTIVE_TARGET}.0)) AS INT)))
+                  FROM embeddings)) AS bucket
+      FROM embeddings
+    ) c JOIN (
+      SELECT vec_id,
+             ({_lsh_bucket_sql('embedding', sim.ADAPTIVE_PLANES)})
+               % (1 << (SELECT GREATEST(1, LEAST({sim.N_PLANES_MAX},
+                    CAST(ceil(log2(GREATEST(count(*), 1) / {sim.ADAPTIVE_TARGET}.0)) AS INT)))
+                  FROM embeddings)) AS bucket
+      FROM embeddings
+    ) q ON c.bucket = q.bucket
+    WHERE q.vec_id % {sim.QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
     """,
 )
 

@@ -232,10 +232,11 @@ def test_ann_candidate_volume_orders_the_paths(spark):
 
     vol = {r["method"]: r["n_candidates"]
            for r in ann_candidate_volume(spark, SF_DIR).collect()}
-    assert set(vol) == {"brute_force", "lsh", "lsh_multi", "ivf"}
+    assert set(vol) == {"brute_force", "lsh", "lsh_multi", "ivf", "lsh_adaptive"}
     assert vol["brute_force"] > vol["lsh"]
     assert vol["brute_force"] > vol["lsh_multi"]
     assert vol["brute_force"] > vol["ivf"]
+    assert vol["brute_force"] > vol["lsh_adaptive"]
     assert vol["lsh_multi"] >= vol["lsh"]
 
 
