@@ -414,3 +414,82 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_occ") > 1)
     )
+
+
+BOILER_MIN_DF = 2  # a 1-doc source has no boilerplate, whatever the fraction
+# a segment is boilerplate when present in > 1/BOILER_FRAC_DEN of the
+# source's docs. Kept as an integer DENOMINATOR so the threshold compare
+# is exact integer arithmetic (df * DEN > n_docs) in BOTH engines — a
+# float fraction would pit Spark's double literal against DuckDB's
+# DECIMAL literal at the integer boundaries.
+BOILER_FRAC_DEN = 20
+
+
+def boilerplate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE boilerplate audit (CCNet/RefinedWeb-style): site chrome
+    — nav bars, cookie banners, license footers — repeats within a
+    domain, not across the web, so the df threshold that finds it must
+    be source-local, unlike line_dedup's corpus-global LINE_DF_CAP. A
+    segment (same LINE_TOKENS tokenization as line_dedup) is boilerplate
+    for its source when it appears in >= BOILER_MIN_DF docs AND more
+    than 1/BOILER_FRAC_DEN of the source's documents. Output one audit row per
+    source: doc count, distinct segments, flagged segments, flagged
+    instances, the max per-segment df, and the instance-weighted
+    boilerplate ratio — the number a crawl curator reads to decide which
+    sources need a chrome-stripping pass before training.
+
+    Scale (100 TB): segment stats aggregate map-side to the distinct
+    (source, segment) universe; per-source doc counts are a
+    |sources|-row frame BROADCAST into the stats join; the final fold is
+    a |sources|-row groupBy. The text column never shuffles — only
+    segments do, once. No window, no self-join.
+
+    Reference: the merge/clean hygiene of pig/preprocess
+    (sortRevisions.pig, checkRevisions.pig) scoped per source the way a
+    crawl pipeline scopes chrome removal per domain.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+    )
+    segs = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("toks") - 1) / LINE_TOKENS).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", i * LINE_TOKENS + 1, LINE_TOKENS)
+                ),
+            )
+        ).alias("seg"),
+    )
+    seg_stats = segs.groupBy("source", "seg").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("inst"),
+    )
+    src = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    flagged = seg_stats.join(F.broadcast(src), "source").withColumn(
+        "is_boiler",
+        (F.col("df") >= BOILER_MIN_DF)
+        & (F.col("df") * BOILER_FRAC_DEN > F.col("n_docs")),
+    )
+    boiler_inst = F.sum(F.when(F.col("is_boiler"), F.col("inst")).otherwise(F.lit(0)))
+    return flagged.groupBy("source").agg(
+        F.min("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum(F.col("is_boiler").cast("long")).cast("long").alias("n_boiler_segs"),
+        boiler_inst.cast("long").alias("boiler_instances"),
+        F.max("df").cast("long").alias("max_df"),
+        F.round(boiler_inst / F.sum("inst"), 6).alias("boiler_ratio"),
+    )

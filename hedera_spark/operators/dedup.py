@@ -897,3 +897,34 @@ def dedup_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("simhash_block").alias("method"), "n_candidates")
     )
     return ngram.unionByName(minhash).unionByName(simhash)
+
+
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on NORMALIZED content — the form production pipelines
+    (C4, RefinedWeb) actually hash: lowercase, collapse whitespace runs,
+    trim. Raw-byte hashing (dedup_exact) misses the near-universal
+    duplicate class that differs only in case or spacing; normalizing
+    before the hash folds those into one group while still costing
+    exactly one shuffle. Same survivor contract as dedup_exact: every
+    doc maps to the minimum doc_id of its normalized-hash group.
+
+    Scale (100 TB): the normalization is a per-row JVM expression chain
+    (lower/regexp_replace/trim — whole-stage codegen, no Python); the
+    plan is byte-identical in shape to dedup_exact: one hash exchange on
+    the 32-char digest, window aggregates over it. Text never shuffles —
+    only (doc_id, digest) rows do.
+
+    Reference: the duplicate-revision collapse of
+    pig/preprocess/checkRevisions.pig, at the content-normalized grain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("text_hash"))
+        .withColumn("survivor_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_dup", (F.col("doc_id") != F.col("survivor_id")).cast("int")
+        )
+    )

@@ -821,3 +821,68 @@ def retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+# bloom_filter_advisor constants. The sizing identities are the textbook
+# Bloom formulas: m = ceil(-n ln p / (ln 2)^2) bits, k = round((m/n) ln 2)
+# hashes. Both engines must evaluate the SAME double constants or the
+# ceil can straddle an ulp, so the Python-computed values are embedded
+# verbatim into the Spark literals AND the oracle SQL (registry.py).
+BLOOM_FPP = 0.01
+BLOOM_NDV_MIN = 1024  # below this a dictionary page already answers point lookups
+_LN2 = 0.6931471805599453  # math.log(2)
+BLOOM_BITS_PER_KEY = 9.585058377367439  # -math.log(BLOOM_FPP) / math.log(2)**2
+
+
+def bloom_filter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing sheet for lineitem's join/point-lookup keys —
+    the storage-design dial next to encoding_advisor (value encodings)
+    and zonemap_prune_stats (min/max pruning): zonemaps prune RANGE
+    predicates but are useless for point lookups on unsorted high-NDV
+    keys, which is exactly where a parquet bloom filter pays. Per
+    candidate column: row count, exact NDV, the m-bits/k-hashes sizing
+    at BLOOM_FPP from the textbook formulas, and the recommendation
+    (NDV >= BLOOM_NDV_MIN — below that a dictionary page already serves
+    point lookups for free).
+
+    Scale (100 TB): all five columns unpivot in ONE scan via a map
+    literal (the encoding_advisor shape), then a single (column, value)
+    partial agg and a |columns|-row fold — no per-column scans. The
+    exact-NDV agg is the oracle-matched form; a deployment flips it to
+    approx_count_distinct and keeps the same sizing arithmetic.
+
+    Reference: the hand-tuned job-split/PARALLEL accounting of the
+    reference's pig pipelines, pointed at index sizing.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.explode(
+            F.create_map(
+                F.lit("l_orderkey"), F.col("l_orderkey").cast("string"),
+                F.lit("l_partkey"), F.col("l_partkey").cast("string"),
+                F.lit("l_suppkey"), F.col("l_suppkey").cast("string"),
+                F.lit("l_linestatus"), F.col("l_linestatus"),
+                F.lit("l_returnflag"), F.col("l_returnflag"),
+            )
+        ).alias("column_name", "val")
+    )
+    per = (
+        pairs.groupBy("column_name", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("column_name")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("ndv"),
+        )
+    )
+    m_bits = F.ceil(F.col("ndv") * F.lit(BLOOM_BITS_PER_KEY)).cast("long")
+    k = F.round((m_bits / F.col("ndv")) * F.lit(_LN2), 0).cast("long")
+    return per.select(
+        "column_name",
+        "n_rows",
+        "ndv",
+        F.round(F.col("ndv") / F.col("n_rows"), 6).alias("ndv_ratio"),
+        m_bits.alias("bloom_bits"),
+        k.alias("bloom_hashes"),
+        (F.col("ndv") >= BLOOM_NDV_MIN).cast("int").alias("bloom_recommended"),
+    )

@@ -3158,6 +3158,66 @@ register(
 )
 
 register(
+    "boilerplate_by_source",
+    cc.boilerplate_by_source,
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM t WHERE len(toks) > 0),
+    segs AS (
+      SELECT doc_id, source,
+             array_to_string(
+               toks[(i*{cc.LINE_TOKENS}+1):(i*{cc.LINE_TOKENS}+{cc.LINE_TOKENS})],
+               ' ') AS seg
+      FROM t2, unnest(generate_series(0,
+               CAST(floor((len(toks)-1)/{cc.LINE_TOKENS}.0) AS BIGINT))) AS s(i)
+    ),
+    sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM t2 GROUP BY source),
+    ss AS (SELECT source, seg, count(DISTINCT doc_id) AS df, count(*) AS inst
+           FROM segs GROUP BY source, seg),
+    fl AS (
+      SELECT ss.source, df, inst, n_docs,
+             (df >= {cc.BOILER_MIN_DF} AND df * {cc.BOILER_FRAC_DEN} > n_docs)
+               AS is_boiler
+      FROM ss JOIN sd ON ss.source = sd.source
+    )
+    SELECT source,
+           CAST(min(n_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler_segs,
+           CAST(sum(CASE WHEN is_boiler THEN inst ELSE 0 END) AS BIGINT)
+             AS boiler_instances,
+           CAST(max(df) AS BIGINT) AS max_df,
+           round(sum(CASE WHEN is_boiler THEN inst ELSE 0 END)
+                 / CAST(sum(inst) AS DOUBLE), 6) AS boiler_ratio
+    FROM fl GROUP BY source
+    """,
+)
+
+register(
+    "dedup_exact_normalized",
+    dedup.dedup_exact_normalized,
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS text_hash
+      FROM documents
+    )
+    SELECT doc_id, text_hash,
+           min(doc_id) OVER (PARTITION BY text_hash) AS survivor_id,
+           count(*) OVER (PARTITION BY text_hash) AS n_copies,
+           CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY text_hash)
+                THEN 1 ELSE 0 END AS is_dup
+    FROM h
+    """,
+)
+
+register(
     "dedup_substring",
     cc.dedup_substring,
     f"""
@@ -8544,6 +8604,41 @@ register(
                 WHEN n_distinct <= {pln.ENC_DICT_MAX} THEN 'dict'
                 ELSE 'plain' END AS encoding
     FROM per_col
+    """,
+)
+
+register(
+    "bloom_filter_advisor",
+    pln.bloom_filter_advisor,
+    f"""
+    WITH pairs AS (
+      SELECT 'l_orderkey' AS column_name, CAST(l_orderkey AS VARCHAR) AS val
+      FROM lineitem
+      UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+      UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+      UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+    ),
+    per AS (
+      SELECT column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT val) AS BIGINT) AS ndv
+      FROM pairs GROUP BY column_name
+    ),
+    -- m = ceil(n * bits_per_key) with the SAME double literal Spark uses
+    -- (planner.BLOOM_BITS_PER_KEY); integer ndv x identical IEEE double
+    -- => identical product => identical ceil on both engines
+    sized AS (
+      SELECT *, CAST(ceil(ndv * {pln.BLOOM_BITS_PER_KEY!r}) AS BIGINT)
+                  AS bloom_bits
+      FROM per
+    )
+    SELECT column_name, n_rows, ndv,
+           round(ndv / CAST(n_rows AS DOUBLE), 6) AS ndv_ratio,
+           bloom_bits,
+           CAST(round((bloom_bits / CAST(ndv AS DOUBLE)) * {pln._LN2!r}, 0)
+                AS BIGINT) AS bloom_hashes,
+           CAST(ndv >= {pln.BLOOM_NDV_MIN} AS INT) AS bloom_recommended
+    FROM sized
     """,
 )
 

@@ -129,3 +129,49 @@ def test_ivf_recall_bounds(spark):
         assert 0.0 <= r["recall"] <= 1.0
         assert r["n_hits"] <= 3
         assert r["n_hits"] <= r["n_approx"]
+
+
+def test_boilerplate_by_source_flags_source_local_chrome(spark, tmp_path):
+    """A segment repeated across every doc of source A (but absent from
+    source B) is flagged for A only; a df=1 segment never flags."""
+    chrome = "cookie notice terms apply all rights reserved inc"  # 8 tokens
+    rows = [
+        (i, f"{chrome} ua{i} ub{i} uc{i} ud{i} ue{i} uf{i} ug{i} uh{i}", "A", "en", 1)
+        for i in range(5)
+    ] + [
+        (10 + i, f"vb{i} vc{i} vd{i} ve{i} vf{i} vg{i} vh{i} vi{i}", "B", "en", 1)
+        for i in range(5)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    from hedera_spark.operators.corpus_clean import boilerplate_by_source
+
+    out = {r["source"]: r for r in boilerplate_by_source(spark, sf).collect()}
+    assert set(out) == {"A", "B"}
+    a, b = out["A"], out["B"]
+    # A: the chrome segment (df=5 of 5 docs) flags; the unique tails don't
+    assert a["n_docs"] == 5
+    assert a["n_boiler_segs"] == 1
+    assert a["boiler_instances"] == 5
+    assert a["max_df"] == 5
+    assert 0.0 < a["boiler_ratio"] < 1.0
+    # B: all segments df=1 -> nothing flags
+    assert b["n_boiler_segs"] == 0
+    assert b["boiler_ratio"] == 0.0
+
+
+def test_boilerplate_min_df_gate(spark, tmp_path):
+    """In a 2-doc source a shared segment has df=2 = BOILER_MIN_DF and
+    df*20 > 2 docs, so it flags; with the segment in only 1 doc it
+    cannot (df=1 < BOILER_MIN_DF) no matter how small the source."""
+    seg = "one two three four five six seven eight"
+    sf = _write_docs(
+        spark, tmp_path, [(1, seg, "s", "en", 1), (2, seg, "s", "en", 1)]
+    )
+    from hedera_spark.operators.corpus_clean import boilerplate_by_source
+
+    row = boilerplate_by_source(spark, sf).collect()[0]
+    assert row["n_boiler_segs"] == 1 and row["boiler_instances"] == 2
+
+    sf1 = _write_docs(spark, tmp_path / "b", [(1, seg, "s", "en", 1)])
+    row1 = boilerplate_by_source(spark, sf1).collect()[0]
+    assert row1["n_boiler_segs"] == 0

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import SF_DIR
+
 
 _EMPTY_SCHEMAS = {
     "documents": "doc_id long, text string, source string, lang string, n_chars long",
@@ -528,3 +530,56 @@ def test_cdc_chunks_resynchronizes_after_insertion(spark, tmp_path):
     assert shared.count() >= n_chunks - 1 > 0
     # and the shared chunks each appear exactly once per doc
     assert shared.where(F.col("n_occ") != 2).count() == 0
+
+
+def test_dedup_exact_normalized_folds_case_and_whitespace(spark, tmp_path):
+    """Docs differing only in case/whitespace share a normalized hash
+    group; a genuinely different doc does not."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello  World", "s", "en", 1),
+            (2, "hello world", "s", "en", 1),
+            (3, " HELLO WORLD ", "s", "en", 1),
+            (4, "different text", "s", "en", 1),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out_dir = tmp_path / "norm"
+    docs.write.parquet(str(out_dir / "documents.parquet"))
+    from hedera_spark.operators.dedup import dedup_exact, dedup_exact_normalized
+
+    rows = {r["doc_id"]: r for r in
+            dedup_exact_normalized(spark, str(out_dir)).collect()}
+    assert rows[1]["survivor_id"] == rows[2]["survivor_id"] == rows[3]["survivor_id"] == 1
+    assert rows[1]["n_copies"] == 3 and rows[1]["is_dup"] == 0
+    assert rows[2]["is_dup"] == 1 and rows[3]["is_dup"] == 1
+    assert rows[4]["n_copies"] == 1 and rows[4]["is_dup"] == 0
+    # raw-byte dedup sees 4 distinct groups; normalization strictly coarsens
+    raw = dedup_exact(spark, str(out_dir)).collect()
+    assert len({r["text_hash"] for r in raw}) == 4
+
+
+def test_bloom_filter_advisor_sizing_identities(spark):
+    """m/k follow the textbook identities; the NDV gate orders the
+    high-cardinality keys above the 2-value flags."""
+    import math
+
+    from hedera_spark.operators.planner import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_NDV_MIN,
+        bloom_filter_advisor,
+    )
+
+    rows = {r["column_name"]: r
+            for r in bloom_filter_advisor(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linestatus", "l_returnflag"
+    }
+    for r in rows.values():
+        assert 1 <= r["ndv"] <= r["n_rows"]
+        assert r["bloom_bits"] == math.ceil(r["ndv"] * BLOOM_BITS_PER_KEY)
+        assert r["bloom_hashes"] >= 1
+        assert r["bloom_recommended"] == int(r["ndv"] >= BLOOM_NDV_MIN)
+    # the 2-value flag columns never recommend; the key columns may
+    assert rows["l_returnflag"]["bloom_recommended"] == 0
+    assert rows["l_linestatus"]["bloom_recommended"] == 0
