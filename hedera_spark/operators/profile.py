@@ -966,3 +966,68 @@ def dp_count_release(g: DataFrame) -> DataFrame:
         F.round(F.abs(noise), 4).alias("abs_err"),
         F.lit(DP_EPSILON).alias("epsilon"),
     )
+
+
+# t-closeness: violation when TVD(cell, global) > T_NUM/T_DEN. Kept as a
+# RATIONAL so the compare runs in exact integer arithmetic on both engines.
+T_CLOSENESS_NUM = 2
+T_CLOSENESS_DEN = 5
+
+
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li, Venkatasubramanian 2007) — the third
+    rung of the privacy-audit ladder: k_anonymity bounds cell SIZE,
+    l_diversity bounds sensitive-value VARIETY, but a cell can pass both
+    while its sensitive distribution still differs sharply from the
+    table's (a 90%-one-lang cell in a 50/50 corpus leaks). Per QI cell
+    (source, QI_SIZE_BUCKET-char size band — same grid as the other two)
+    this computes the total-variation distance between the cell's lang
+    distribution and the global one, and flags cells with
+    TVD > T_CLOSENESS_NUM/T_CLOSENESS_DEN.
+
+    Exactness: TVD = Σ_v |c_v·N − g_v·n| / (2·n·N) is accumulated as the
+    INTEGER numerator Σ|c_v·N − g_v·n| (sum order irrelevant), and the
+    violation compare cross-multiplies the rational threshold —
+    2·DEN·num > NUM·(2·n·N) — so no float enters until the single final
+    reported division. Missing-from-cell langs contribute g_v·n via the
+    lang-domain grid join.
+
+    Scale: everything after the first aggregate lives on the QI grid ×
+    lang domain (both bounded, ≪ corpus); the grid is built by a
+    broadcast cross join of the cell frame with the |langs|-row global
+    frame. One corpus-wide partial agg, no window over data rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell_lang = docs.groupBy(
+        "source",
+        F.expr(f"n_chars div {QI_SIZE_BUCKET}").alias("size_bucket"),
+        "lang",
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cells = cell_lang.groupBy("source", "size_bucket").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    glob = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("g"))
+    n_total = docs.count()
+    grid = cells.crossJoin(F.broadcast(glob)).join(
+        cell_lang, ["source", "size_bucket", "lang"], "left"
+    )
+    num_v = F.abs(
+        F.coalesce(F.col("c"), F.lit(0)) * F.lit(n_total) - F.col("g") * F.col("n")
+    )
+    return (
+        grid.groupBy("source", "size_bucket", "n")
+        .agg(F.sum(num_v).cast("long").alias("num"))
+        .select(
+            "source",
+            "size_bucket",
+            "n",
+            F.round(
+                F.col("num") / (2.0 * F.col("n") * F.lit(float(n_total))), 6
+            ).alias("tvd"),
+            (
+                2 * T_CLOSENESS_DEN * F.col("num")
+                > T_CLOSENESS_NUM * 2 * F.col("n") * F.lit(n_total)
+            )
+            .cast("long")
+            .alias("violates"),
+        )
+    )

@@ -13,7 +13,7 @@ fingerprinting is fully shuffle-free (array-side rolling mins per row).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hedera_spark.sources.tables import load_table
@@ -2290,3 +2290,71 @@ def bigram_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(llr, 6).alias("llr"),
     )
     return out.orderBy(F.desc("llr"), "w1", "w2").limit(LLR_TOPK)
+
+
+MIX_SEG_TOKENS = 8  # tokens per code-switch probe window
+
+
+def _seg_pred(seg: Column) -> Column:
+    """lang prediction for ONE token-array segment: score = |set(seg) ∩
+    markers(lang)| (array_intersect is set semantics in Spark), argmax
+    with lang_id's lexicographic tie-break (all-zero scores predict the
+    first lang, same as lang_id's CASE chain)."""
+    scores = {
+        lang: F.size(
+            F.array_intersect(seg, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang in reversed(sorted(LANG_MARKERS)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switch audit — the WITHIN-document companion to lang_id's
+    per-document argmax: multilingual contamination (boilerplate in one
+    language glued to body text in another) poisons monolingual training
+    mixes yet is invisible to whole-doc language ID, which just reports
+    the majority language. Segment each doc into MIX_SEG_TOKENS-token
+    windows, predict a language per window with lang_id's own marker
+    argmax, and report per doc: window count, distinct predicted
+    languages, the dominant language's share of windows, and the mixed
+    flag (>= 2 languages).
+
+    Scale (100 TB): a PURE MAP operator — segmentation, per-window set
+    intersections against the broadcast-literal marker lists, the argmax
+    CASE, and the per-doc fold over predictions are all array
+    expressions inside one projection; the text column is read once and
+    nothing shuffles, ever. Contrast lang_id, which explodes distinct
+    tokens and aggregates them back.
+
+    Reference: language bucketing of the reference's corpus accounting
+    (WIKIREVISION.md corpus splits), sharpened to the window grain a
+    crawl-cleaning pipeline needs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+    ).where(F.size("toks") > 0)
+    segs = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size("toks") - 1) / MIX_SEG_TOKENS).cast("int")
+        ),
+        lambda i: F.slice("toks", i * MIX_SEG_TOKENS + 1, MIX_SEG_TOKENS),
+    )
+    preds = docs.select("doc_id", F.transform(segs, _seg_pred).alias("preds"))
+    dom = F.array_max(
+        F.transform(
+            F.array_distinct("preds"),
+            lambda p: F.size(F.filter("preds", lambda x: x == p)),
+        )
+    )
+    return preds.select(
+        "doc_id",
+        F.size("preds").cast("long").alias("n_segs"),
+        F.size(F.array_distinct("preds")).cast("long").alias("n_langs"),
+        F.round(dom / F.size("preds"), 6).alias("top_share"),
+        (F.size(F.array_distinct("preds")) >= 2).cast("long").alias("mixed"),
+    )

@@ -1242,6 +1242,50 @@ register(
     """,
 )
 
+register(
+    "lang_mix",
+    ta.lang_mix,
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    t2 AS (SELECT * FROM t WHERE len(toks) > 0),
+    segs AS (
+      SELECT doc_id, i AS seg_id,
+             toks[(i*{ta.MIX_SEG_TOKENS}+1):(i*{ta.MIX_SEG_TOKENS}+{ta.MIX_SEG_TOKENS})] AS seg
+      FROM t2, unnest(generate_series(0,
+               CAST(floor((len(toks)-1)/{ta.MIX_SEG_TOKENS}.0) AS BIGINT))) AS s(i)
+    ),
+    scored AS (
+      SELECT doc_id, seg_id,
+             {', '.join(
+                 "len(list_distinct(list_intersect(seg, ["
+                 + ', '.join("'" + m + "'" for m in markers)
+                 + f"]))) AS score_{lang}"
+                 for lang, markers in sorted(ta.LANG_MARKERS.items())
+             )}
+      FROM segs
+    ),
+    best AS (
+      SELECT *, greatest({', '.join('score_' + lang for lang in sorted(ta.LANG_MARKERS))}) AS best
+      FROM scored
+    ),
+    preds AS (
+      SELECT doc_id,
+             CASE {' '.join(f"WHEN score_{lang} = best THEN '{lang}'" for lang in sorted(ta.LANG_MARKERS))} END AS pred
+      FROM best
+    ),
+    pc AS (SELECT doc_id, pred, count(*) AS c FROM preds GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_segs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share,
+           CAST(CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS mixed
+    FROM pc GROUP BY doc_id
+    """,
+)
+
 # lang_confusion wraps lang_id's oracle verbatim so the two can never
 # drift: the confusion matrix is defined over exactly the predictions
 # the driver verifies for lang_id.
@@ -9660,6 +9704,39 @@ register(
            CAST(CASE WHEN count(DISTINCT lang) < {prof.L_DIVERSITY_MIN}
                 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
     FROM documents GROUP BY 1, 2
+    """,
+)
+
+register(
+    "t_closeness",
+    prof.t_closeness,
+    f"""
+    WITH cl AS (
+      SELECT source, n_chars // {prof.QI_SIZE_BUCKET} AS size_bucket, lang,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    cells AS (
+      SELECT source, size_bucket, CAST(sum(c) AS BIGINT) AS n
+      FROM cl GROUP BY 1, 2
+    ),
+    gl AS (SELECT lang, CAST(count(*) AS BIGINT) AS g FROM documents GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+    grid AS (
+      SELECT cells.source, cells.size_bucket, cells.n, gl.lang, gl.g,
+             coalesce(cl.c, 0) AS c, nt.n_total
+      FROM cells CROSS JOIN gl CROSS JOIN nt
+      LEFT JOIN cl ON cl.source = cells.source
+                  AND cl.size_bucket = cells.size_bucket
+                  AND cl.lang = gl.lang
+    )
+    SELECT source, size_bucket, n,
+           round(CAST(sum(abs(c * n_total - g * n)) AS DOUBLE)
+                 / (2.0 * n * min(n_total)), 6) AS tvd,
+           CAST(CASE WHEN 2 * {prof.T_CLOSENESS_DEN} * sum(abs(c * n_total - g * n))
+                      > {prof.T_CLOSENESS_NUM} * 2 * n * min(n_total)
+                THEN 1 ELSE 0 END AS BIGINT) AS violates
+    FROM grid GROUP BY 1, 2, 3
     """,
 )
 

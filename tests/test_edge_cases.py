@@ -251,6 +251,12 @@ def _empty_sf(spark, tmp_path):
         "loader_shards",
         "shard_skew_audit",
         "pack_overflow_stats",
+        # round-7 wave
+        "boilerplate_by_source",
+        "dedup_exact_normalized",
+        "bloom_filter_advisor",
+        "t_closeness",
+        "lang_mix",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -583,3 +589,53 @@ def test_bloom_filter_advisor_sizing_identities(spark):
     # the 2-value flag columns never recommend; the key columns may
     assert rows["l_returnflag"]["bloom_recommended"] == 0
     assert rows["l_linestatus"]["bloom_recommended"] == 0
+
+
+def test_t_closeness_flags_skewed_cell(spark, tmp_path):
+    """In a 50/50 en/de corpus, an all-en QI cell has TVD 0.5 > 2/5 and
+    flags; a cell mirroring the global mix has TVD 0 and does not."""
+    rows = (
+        # source A, bucket 0: 4 docs, all en -> skewed
+        [(i, "x", "A", "en", 10) for i in range(4)]
+        # source B, bucket 0: 2 en + 2 de -> mirrors a 50/50 global? global
+        # counts: en 6, de 6 -> p = (.5,.5); cell B = (.5,.5) -> TVD 0
+        + [(10 + i, "x", "B", "en", 10) for i in range(2)]
+        + [(20 + i, "x", "B", "de", 10) for i in range(2)]
+        # source C balances the global mix back to 50/50
+        + [(30 + i, "x", "C", "de", 10) for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    )
+    out = tmp_path / "tc"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.profile import t_closeness
+
+    res = {r["source"]: r for r in t_closeness(spark, str(out)).collect()}
+    assert res["A"]["violates"] == 1 and res["A"]["tvd"] == 0.5
+    assert res["B"]["violates"] == 0 and res["B"]["tvd"] == 0.0
+    assert res["C"]["violates"] == 1  # all-de mirror image of A
+
+
+def test_lang_mix_detects_code_switch(spark, tmp_path):
+    """A doc whose first window is German markers and second window is
+    English markers reports 2 langs / mixed=1; a pure-English doc
+    reports 1 lang and top_share 1.0."""
+    de = "der und das merge group batch der und"  # 8 de-marker tokens
+    en = "the a data fast query the a data"  # 8 en-marker tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{de} {en}", "s", "xx", 1),
+            (2, f"{en} {en}", "s", "en", 1),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "lm"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import lang_mix
+
+    res = {r["doc_id"]: r for r in lang_mix(spark, str(out)).collect()}
+    assert res[1]["n_segs"] == 2 and res[1]["n_langs"] == 2
+    assert res[1]["mixed"] == 1 and res[1]["top_share"] == 0.5
+    assert res[2]["n_langs"] == 1 and res[2]["mixed"] == 0
+    assert res[2]["top_share"] == 1.0
