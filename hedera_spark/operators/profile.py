@@ -985,37 +985,42 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution and the global one, and flags cells with
     TVD > T_CLOSENESS_NUM/T_CLOSENESS_DEN.
 
-    Exactness: TVD = Σ_v |c_v·N − g_v·n| / (2·n·N) is accumulated as the
-    INTEGER numerator Σ|c_v·N − g_v·n| (sum order irrelevant), and the
-    violation compare cross-multiplies the rational threshold —
-    2·DEN·num > NUM·(2·n·N) — so no float enters until the single final
-    reported division. Missing-from-cell langs contribute g_v·n via the
-    lang-domain grid join.
+    Exactness: TVD = Σ_v |c_v·N − g_v·n| / (2·n·N) is accumulated as an
+    INTEGER numerator (sum order irrelevant), and the violation compare
+    cross-multiplies the rational threshold — 2·DEN·num > NUM·(2·n·N) —
+    so no float enters until the single final reported division.
 
-    Scale: everything after the first aggregate lives on the QI grid ×
-    lang domain (both bounded, ≪ corpus); the grid is built by a
-    broadcast cross join of the cell frame with the |langs|-row global
-    frame. One corpus-wide partial agg, no window over data rows."""
+    Langs ABSENT from a cell contribute g_v·n each, and Σ_v g_v = N, so
+    num = Σ_present (|c_v·N − g_v·n| − g_v·n) + n·N — the absent terms
+    fold into one closed-form constant. That identity replaces the naive
+    QI-grid × lang-domain CROSS join (a nested-loop plan) with a plain
+    broadcast-hash EQUALITY join on lang over only the present
+    (cell, lang) rows.
+
+    Scale: everything after the first corpus-wide partial agg lives on
+    the bounded (QI cell × present-lang) frame; the |langs|-row global
+    frame broadcasts. One window over that bounded frame, no window or
+    join over data rows."""
     docs = load_table(spark, sf_dir, "documents")
     cell_lang = docs.groupBy(
         "source",
         F.expr(f"n_chars div {QI_SIZE_BUCKET}").alias("size_bucket"),
         "lang",
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    cells = cell_lang.groupBy("source", "size_bucket").agg(
-        F.sum("c").cast("long").alias("n")
-    )
     glob = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("g"))
     n_total = docs.count()
-    grid = cells.crossJoin(F.broadcast(glob)).join(
-        cell_lang, ["source", "size_bucket", "lang"], "left"
-    )
-    num_v = F.abs(
-        F.coalesce(F.col("c"), F.lit(0)) * F.lit(n_total) - F.col("g") * F.col("n")
-    )
+    wcell = Window.partitionBy("source", "size_bucket")
+    cl = cell_lang.withColumn("n", F.sum("c").over(wcell).cast("long"))
+    j = cl.join(F.broadcast(glob), "lang")
+    gn = F.col("g") * F.col("n")
+    term = F.abs(F.col("c") * F.lit(n_total) - gn) - gn
     return (
-        grid.groupBy("source", "size_bucket", "n")
-        .agg(F.sum(num_v).cast("long").alias("num"))
+        j.groupBy("source", "size_bucket", "n")
+        .agg(
+            (F.sum(term) + F.first("n") * F.lit(n_total))
+            .cast("long")
+            .alias("num")
+        )
         .select(
             "source",
             "size_bucket",
