@@ -886,3 +886,101 @@ def bloom_filter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("bloom_hashes"),
         (F.col("ndv") >= BLOOM_NDV_MIN).cast("int").alias("bloom_recommended"),
     )
+
+
+BLOOM_SIM_CHUNKS = 100  # simulated insertion-order files (zonemap_prune_stats grain)
+BLOOM_SIM_PROBES = 16  # deterministic md5-ordered point-lookup probe keys
+
+
+def bloom_prune_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping simulation for POINT lookups — the measurement that
+    justifies bloom_filter_advisor's recommendation the way
+    zonemap_prune_stats justifies clustering: against the same 100
+    insertion-order file chunks, probe BLOOM_SIM_PROBES deterministic
+    l_partkey values and count files each strategy scans. Zone maps
+    answer range overlap (probe BETWEEN file min/max — on an unsorted
+    key nearly every file overlaps), while a bloom filter answers
+    membership (file contains the key; modeled at FPP→0, the pruning
+    UPPER bound — a real filter adds ~BLOOM_FPP false scans). One row
+    per strategy with probe-pair counts and the pruned fraction.
+
+    Scale: file stats (min/max and the distinct (file, key) membership
+    frame) come from one scan + bounded aggs — at deployment both live
+    in parquet footers/bloom pages and cost zero reads. The probe set is
+    a 16-row global top-k by (md5(key), key), broadcast; the zonemap
+    check is a 16 × 100 bounded nested loop (labeled, same class as
+    zonemap_prune_stats' bounds broadcast), the bloom check a plain
+    equality semi-join on (file, key).
+
+    Reference: the reference's hand-tuned split accounting (pig
+    PARALLEL / python/dumps), pointed at index-structure selection.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+    )
+    rows = li.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"CAST((l_orderkey - lo) * {BLOOM_SIM_CHUNKS}"
+            f" div (hi - lo + 1) AS BIGINT)"
+        ).alias("unit"),
+        "l_partkey",
+    )
+    units = rows.groupBy("unit").agg(
+        F.min("l_partkey").alias("pk_min"), F.max("l_partkey").alias("pk_max")
+    )
+    members = rows.distinct()
+    probes = (
+        li.select("l_partkey")
+        .distinct()
+        .orderBy(F.md5(F.col("l_partkey").cast("string")), "l_partkey")
+        .limit(BLOOM_SIM_PROBES)
+        .select(F.col("l_partkey").alias("probe_key"))
+    )
+    zm_pairs = units.crossJoin(F.broadcast(probes))
+    zm = zm_pairs.agg(
+        F.lit("zonemap").alias("method"),
+        F.count(F.lit(1)).cast("long").alias("n_probe_pairs"),
+        F.sum(
+            (
+                (F.col("probe_key") >= F.col("pk_min"))
+                & (F.col("probe_key") <= F.col("pk_max"))
+            ).cast("long")
+        ).cast("long").alias("n_scanned"),
+    )
+    bl_hits = members.join(
+        F.broadcast(probes),
+        members["l_partkey"] == probes["probe_key"],
+        "inner",
+    )
+    bl = (
+        bl_hits.agg(F.count(F.lit(1)).cast("long").alias("n_scanned"))
+        .crossJoin(
+            zm_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_probe_pairs"))
+        )
+        .select(
+            F.lit("bloom").alias("method"),
+            "n_probe_pairs",
+            "n_scanned",
+        )
+    )
+    return (
+        zm.unionByName(bl)
+        # global aggs emit one row even on an empty table; drop the
+        # degenerate zero-probe rows (same guard as zonemap_prune_stats)
+        .where(F.col("n_probe_pairs") > 0)
+        .select(
+            "method",
+            "n_probe_pairs",
+            F.coalesce("n_scanned", F.lit(0)).alias("n_scanned"),
+            (
+                F.col("n_probe_pairs") - F.coalesce("n_scanned", F.lit(0))
+            ).alias("n_pruned"),
+            F.round(
+                1
+                - F.coalesce("n_scanned", F.lit(0))
+                / F.col("n_probe_pairs").cast("double"),
+                6,
+            ).alias("prune_fraction"),
+        )
+    )

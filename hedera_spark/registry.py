@@ -8652,6 +8652,54 @@ register(
 )
 
 register(
+    "bloom_prune_sim",
+    pln.bloom_prune_sim,
+    f"""
+    WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem),
+    r AS (
+      SELECT CAST((l_orderkey - lo) * {pln.BLOOM_SIM_CHUNKS}
+                  // (hi - lo + 1) AS BIGINT) AS unit,
+             l_partkey
+      FROM lineitem, b
+    ),
+    units AS (
+      SELECT unit, min(l_partkey) AS pk_min, max(l_partkey) AS pk_max
+      FROM r GROUP BY unit
+    ),
+    members AS (SELECT DISTINCT unit, l_partkey FROM r),
+    probes AS (
+      SELECT l_partkey AS probe_key
+      FROM (SELECT DISTINCT l_partkey FROM lineitem)
+      ORDER BY md5(CAST(l_partkey AS VARCHAR)), l_partkey
+      LIMIT {pln.BLOOM_SIM_PROBES}
+    ),
+    np AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probe_pairs
+      FROM units CROSS JOIN probes
+    ),
+    zm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_scanned
+      FROM units CROSS JOIN probes
+      WHERE probe_key BETWEEN pk_min AND pk_max
+    ),
+    blm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_scanned
+      FROM members m JOIN probes p ON m.l_partkey = p.probe_key
+    )
+    SELECT 'zonemap' AS method, np.n_probe_pairs, zm.n_scanned,
+           np.n_probe_pairs - zm.n_scanned AS n_pruned,
+           round(1 - zm.n_scanned / CAST(np.n_probe_pairs AS DOUBLE), 6)
+             AS prune_fraction
+    FROM np, zm
+    UNION ALL
+    SELECT 'bloom', np.n_probe_pairs, blm.n_scanned,
+           np.n_probe_pairs - blm.n_scanned,
+           round(1 - blm.n_scanned / CAST(np.n_probe_pairs AS DOUBLE), 6)
+    FROM np, blm
+    """,
+)
+
+register(
     "bloom_filter_advisor",
     pln.bloom_filter_advisor,
     f"""

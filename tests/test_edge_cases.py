@@ -257,6 +257,7 @@ def _empty_sf(spark, tmp_path):
         "bloom_filter_advisor",
         "t_closeness",
         "lang_mix",
+        "bloom_prune_sim",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -639,3 +640,17 @@ def test_lang_mix_detects_code_switch(spark, tmp_path):
     assert res[1]["mixed"] == 1 and res[1]["top_share"] == 0.5
     assert res[2]["n_langs"] == 1 and res[2]["mixed"] == 0
     assert res[2]["top_share"] == 1.0
+
+
+def test_bloom_prune_sim_bloom_dominates_zonemap(spark):
+    """On an unsorted key, membership pruning must scan no more files
+    than range pruning, and both stay within the probe-pair total."""
+    from hedera_spark.operators.planner import bloom_prune_sim
+
+    rows = {r["method"]: r for r in bloom_prune_sim(spark, SF_DIR).collect()}
+    assert set(rows) == {"zonemap", "bloom"}
+    zm, bl = rows["zonemap"], rows["bloom"]
+    assert zm["n_probe_pairs"] == bl["n_probe_pairs"] > 0
+    assert 0 <= bl["n_scanned"] <= zm["n_scanned"] <= zm["n_probe_pairs"]
+    assert bl["prune_fraction"] >= zm["prune_fraction"]
+    assert zm["n_pruned"] + zm["n_scanned"] == zm["n_probe_pairs"]

@@ -65,6 +65,10 @@ ALLOWED_NESTED_LOOP = {
     "dedup_impact",  # 1-row (total_before, total_after) broadcast
     "frequent_itemsets",  # 1-row basket-count broadcast (support floor)
     "ab_permutation_test",  # 1-row observed-stats broadcast onto the user frame
+    # 16-row probe-key broadcast x 100-row file-stats frame: the zonemap
+    # range check is a designed bounded nested loop (the bloom check in
+    # the same query is a plain equality semi-join)
+    "bloom_prune_sim",
     "survival_repurchase",  # 1-row calendar-end-anchor broadcast
     "retrieval_agreement",  # composes bm25_topk + ql_topk (their 1-row stats)
     "ks_drift",  # 1-row time-pivot + 1-row totals broadcasts
