@@ -2334,7 +2334,15 @@ def lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: language bucketing of the reference's corpus accounting
     (WIKIREVISION.md corpus splits), sharpened to the window grain a
     crawl-cleaning pipeline needs."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    return _lang_mix_project(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_mix_project(docs: DataFrame) -> DataFrame:
+    """lang_mix as a pure projection over any (doc_id, text) frame —
+    batch table or streaming micro-batch (streaming/clean.py twin): the
+    whole operator is array expressions in one select, so the SAME
+    expression tree runs in both engines' row paths."""
+    docs = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
     ).where(F.size("toks") > 0)

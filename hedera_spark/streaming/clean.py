@@ -93,3 +93,15 @@ def stream_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hedera_spark.streaming.source import event_stream
 
     return event_violation_sums(event_stream(spark, sf_dir))
+
+
+def stream_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switch audit at the ingest edge: the batch lang_mix
+    projection (per-window marker argmax + per-doc fold — all array
+    expressions, zero shuffles) applied to the replayed document stream
+    unchanged. Stateless: no watermark, no state store — the multilingual
+    contamination gate runs as documents arrive instead of re-scanning
+    the lake. Replay-exact vs the batch operator (tested)."""
+    from hedera_spark.operators.text_analysis import _lang_mix_project
+
+    return _lang_mix_project(_doc_stream(spark, sf_dir))

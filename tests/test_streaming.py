@@ -1871,3 +1871,27 @@ def test_stream_upsert_recovers_from_partial_epoch_state(spark, tmp_path):
     )
     got = got[sorted(got.columns)]
     assert got.equals(expect)
+
+
+def test_stream_lang_mix_equals_batch(spark):
+    """The stateless code-switch projection over the replayed document
+    stream is row-exact vs the batch lang_mix."""
+    from hedera_spark.operators.text_analysis import lang_mix
+    from hedera_spark.streaming.clean import stream_lang_mix
+
+    out = stream_lang_mix(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lang_mix_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in spark.sql("select * from lang_mix_stream").collect()
+    }
+    want = {r["doc_id"]: tuple(r) for r in lang_mix(spark, SF_DIR).collect()}
+    assert got == want and len(want) > 0
