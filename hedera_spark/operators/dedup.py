@@ -918,7 +918,10 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     pig/preprocess/checkRevisions.pig, at the content-normalized grain.
     """
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    # explicit whitespace class, NOT \s: Java regex \s includes \x0B
+    # (vertical tab) while DuckDB's RE2 \s does not — the one byte that
+    # would make the two engines hash differently
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\r\\f]+", " "))
     w = Window.partitionBy("text_hash")
     return (
         docs.select("doc_id", F.md5(norm).alias("text_hash"))

@@ -3248,7 +3248,7 @@ register(
     """
     WITH h AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g')))
                AS text_hash
       FROM documents
     )
