@@ -2366,3 +2366,97 @@ def _lang_mix_project(docs: DataFrame) -> DataFrame:
         F.round(dom / F.size("preds"), 6).alias("top_share"),
         (F.size(F.array_distinct("preds")) >= 2).cast("long").alias("mixed"),
     )
+
+
+# gopher_quality_gate thresholds (Rae et al. 2021, Gopher Table A1 rule
+# subset). Every ratio compare is a cross-multiplied INTEGER compare so
+# both engines decide every flag exactly.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3  # mean word length in [3, 10] characters
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_SYMBOL_MAX_NUM = 1  # symbol-token ratio <= 1/10
+GOPHER_SYMBOL_MAX_DEN = 10
+GOPHER_ALPHA_MIN_NUM = 4  # alphabetic-word fraction >= 4/5
+GOPHER_ALPHA_MIN_DEN = 5
+GOPHER_MIN_STOPWORDS = 2  # distinct stop words present
+
+
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical Gopher document-quality rules (Rae et al. 2021,
+    Table A1 subset) as ONE audited gate — the published filter bundle a
+    crawl-cleaning pipeline actually ships, next to the ad-hoc composite
+    of text_quality: word count in [50, 100k], mean word length in
+    [3, 10], symbol-token ratio ('#' or '...' tokens) <= 1/10,
+    alphabetic-word fraction >= 4/5, and >= 2 distinct stop words
+    present. Output per doc: each measured feature, each rule flag, and
+    the conjunction.
+
+    Exactness: every threshold is rational and every compare
+    cross-multiplies to integers (e.g. mean length in [3,10] tests
+    3·n <= Σlen <= 10·n), so no engine ever decides a flag on a float;
+    the reported ratios are round(…, 6) display values only.
+
+    Scale (100 TB): a PURE MAP operator — tokenization and every rule
+    are array expressions inside one projection; nothing shuffles. The
+    gate composes with corpus_select/pipeline_funnel the way the
+    published pipeline chains its filters.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+    )
+    n_words = F.size("toks")
+    sum_len = F.aggregate(
+        F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
+    )
+    n_symbol = F.size(
+        F.filter(
+            "toks", lambda t: t.contains("#") | t.contains("...") | t.contains("…")
+        )
+    )
+    n_alpha = F.size(F.filter("toks", lambda t: t.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("toks"), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    m = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        sum_len.cast("long").alias("sum_word_len"),
+        n_symbol.cast("long").alias("n_symbol_words"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    pass_count = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    pass_len = (
+        GOPHER_MIN_MEAN_LEN * F.col("n_words") <= F.col("sum_word_len")
+    ) & (F.col("sum_word_len") <= GOPHER_MAX_MEAN_LEN * F.col("n_words"))
+    pass_symbol = (
+        F.col("n_symbol_words") * GOPHER_SYMBOL_MAX_DEN
+        <= GOPHER_SYMBOL_MAX_NUM * F.col("n_words")
+    )
+    pass_alpha = (
+        F.col("n_alpha_words") * GOPHER_ALPHA_MIN_DEN
+        >= GOPHER_ALPHA_MIN_NUM * F.col("n_words")
+    )
+    pass_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    return m.where(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("sum_word_len") / F.col("n_words"), 6).alias("mean_word_len"),
+        F.round(F.col("n_symbol_words") / F.col("n_words"), 6).alias("symbol_ratio"),
+        F.round(F.col("n_alpha_words") / F.col("n_words"), 6).alias("alpha_frac"),
+        "n_stopwords",
+        pass_count.cast("long").alias("pass_word_count"),
+        pass_len.cast("long").alias("pass_word_len"),
+        pass_symbol.cast("long").alias("pass_symbol"),
+        pass_alpha.cast("long").alias("pass_alpha"),
+        pass_stop.cast("long").alias("pass_stopwords"),
+        (pass_count & pass_len & pass_symbol & pass_alpha & pass_stop)
+        .cast("long")
+        .alias("pass_all"),
+    )

@@ -1243,6 +1243,62 @@ register(
 )
 
 register(
+    "gopher_quality_gate",
+    ta.gopher_quality_gate,
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                  AS BIGINT) AS sum_word_len,
+             CAST(len(list_filter(toks, x ->
+                  x LIKE '%#%' OR x LIKE '%...%' OR x LIKE '%…%'))
+                  AS BIGINT) AS n_symbol_words,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(len(list_distinct(list_intersect(toks,
+                  [{', '.join("'" + s + "'" for s in ta.STOPWORDS)}])))
+                  AS BIGINT) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           round(sum_word_len / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+           round(n_symbol_words / CAST(n_words AS DOUBLE), 6) AS symbol_ratio,
+           round(n_alpha_words / CAST(n_words AS DOUBLE), 6) AS alpha_frac,
+           n_stopwords,
+           CAST(CASE WHEN n_words >= {ta.GOPHER_MIN_WORDS}
+                      AND n_words <= {ta.GOPHER_MAX_WORDS}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_word_count,
+           CAST(CASE WHEN {ta.GOPHER_MIN_MEAN_LEN} * n_words <= sum_word_len
+                      AND sum_word_len <= {ta.GOPHER_MAX_MEAN_LEN} * n_words
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_word_len,
+           CAST(CASE WHEN n_symbol_words * {ta.GOPHER_SYMBOL_MAX_DEN}
+                      <= {ta.GOPHER_SYMBOL_MAX_NUM} * n_words
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_symbol,
+           CAST(CASE WHEN n_alpha_words * {ta.GOPHER_ALPHA_MIN_DEN}
+                      >= {ta.GOPHER_ALPHA_MIN_NUM} * n_words
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_alpha,
+           CAST(CASE WHEN n_stopwords >= {ta.GOPHER_MIN_STOPWORDS}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_stopwords,
+           CAST(CASE WHEN n_words >= {ta.GOPHER_MIN_WORDS}
+                      AND n_words <= {ta.GOPHER_MAX_WORDS}
+                      AND {ta.GOPHER_MIN_MEAN_LEN} * n_words <= sum_word_len
+                      AND sum_word_len <= {ta.GOPHER_MAX_MEAN_LEN} * n_words
+                      AND n_symbol_words * {ta.GOPHER_SYMBOL_MAX_DEN}
+                          <= {ta.GOPHER_SYMBOL_MAX_NUM} * n_words
+                      AND n_alpha_words * {ta.GOPHER_ALPHA_MIN_DEN}
+                          >= {ta.GOPHER_ALPHA_MIN_NUM} * n_words
+                      AND n_stopwords >= {ta.GOPHER_MIN_STOPWORDS}
+                THEN 1 ELSE 0 END AS BIGINT) AS pass_all
+    FROM m WHERE n_words > 0
+    """,
+)
+
+register(
     "lang_mix",
     ta.lang_mix,
     f"""

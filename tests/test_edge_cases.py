@@ -258,6 +258,7 @@ def _empty_sf(spark, tmp_path):
         "t_closeness",
         "lang_mix",
         "bloom_prune_sim",
+        "gopher_quality_gate",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -654,3 +655,32 @@ def test_bloom_prune_sim_bloom_dominates_zonemap(spark):
     assert 0 <= bl["n_scanned"] <= zm["n_scanned"] <= zm["n_probe_pairs"]
     assert bl["prune_fraction"] >= zm["prune_fraction"]
     assert zm["n_pruned"] + zm["n_scanned"] == zm["n_probe_pairs"]
+
+
+def test_gopher_quality_gate_planted_rules(spark, tmp_path):
+    """Planted docs exercise each rule: a 60-common-word doc passes all;
+    a 10-word doc fails only word count; a symbol-heavy doc fails the
+    symbol ratio; a digits-only doc fails the alpha fraction."""
+    good = " ".join(["the", "a", "data", "value"] * 15)  # 60 words, stopwords
+    short = " ".join(["the", "a", "data", "value"] * 2) + " row the"  # 10 words
+    symbolic = " ".join(["the", "a", "data", "value"] * 13) + " " + " ".join(["#x"] * 8)
+    digits = " ".join(["the", "a"] + ["123"] * 58)
+    docs = spark.createDataFrame(
+        [
+            (1, good, "s", "en", 1),
+            (2, short, "s", "en", 1),
+            (3, symbolic, "s", "en", 1),
+            (4, digits, "s", "en", 1),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "gq"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.text_analysis import gopher_quality_gate
+
+    r = {x["doc_id"]: x for x in gopher_quality_gate(spark, str(out)).collect()}
+    assert r[1]["pass_all"] == 1
+    assert r[2]["pass_word_count"] == 0 and r[2]["pass_stopwords"] == 1
+    assert r[3]["pass_symbol"] == 0 and r[3]["pass_word_count"] == 1
+    assert r[4]["pass_alpha"] == 0 and r[4]["pass_word_count"] == 1
+    assert r[4]["alpha_frac"] == 0.033333
