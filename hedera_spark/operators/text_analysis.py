@@ -2402,7 +2402,14 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate composes with corpus_select/pipeline_funnel the way the
     published pipeline chains its filters.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    return _gopher_gate_project(load_table(spark, sf_dir, "documents"))
+
+
+def _gopher_gate_project(docs: DataFrame) -> DataFrame:
+    """gopher_quality_gate as a pure projection over any (doc_id, text)
+    frame — batch table or streaming micro-batch (streaming/clean.py
+    twin), same discipline as _lang_mix_project."""
+    docs = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
     )

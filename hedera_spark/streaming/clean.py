@@ -105,3 +105,14 @@ def stream_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hedera_spark.operators.text_analysis import _lang_mix_project
 
     return _lang_mix_project(_doc_stream(spark, sf_dir))
+
+
+def stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules at the ingest edge: the batch
+    gopher_quality_gate projection (integer-compare rule flags, pure
+    array expressions) applied to the replayed document stream
+    unchanged. Stateless — no watermark, no state store. Replay-exact
+    vs the batch operator (tested)."""
+    from hedera_spark.operators.text_analysis import _gopher_gate_project
+
+    return _gopher_gate_project(_doc_stream(spark, sf_dir))

@@ -956,3 +956,85 @@ def test_read_common_log_roundtrip(spark, tmp_path_factory, entries):
                    r["status_code"], r["obj_size"]) for r in got) == sorted(
         (e[0], e[3], e[4], e[5], e[6]) for e in entries
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab X\t\n")), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_dedup_exact_normalized_is_idempotent_and_coarsens(
+    spark, tmp_path_factory, texts
+):
+    """For ANY texts (mixed case/whitespace): (1) normalized groups are a
+    coarsening of raw groups — raw-equal docs are always norm-equal; (2)
+    survivor is the min doc_id of its group; (3) group sizes sum to n."""
+    from hedera_spark.operators.dedup import dedup_exact, dedup_exact_normalized
+
+    d = _write_docs(str(tmp_path_factory.mktemp("den")), texts)
+    norm = {r["doc_id"]: r for r in dedup_exact_normalized(spark, d).collect()}
+    raw = {r["doc_id"]: r for r in dedup_exact(spark, d).collect()}
+    assert set(norm) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        for j, u in enumerate(texts):
+            if t == u:
+                assert norm[i]["text_hash"] == norm[j]["text_hash"]
+    groups: dict[str, list[int]] = {}
+    for i, r in norm.items():
+        groups.setdefault(r["text_hash"], []).append(i)
+    for h, members in groups.items():
+        lead = min(members)
+        for m in members:
+            assert norm[m]["survivor_id"] == lead
+            assert norm[m]["n_copies"] == len(members)
+            assert norm[m]["is_dup"] == int(m != lead)
+    # coarsening: normalized distinct-hash count <= raw distinct-hash count
+    assert len(groups) <= len({r["text_hash"] for r in raw.values()})
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    langs=st.lists(st.sampled_from(["en", "de", "fr"]), min_size=2, max_size=30)
+)
+def test_t_closeness_tvd_bounds_and_uniform_zero(
+    spark, tmp_path_factory, langs
+):
+    """For ANY lang assignment: every cell's TVD is in [0, 1], a cell
+    whose lang mix EQUALS the global mix scores 0, and violates is
+    exactly (tvd > 2/5) within rounding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hedera_spark.operators.profile import t_closeness
+
+    tmpdir = str(tmp_path_factory.mktemp("tc"))
+    n = len(langs)
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(2 * n), pa.int64()),
+            "text": pa.array(["x"] * (2 * n)),
+            "lang": pa.array(langs + langs),  # source B mirrors source A
+            "source": pa.array(["A"] * n + ["B"] * n),
+            "n_chars": pa.array([5] * (2 * n), pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/documents.parquet")
+    rows = t_closeness(spark, tmpdir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        # each source's mix IS the global mix (A and B are identical)
+        assert r["tvd"] == 0.0 and r["violates"] == 0
+        assert 0.0 <= r["tvd"] <= 1.0

@@ -1895,3 +1895,30 @@ def test_stream_lang_mix_equals_batch(spark):
     }
     want = {r["doc_id"]: tuple(r) for r in lang_mix(spark, SF_DIR).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_gopher_gate_equals_batch(spark):
+    """The stateless Gopher rule projection over the replayed document
+    stream is row-exact vs the batch gate."""
+    from hedera_spark.operators.text_analysis import gopher_quality_gate
+    from hedera_spark.streaming.clean import stream_gopher_gate
+
+    out = stream_gopher_gate(spark, SF_DIR)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gopher_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in spark.sql("select * from gopher_stream").collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)
+        for r in gopher_quality_gate(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
