@@ -984,3 +984,76 @@ def bloom_prune_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prune_fraction"),
         )
     )
+
+
+JOIN_ADVISOR_SEG = "BUILDING"  # customer filter for the 3-way chain
+JOIN_ADVISOR_STATUS = "F"  # orders filter
+
+
+def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-ORDER selection made visible — the step after
+    join_size_estimate's cardinality model: for the filtered 3-way chain
+    sigma(customer) |x| sigma(orders) |x| lineitem, estimate each
+    candidate first-join's intermediate size from table counts alone
+    (FK-uniformity + filter-independence, the textbook System-R model:
+    |sC |x| sO| = |sO|*|sC|/|C| since each order has exactly one
+    customer; |sO |x| L| = |sO|*|L|/|O|), grade both against the exact
+    intermediate, and flag the order the estimator picks. One row per
+    candidate order with est/exact/relative error — the CBO decision an
+    engine makes before committing a 100 TB shuffle, as an audited query.
+
+    Scale: the exact intermediates are LEFT-SEMI counts (never the
+    widened join payload); estimates are integer arithmetic over five
+    COUNT aggregates. Integer division on both engines, so est_rows is
+    bit-exact cross-engine.
+
+    Reference: the PARALLEL/job-ordering hand-tuning of the reference's
+    pig pipelines, replaced by the statistics loop Catalyst's CBO runs.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_c, n_o, n_l = c.count(), o.count(), li.count()
+    sc = c.where(F.col("c_mktsegment") == JOIN_ADVISOR_SEG).select(
+        F.col("c_custkey").alias("k")
+    )
+    so = o.where(F.col("o_orderstatus") == JOIN_ADVISOR_STATUS)
+    n_sc, n_so = sc.count(), so.count()
+    exact_co = so.join(
+        sc, so["o_custkey"] == sc["k"], "left_semi"
+    ).count()
+    exact_ol = li.join(
+        so.select("o_orderkey"),
+        li["l_orderkey"] == so["o_orderkey"],
+        "left_semi",
+    ).count()
+    if min(n_c, n_o, exact_co, exact_ol) == 0:
+        # a 0-row base table or an empty intermediate has no join-order
+        # decision to grade (and no denominator) — empty report
+        return spark.range(0).select(
+            F.lit("").alias("join_order"),
+            F.lit(0).cast("long").alias("est_rows"),
+            F.lit(0).cast("long").alias("exact_rows"),
+            F.lit(0.0).alias("rel_error"),
+            F.lit(0).cast("long").alias("picked"),
+        )
+    est_co = n_so * n_sc // n_c
+    est_ol = n_so * n_l // n_o
+    min_est = min(est_co, est_ol)
+    rows = [
+        ("customer_orders_first", est_co, exact_co),
+        ("orders_lineitem_first", est_ol, exact_ol),
+    ]
+    out = None
+    for name, est, exact in rows:
+        one = spark.range(1).select(
+            F.lit(name).alias("join_order"),
+            F.lit(est).cast("long").alias("est_rows"),
+            F.lit(exact).cast("long").alias("exact_rows"),
+            F.round(F.lit(est - exact) / F.lit(float(exact)), 6).alias(
+                "rel_error"
+            ),
+            F.lit(int(est == min_est)).cast("long").alias("picked"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -8708,6 +8708,43 @@ register(
 )
 
 register(
+    "join_order_advisor",
+    pln.join_order_advisor,
+    f"""
+    WITH n AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_c,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_o,
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_l,
+        (SELECT CAST(count(*) AS BIGINT) FROM customer
+          WHERE c_mktsegment = '{pln.JOIN_ADVISOR_SEG}') AS n_sc,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders
+          WHERE o_orderstatus = '{pln.JOIN_ADVISOR_STATUS}') AS n_so,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_orderstatus = '{pln.JOIN_ADVISOR_STATUS}'
+            AND c.c_mktsegment = '{pln.JOIN_ADVISOR_SEG}') AS exact_co,
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem li
+          JOIN orders o ON li.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = '{pln.JOIN_ADVISOR_STATUS}') AS exact_ol
+    ),
+    r AS (
+      SELECT 'customer_orders_first' AS join_order,
+             n_so * n_sc // n_c AS est_rows, exact_co AS exact_rows FROM n
+      UNION ALL
+      SELECT 'orders_lineitem_first',
+             n_so * n_l // n_o, exact_ol FROM n
+    )
+    SELECT join_order, CAST(est_rows AS BIGINT) AS est_rows, exact_rows,
+           round((est_rows - exact_rows) / CAST(exact_rows AS DOUBLE), 6)
+             AS rel_error,
+           CAST(CASE WHEN est_rows = (SELECT min(est_rows) FROM r)
+                THEN 1 ELSE 0 END AS BIGINT) AS picked
+    FROM r
+    """,
+)
+
+register(
     "bloom_prune_sim",
     pln.bloom_prune_sim,
     f"""
@@ -10376,6 +10413,12 @@ register(
 # and tools/driver_sim.py, which always run the full registry.
 
 _DEMOTED_STABLE = [
+    # r7 post-gate additions: the front-50 was already full (36 rotation
+    # debt + 14 r7-wave entries) when these landed, so they register
+    # straight into the backlog — locally driver_sim-MATCHed at sf0.01
+    # this session; the r8 rotation promotes them for driver grading
+    # (same pattern as the r4 new-entry wave).
+    "join_order_advisor",
     "rev_ids",
     "rev_pairs",
     "rev_filter_time",

@@ -259,6 +259,7 @@ def _empty_sf(spark, tmp_path):
         "lang_mix",
         "bloom_prune_sim",
         "gopher_quality_gate",
+        "join_order_advisor",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -684,3 +685,19 @@ def test_gopher_quality_gate_planted_rules(spark, tmp_path):
     assert r[3]["pass_symbol"] == 0 and r[3]["pass_word_count"] == 1
     assert r[4]["pass_alpha"] == 0 and r[4]["pass_word_count"] == 1
     assert r[4]["alpha_frac"] == 0.033333
+
+
+def test_join_order_advisor_picks_min_estimate(spark):
+    """Both candidate orders report, exactly one minimum estimate is
+    picked (both on a tie), and the FK model's estimate is within an
+    order of magnitude of the exact intermediate on uniform data."""
+    from hedera_spark.operators.planner import join_order_advisor
+
+    rows = {r["join_order"]: r for r in join_order_advisor(spark, SF_DIR).collect()}
+    assert set(rows) == {"customer_orders_first", "orders_lineitem_first"}
+    min_est = min(r["est_rows"] for r in rows.values())
+    for r in rows.values():
+        assert r["picked"] == int(r["est_rows"] == min_est)
+        assert r["exact_rows"] > 0
+        assert abs(r["rel_error"]) < 1.0  # uniform synthetic data
+    assert sum(r["picked"] for r in rows.values()) >= 1
