@@ -931,3 +931,57 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_dup", (F.col("doc_id") != F.col("survivor_id")).cast("int")
         )
     )
+
+
+def bbit_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing audit (Li & Konig 2010, "b-Bit Minwise
+    Hashing"): storing only the lowest b bits of each minhash cuts the
+    signature 32x (b=1) — the sketch-size play that makes corpus-scale
+    near-dup state fit in memory at 100 TB — at the cost of collision
+    noise the unbiased estimator J = (match_frac - 2^-b)/(1 - 2^-b)
+    must subtract. For every LSH candidate pair this reports the full
+    16-hash estimate next to the b=1 and b=2 truncated estimates and
+    their absolute deltas — the measured answer to "how much recall do
+    the dropped 31 bits cost" before adopting the compressed sketch.
+
+    Exactness: the lowest hex digit maps through instr on a constant
+    16-char string (exact integers both engines); estimators are
+    small-integer arithmetic — (m-8)/8 for b=1, (m-4)/12 for b=2 —
+    rounded 6 only at the edge.
+
+    Scale: candidate pairs are the LSH-bounded dedup_minhash output
+    (never all-pairs); the two signature joins broadcast that bounded
+    pair frame, exactly minhash_error's plan shape."""
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
+    sigs = minhash_signatures_from(_shingles(spark, sf_dir))
+    j = (
+        F.broadcast(pairs)
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+    )
+
+    def _matches(mod: int):
+        return F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> "
+            f"CASE WHEN (instr('0123456789abcdef', substring(x, 8, 1)) - 1) % {mod}"
+            f" = (instr('0123456789abcdef', substring(y, 8, 1)) - 1) % {mod}"
+            " THEN 1 ELSE 0 END), 0, (a, v) -> a + v)"
+        )
+
+    est_b1 = F.round((_matches(2) - F.lit(8)) / F.lit(8.0), 6)
+    est_b2 = F.round((_matches(4) - F.lit(4)) / F.lit(12.0), 6)
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        est_b1.alias("est_b1"),
+        est_b2.alias("est_b2"),
+        F.round(F.abs(est_b1 - F.col("est_jaccard")), 6).alias("abs_delta_b1"),
+        F.round(F.abs(est_b2 - F.col("est_jaccard")), 6).alias("abs_delta_b2"),
+    )

@@ -3190,6 +3190,57 @@ register(
     """,
 )
 
+register(
+    "bbit_minhash_error",
+    dedup.bbit_minhash_error,
+    f"""
+    WITH {_SHINGLES},
+    mh AS (
+      SELECT doc_id, seed,
+             min(substr(md5((seed // 4) || '|' || shingle),
+                        (seed % 4) * 8 + 1, 8)) AS minh
+      FROM sh, unnest(generate_series(0, 15)) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, list(minh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, sig, band,
+             md5(array_to_string(sig[band * 4 + 1 : band * 4 + 4], '|')) AS band_hash
+      FROM sig, unnest(generate_series(0, 3)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT doc_a, doc_b,
+             round(CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+                   x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS BIGINT) / 16.0, 6)
+               AS est_jaccard,
+             CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+                   x -> CASE WHEN (strpos('0123456789abcdef', substring(x[1], 8, 1)) - 1) % 2
+                             = (strpos('0123456789abcdef', substring(x[2], 8, 1)) - 1) % 2
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS m1,
+             CAST(list_sum(list_transform(list_zip(sig_a, sig_b),
+                   x -> CASE WHEN (strpos('0123456789abcdef', substring(x[1], 8, 1)) - 1) % 4
+                             = (strpos('0123456789abcdef', substring(x[2], 8, 1)) - 1) % 4
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS m2
+      FROM cand
+    )
+    SELECT doc_a, doc_b, est_jaccard,
+           round((m1 - 8) / 8.0, 6) AS est_b1,
+           round((m2 - 4) / 12.0, 6) AS est_b2,
+           round(abs(round((m1 - 8) / 8.0, 6) - est_jaccard), 6) AS abs_delta_b1,
+           round(abs(round((m2 - 4) / 12.0, 6) - est_jaccard), 6) AS abs_delta_b2
+    FROM est
+    """,
+)
+
 # --- Group G.5: corpus-level cleaning / accounting (round-3 wave 2) ---------
 
 register(
@@ -10419,6 +10470,7 @@ _DEMOTED_STABLE = [
     # this session; the r8 rotation promotes them for driver grading
     # (same pattern as the r4 new-entry wave).
     "join_order_advisor",
+    "bbit_minhash_error",
     "rev_ids",
     "rev_pairs",
     "rev_filter_time",

@@ -260,6 +260,7 @@ def _empty_sf(spark, tmp_path):
         "bloom_prune_sim",
         "gopher_quality_gate",
         "join_order_advisor",
+        "bbit_minhash_error",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -701,3 +702,23 @@ def test_join_order_advisor_picks_min_estimate(spark):
         assert r["exact_rows"] > 0
         assert abs(r["rel_error"]) < 1.0  # uniform synthetic data
     assert sum(r["picked"] for r in rows.values()) >= 1
+
+
+def test_bbit_minhash_identical_docs_estimate_one(spark, tmp_path):
+    """Two identical docs: every truncated bit agrees, so est_b1 =
+    est_b2 = est_jaccard = 1.0 and both deltas are 0; the unrelated doc
+    pair (if any candidate forms) never reports est above 1."""
+    t = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, t, "s", "en", 1), (2, t, "s", "en", 1)],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = tmp_path / "bb"
+    docs.write.parquet(str(out / "documents.parquet"))
+    from hedera_spark.operators.dedup import bbit_minhash_error
+
+    rows = bbit_minhash_error(spark, str(out)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["est_jaccard"] == 1.0 and r["est_b1"] == 1.0 and r["est_b2"] == 1.0
+    assert r["abs_delta_b1"] == 0.0 and r["abs_delta_b2"] == 0.0
