@@ -1057,3 +1057,70 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def runlength_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-structure audit — the measured premise behind encoding_advisor's
+    RLE fence and the zorder/sort rewrites: per column, how many value
+    RUNS the stored order (event_id adjacency) actually has versus the
+    NDV floor a sort would reach. runs/ndv ≈ 1 means the column is
+    already RLE-friendly; runs ≈ n_rows means every row flips value and
+    only a sort rewrite buys compression. Output per column: rows, NDV,
+    as-stored runs, runs-per-distinct, and the mean run length.
+
+    Scale (100 TB): adjacency comes from an EQUALITY self-join on
+    (event_id + 1, column) over the one-scan map-literal unpivot — a
+    plain hash join any cluster shards, instead of the naive
+    window-over-everything (one task per column sorting the whole table,
+    the exact straggler shape the skew docs warn about). The id space is
+    dense (driver-generated 0..n-1); on a lake without dense ids the
+    same audit runs per row group from parquet footer adjacency.
+
+    Exactness: counts and NDV are integers; the two reported ratios
+    round(…, 6) at the edge."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "event_id",
+        F.explode(
+            F.create_map(
+                F.lit("event_type"), F.col("event_type"),
+                F.lit("user_id"), F.col("user_id").cast("string"),
+                F.lit("value"), F.col("value").cast("string"),
+            )
+        ).alias("column_name", "val"),
+    ).select(
+        "event_id", "column_name", F.coalesce("val", F.lit("∅")).alias("val")
+    )
+    a = u.select(
+        (F.col("event_id") + 1).alias("nid"), "column_name",
+        F.col("val").alias("val_a"),
+    )
+    boundaries = (
+        a.join(
+            u.select(F.col("event_id").alias("nid"), "column_name",
+                     F.col("val").alias("val_b")),
+            ["nid", "column_name"],
+        )
+        .groupBy("column_name")
+        .agg(
+            F.sum((F.col("val_a") != F.col("val_b")).cast("long"))
+            .cast("long")
+            .alias("n_boundaries")
+        )
+    )
+    per = u.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("val").cast("long").alias("ndv"),
+    )
+    return per.join(boundaries, "column_name").select(
+        "column_name",
+        "n_rows",
+        "ndv",
+        (F.col("n_boundaries") + 1).cast("long").alias("runs_asis"),
+        F.round((F.col("n_boundaries") + 1) / F.col("ndv"), 6).alias(
+            "runs_per_distinct"
+        ),
+        F.round(F.col("n_rows") / (F.col("n_boundaries") + 1), 6).alias(
+            "mean_run_len"
+        ),
+    )

@@ -8759,6 +8759,40 @@ register(
 )
 
 register(
+    "runlength_audit",
+    pln.runlength_audit,
+    """
+    WITH u AS (
+      SELECT event_id, 'event_type' AS column_name,
+             coalesce(event_type, '∅') AS val FROM events
+      UNION ALL SELECT event_id, 'user_id',
+             coalesce(CAST(user_id AS VARCHAR), '∅') FROM events
+      UNION ALL SELECT event_id, 'value',
+             coalesce(CAST(value AS VARCHAR), '∅') FROM events
+    ),
+    b AS (
+      SELECT a.column_name,
+             CAST(sum(CASE WHEN a.val <> c.val THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boundaries
+      FROM u a JOIN u c ON a.event_id + 1 = c.event_id
+                       AND a.column_name = c.column_name
+      GROUP BY a.column_name
+    ),
+    p AS (
+      SELECT column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT val) AS BIGINT) AS ndv
+      FROM u GROUP BY column_name
+    )
+    SELECT p.column_name, n_rows, ndv,
+           CAST(n_boundaries + 1 AS BIGINT) AS runs_asis,
+           round((n_boundaries + 1) / CAST(ndv AS DOUBLE), 6)
+             AS runs_per_distinct,
+           round(n_rows / CAST(n_boundaries + 1 AS DOUBLE), 6) AS mean_run_len
+    FROM p JOIN b ON p.column_name = b.column_name
+    """,
+)
+
+register(
     "join_order_advisor",
     pln.join_order_advisor,
     f"""
@@ -10471,6 +10505,7 @@ _DEMOTED_STABLE = [
     # (same pattern as the r4 new-entry wave).
     "join_order_advisor",
     "bbit_minhash_error",
+    "runlength_audit",
     "rev_ids",
     "rev_pairs",
     "rev_filter_time",

@@ -261,6 +261,7 @@ def _empty_sf(spark, tmp_path):
         "gopher_quality_gate",
         "join_order_advisor",
         "bbit_minhash_error",
+        "runlength_audit",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):
@@ -722,3 +723,33 @@ def test_bbit_minhash_identical_docs_estimate_one(spark, tmp_path):
     r = rows[0]
     assert r["est_jaccard"] == 1.0 and r["est_b1"] == 1.0 and r["est_b2"] == 1.0
     assert r["abs_delta_b1"] == 0.0 and r["abs_delta_b2"] == 0.0
+
+
+def test_runlength_audit_planted_runs(spark, tmp_path):
+    """A sorted column has runs == ndv (runs_per_distinct 1.0); an
+    alternating column has runs == n_rows."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "A" if i < 4 else "B",
+         float(i % 2), "{}")
+        for i in range(8)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = tmp_path / "rl"
+    ev.write.parquet(str(out / "events.parquet"))
+    from hedera_spark.operators.planner import runlength_audit
+
+    r = {x["column_name"]: x for x in runlength_audit(spark, str(out)).collect()}
+    # event_type: AAAA BBBB -> 2 runs over 2 distinct: already RLE-optimal
+    assert r["event_type"]["runs_asis"] == 2
+    assert r["event_type"]["runs_per_distinct"] == 1.0
+    # value alternates 0/1 -> 8 runs over 2 distinct: sort-to-compress
+    assert r["value"]["runs_asis"] == 8
+    assert r["value"]["mean_run_len"] == 1.0
+    # user_id constant -> a single run
+    assert r["user_id"]["runs_asis"] == 1
