@@ -2467,3 +2467,104 @@ def _gopher_gate_project(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("pass_all"),
     )
+
+
+# mix_budget_waterfill: the token budget is this fraction of the corpus
+# (numerator/denominator — kept rational so B is exact integer arithmetic).
+WATERFILL_BUDGET_NUM = 1
+WATERFILL_BUDGET_DEN = 2
+
+
+def mix_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources by exact WATERFILLING —
+    the step after mix_weights decides target proportions: give each
+    source tokens proportional to its weight (doc count here: a
+    doc-uniform mix), but no more than it has (cap = its token count);
+    capacity freed by saturated sources re-spreads over the rest. The
+    classic exact algorithm: sort by cap/weight ascending — saturation
+    is then a PREFIX, and position i saturates iff
+    cap_i · W_rest(i) <= B_rest(i) · w_i (cross-multiplied INTEGER
+    compare); unsaturated sources get floor(B_rest · w_i / W_rest)
+    (integer division). No float enters any decision — the only doubles
+    are the reported fill fractions and the cap/weight SORT key, whose
+    IEEE division is bit-identical cross-engine. The floor remainder
+    (< |unsaturated| tokens) is reported per row so nothing is silently
+    dropped.
+
+    Scale: everything happens on the |sources|-row aggregate frame (two
+    windows + one 1-row total broadcast); the corpus contributes one
+    map-side token-count agg. Output one row per source: cap, weight,
+    saturated flag, allocated tokens, fill fraction.
+
+    Reference: the corpus accounting of the reference's pig preprocess
+    splits, upgraded to the budgeted-mix allocation an LLM data
+    pipeline actually runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = docs.groupBy("source").agg(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda t: t != "")))
+        .cast("long")
+        .alias("cap"),
+        F.count(F.lit(1)).cast("long").alias("w"),
+    )
+    tot = srcs.agg(
+        F.sum("cap").cast("long").alias("c_all"),
+        F.sum("w").cast("long").alias("w_all"),
+    )
+    wsort = Window.orderBy(F.col("cap") / F.col("w"), "source")
+    ordered = (
+        srcs.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "c_before",
+            F.coalesce(
+                F.sum("cap").over(wsort.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "w_before",
+            F.coalesce(
+                F.sum("w").over(wsort.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    budget = F.expr(
+        f"c_all * {WATERFILL_BUDGET_NUM} div {WATERFILL_BUDGET_DEN}"
+    )
+    # i saturates iff cap_i * W_rest <= B_rest * w_i (ascending cap/w
+    # order makes saturation a prefix; both sides exact integers)
+    sat = (
+        F.col("cap") * (F.col("w_all") - F.col("w_before"))
+        <= (budget - F.col("c_before")) * F.col("w")
+    )
+    flagged = ordered.withColumn("saturated", sat.cast("long"))
+    # split point: totals over the saturated prefix
+    wtot = Window.partitionBy(F.lit(1))
+    split = flagged.withColumn(
+        "c_sat",
+        F.sum(F.when(F.col("saturated") == 1, F.col("cap")).otherwise(0)).over(wtot)
+        .cast("long"),
+    ).withColumn(
+        "w_sat",
+        F.sum(F.when(F.col("saturated") == 1, F.col("w")).otherwise(0)).over(wtot)
+        .cast("long"),
+    )
+    split = split.withColumn(
+        "w_rest", (F.col("w_all") - F.col("w_sat")).cast("long")
+    ).withColumn("b_rest", (budget - F.col("c_sat")).cast("long"))
+    # integer `div` keeps the product exact past 2^53 (double division
+    # would round the mantissa before the floor)
+    alloc = F.expr(
+        "CASE WHEN saturated = 1 THEN cap"
+        " WHEN w_rest > 0 THEN (b_rest * w) div w_rest"
+        " ELSE 0 END"
+    )
+    return split.select(
+        "source",
+        "cap",
+        "w",
+        "saturated",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.round(alloc.cast("double") / F.col("cap"), 6).alias("fill_frac"),
+        F.col("b_rest").alias("budget_rest"),
+    )

@@ -1243,6 +1243,64 @@ register(
 )
 
 register(
+    "mix_budget_waterfill",
+    ta.mix_budget_waterfill,
+    f"""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                  AS BIGINT) AS cap,
+             CAST(count(*) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(cap) AS BIGINT) AS c_all,
+                 CAST(sum(w) AS BIGINT) AS w_all FROM s),
+    o AS (
+      SELECT s.*, t.c_all, t.w_all,
+             CAST(coalesce(sum(cap) OVER (ORDER BY cap * 1.0 / w, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS c_before,
+             CAST(coalesce(sum(w) OVER (ORDER BY cap * 1.0 / w, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS w_before
+      FROM s, t
+    ),
+    f AS (
+      SELECT *,
+             CASE WHEN cap * (w_all - w_before)
+                       <= (c_all * {ta.WATERFILL_BUDGET_NUM}
+                           // {ta.WATERFILL_BUDGET_DEN} - c_before) * w
+                  THEN 1 ELSE 0 END AS saturated
+      FROM o
+    ),
+    g AS (
+      SELECT *,
+             CAST(sum(CASE WHEN saturated = 1 THEN cap ELSE 0 END) OVER ()
+                  AS BIGINT) AS c_sat,
+             CAST(sum(CASE WHEN saturated = 1 THEN w ELSE 0 END) OVER ()
+                  AS BIGINT) AS w_sat
+      FROM f
+    ),
+    a AS (
+      SELECT *,
+             CAST(CASE WHEN saturated = 1 THEN cap
+                       WHEN (w_all - w_sat) > 0 THEN
+                         ((c_all * {ta.WATERFILL_BUDGET_NUM}
+                           // {ta.WATERFILL_BUDGET_DEN} - c_sat) * w)
+                         // (w_all - w_sat)
+                       ELSE 0 END AS BIGINT) AS alloc_tokens
+      FROM g
+    )
+    SELECT source, cap, w, CAST(saturated AS BIGINT) AS saturated,
+           alloc_tokens,
+           round(alloc_tokens / CAST(cap AS DOUBLE), 6) AS fill_frac,
+           CAST(c_all * {ta.WATERFILL_BUDGET_NUM}
+                // {ta.WATERFILL_BUDGET_DEN} - c_sat AS BIGINT) AS budget_rest
+    FROM a
+    """,
+)
+
+register(
     "gopher_quality_gate",
     ta.gopher_quality_gate,
     f"""
@@ -10506,6 +10564,7 @@ _DEMOTED_STABLE = [
     "join_order_advisor",
     "bbit_minhash_error",
     "runlength_audit",
+    "mix_budget_waterfill",
     "rev_ids",
     "rev_pairs",
     "rev_filter_time",

@@ -175,3 +175,34 @@ def test_boilerplate_min_df_gate(spark, tmp_path):
     sf1 = _write_docs(spark, tmp_path / "b", [(1, seg, "s", "en", 1)])
     row1 = boilerplate_by_source(spark, sf1).collect()[0]
     assert row1["n_boiler_segs"] == 0
+
+
+def test_mix_budget_waterfill_conservation_and_caps(spark, tmp_path):
+    """Waterfill invariants on a planted 3-source corpus: saturated
+    sources get exactly their cap, unsaturated allocations stay under
+    cap and proportional to weight, and nothing exceeds the budget."""
+    # tiny source (2 docs x 2 tokens), big sources (4 docs x 20 tokens)
+    rows = (
+        [(i, "a b", "tiny", "en", 1) for i in range(2)]
+        + [(10 + i, " ".join(["w"] * 20), "bigA", "en", 1) for i in range(4)]
+        + [(20 + i, " ".join(["v"] * 20), "bigB", "en", 1) for i in range(4)]
+    )
+    sf = _write_docs(spark, tmp_path, rows)
+    from hedera_spark.operators.text_analysis import mix_budget_waterfill
+
+    out = {r["source"]: r for r in mix_budget_waterfill(spark, sf).collect()}
+    total_cap = sum(r["cap"] for r in out.values())
+    budget = total_cap // 2
+    assert set(out) == {"tiny", "bigA", "bigB"}
+    # tiny (cap 4, weight 2) saturates: its fair share of an 82-token
+    # budget at weight 2/10 is ~16 > 4
+    assert out["tiny"]["saturated"] == 1
+    assert out["tiny"]["alloc_tokens"] == out["tiny"]["cap"]
+    for s in ("bigA", "bigB"):
+        assert out[s]["saturated"] == 0
+        assert out[s]["alloc_tokens"] <= out[s]["cap"]
+    # equal weights -> equal unsaturated allocations
+    assert out["bigA"]["alloc_tokens"] == out["bigB"]["alloc_tokens"]
+    alloc_sum = sum(r["alloc_tokens"] for r in out.values())
+    # conservation: allocations cover the budget up to the floor remainder
+    assert budget - 2 <= alloc_sum <= budget

@@ -262,6 +262,7 @@ def _empty_sf(spark, tmp_path):
         "join_order_advisor",
         "bbit_minhash_error",
         "runlength_audit",
+        "mix_budget_waterfill",
     ],
 )
 def test_operators_tolerate_empty_input(spark, tmp_path, qname):

@@ -69,6 +69,9 @@ ALLOWED_NESTED_LOOP = {
     # range check is a designed bounded nested loop (the bloom check in
     # the same query is a plain equality semi-join)
     "bloom_prune_sim",
+    # 1-row (c_all, w_all) totals broadcast onto the |sources|-row frame
+    # (the mix_weights scalar-join class)
+    "mix_budget_waterfill",
     "survival_repurchase",  # 1-row calendar-end-anchor broadcast
     "retrieval_agreement",  # composes bm25_topk + ql_topk (their 1-row stats)
     "ks_drift",  # 1-row time-pivot + 1-row totals broadcasts
