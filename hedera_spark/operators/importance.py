@@ -251,14 +251,21 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w[b] = round(w[b] - LR_RATE * round(row["g"] / n_docs, 6), 6)
         _LR_REGISTRY[model_key] = w
 
-    out = (
+    # per_doc/labels stay PERSISTED through the return: the frame handed
+    # back is lazy, and the caller's terminal action is one more scoring
+    # pass over exactly these two inputs. Unpersisting here (the old
+    # form) forced that pass to rebuild both from parquet — re-scanning,
+    # re-exploding and re-hashing the corpus the training loop had
+    # already cached (measured at sf0.1: 1.83 s uncached final pass vs
+    # ~0.4 s cached; bench min 4.63 → 3.3 s). Same leaked-persist
+    # discipline as dedup._pair_stats: composing callers' actions reuse
+    # the caches, and bench/driver_sim clear them between queries via
+    # reset_session_state / clearCache.
+    return (
         score(w)
         .join(labels, "doc_id")
         .select("doc_id", "p", (F.col("p") >= 0.5).alias("pred"), "y")
     )
-    per_doc.unpersist()
-    labels.unpersist()
-    return out
 
 
 def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
