@@ -64,6 +64,25 @@ _SHINGLE_ARR = (
     " ELSE array() END"
 )
 
+# same shingle expression over a pre-split `toks` array column. The
+# from-text form above re-evaluates split(text) INSIDE the transform
+# lambda — Catalyst does not hoist loop-invariant lambda subexpressions
+# (the fingerprint `toks` lesson, text_analysis.py), so every doc pays
+# O(tokens) full-text splits: an O(len^2) term per document. Hoisting
+# the split into a named column makes it one split per row (measured at
+# sf0.1, 54-token docs: warm shingle pass 0.36 -> 0.28 s, cold 2.6 ->
+# 0.8 s; the quadratic bites much harder on real 1k-token documents).
+# Note this hoists the TOKEN array, not the shingle array — the r4
+# experiment that materialized the shingle array in a separate
+# projection (2x slower, UnsafeRow round-trip of the wide array) is a
+# different change and stays rejected.
+_SHINGLE_ARR_TOKS = (
+    "CASE WHEN size(toks) >= 3 THEN"
+    " array_distinct(transform(sequence(1, size(toks) - 2),"
+    " i -> concat_ws(' ', slice(toks, i, 3))))"
+    " ELSE array() END"
+)
+
 
 def _docs_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The doc scan rebalanced to full parallelism before any shingle
@@ -83,19 +102,25 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles) with shingles = the per-doc-distinct trigram
     array — for consumers that need row-local set operations on the
     whole array (e.g. the df-capped Jaccard)."""
-    return _docs_rebalanced(spark, sf_dir).select(
-        "doc_id", F.expr(_SHINGLE_ARR).alias("shingles")
+    return (
+        _docs_rebalanced(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.expr(_SHINGLE_ARR_TOKS).alias("shingles"))
     )
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle) word-trigram shingles, exploded.
-    The shingle expression stays INLINE in the explode: Generate over the
-    inline expression codegens as one pass, while a separate projection
-    materializing the array first measured ~2x slower at sf0.1 (the
-    array round-trips through an UnsafeRow before the explode)."""
-    return _docs_rebalanced(spark, sf_dir).select(
-        "doc_id", F.explode(F.expr(_SHINGLE_ARR)).alias("shingle")
+    The SHINGLE expression stays INLINE in the explode (a separate
+    projection materializing the shingle array measured ~2x slower at
+    sf0.1 — the array round-trips through an UnsafeRow before the
+    explode), but the SPLIT is hoisted to a named `toks` column so it
+    runs once per row instead of once per transform-lambda element
+    (see _SHINGLE_ARR_TOKS)."""
+    return (
+        _docs_rebalanced(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SHINGLE_ARR_TOKS)).alias("shingle"))
     )
 
 
