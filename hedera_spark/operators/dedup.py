@@ -54,28 +54,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# per-doc-DISTINCT word-trigram shingle array expression. Guard: Spark
-# sequence(1, 0) is DESCENDING, so short docs need an explicit empty
-# array, not a greatest() clamp.
-_SHINGLE_ARR = (
-    "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-    " array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
-    " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
-    " ELSE array() END"
-)
-
-# same shingle expression over a pre-split `toks` array column. The
-# from-text form above re-evaluates split(text) INSIDE the transform
-# lambda — Catalyst does not hoist loop-invariant lambda subexpressions
-# (the fingerprint `toks` lesson, text_analysis.py), so every doc pays
-# O(tokens) full-text splits: an O(len^2) term per document. Hoisting
-# the split into a named column makes it one split per row (measured at
-# sf0.1, 54-token docs: warm shingle pass 0.36 -> 0.28 s, cold 2.6 ->
-# 0.8 s; the quadratic bites much harder on real 1k-token documents).
-# Note this hoists the TOKEN array, not the shingle array — the r4
+# per-doc-DISTINCT word-trigram shingle array expression over a
+# pre-split `toks` array column. Guard: Spark sequence(1, 0) is
+# DESCENDING, so short docs need an explicit empty array, not a
+# greatest() clamp.
+#
+# The split MUST be hoisted into a named `toks` column by the caller:
+# the former from-text form re-evaluated split(text) INSIDE the
+# transform lambda — Catalyst does not hoist loop-invariant lambda
+# subexpressions (the fingerprint `toks` lesson, text_analysis.py) —
+# so every doc paid O(tokens) full-text splits: an O(len^2) term per
+# document. Hoisting makes it one split per row (measured at sf0.1,
+# 54-token docs: warm shingle pass 0.36 -> 0.28 s, cold 2.6 -> 0.8 s;
+# the quadratic bites much harder on real 1k-token documents). Note
+# this hoists the TOKEN array, not the shingle array — the r4
 # experiment that materialized the shingle array in a separate
 # projection (2x slower, UnsafeRow round-trip of the wide array) is a
-# different change and stays rejected.
+# different change and stays rejected: the shingle expression itself
+# stays inline in each consumer's explode.
 _SHINGLE_ARR_TOKS = (
     "CASE WHEN size(toks) >= 3 THEN"
     " array_distinct(transform(sequence(1, size(toks) - 2),"

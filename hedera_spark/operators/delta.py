@@ -128,7 +128,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     io/input/WikiRevisionPageInputFormat.java, against a prior dump —
     here at near-dup (MinHash) granularity rather than exact ids."""
     from hedera_spark.operators.dedup import (
-        _SHINGLE_ARR,
+        _SHINGLE_ARR_TOKS,
         N_BANDS,
         N_MINHASH,
         ROWS_PER_BAND,
@@ -137,7 +137,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     v2 = _snapshot_v2(docs).repartition(spark.sparkContext.defaultParallelism)
-    sh2 = v2.select("doc_id", F.explode(F.expr(_SHINGLE_ARR)).alias("shingle"))
+    # split hoisted to toks (the dedup._SHINGLE_ARR_TOKS lesson)
+    sh2 = v2.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", F.explode(F.expr(_SHINGLE_ARR_TOKS)).alias("shingle")
+    )
     sigs = minhash_signatures_from(sh2)
     changed = corpus_delta(spark, sf_dir).where(
         F.col("change_type").isin("added", "modified")

@@ -659,14 +659,20 @@ def rev_reverts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; then one partial-agg per candidate pair and one max_by argmax
     per reverting revision."""
     snaps = load_snapshots(spark, sf_dir)
+    # split hoisted to a named toks column: Catalyst does not hoist
+    # loop-invariant lambda subexpressions, so the inline form re-split
+    # the full text once per shingle position (O(len^2) per revision —
+    # the dedup._SHINGLE_ARR_TOKS lesson)
     sh = snaps.select(
+        "page_id", "rev_seq", F.split("text", " ").alias("toks")
+    ).select(
         "page_id",
         "rev_seq",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-                " array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
-                " j -> md5(concat_ws(' ', slice(split(text, ' '), j, 3)))))"
+                "CASE WHEN size(toks) >= 3 THEN"
+                " array_distinct(transform(sequence(1, size(toks) - 2),"
+                " j -> md5(concat_ws(' ', slice(toks, j, 3)))))"
                 " ELSE array() END"
             )
         ).alias("s"),

@@ -1891,11 +1891,13 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-split distinct shingles are |shingle-vocab|-bounded
     aggs; the overlap is one equality join on the shingle key."""
-    from hedera_spark.operators.dedup import _SHINGLE_ARR, _docs_rebalanced
+    from hedera_spark.operators.dedup import _SHINGLE_ARR_TOKS, _docs_rebalanced
 
+    # split hoisted to toks (the dedup._SHINGLE_ARR_TOKS lesson)
     sh = (
         _docs_rebalanced(spark, sf_dir)
-        .select(_split_col().alias("split"), F.explode(F.expr(_SHINGLE_ARR)).alias("s"))
+        .select(_split_col().alias("split"), F.split("text", " ").alias("toks"))
+        .select("split", F.explode(F.expr(_SHINGLE_ARR_TOKS)).alias("s"))
         .select("split", "s")
         .distinct()
     )
