@@ -1120,29 +1120,35 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )  # rebalance off the single-row-group layout before the
     # CPU-dense per-row expansion (the text_repetition lesson)
-    bi = docs.select(
+    # split hoisted to toks — the inline form paid two full splits per
+    # bigram position inside the lambda (dedup._SHINGLE_ARR_TOKS lesson)
+    bi = docs.select(F.split("text", " ").alias("toks")).select(
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-                " filter(transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> struct(element_at(split(text, ' '), i) AS w1,"
-                "             element_at(split(text, ' '), i + 1) AS w2)),"
+                "CASE WHEN size(toks) >= 2 THEN"
+                " filter(transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2)),"
                 " p -> p.w1 != '' AND p.w2 != '')"
                 " ELSE array() END"
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    cab = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    cab = cab.where(F.col("c_ab") >= PMI_MIN_COUNT)
+    cab_all = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    cab = cab_all.where(F.col("c_ab") >= PMI_MIN_COUNT)
     uni = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # n_bi = sum of the aggregated bigram counts — identical exact
+    # integer to counting `bi` directly, but it derives from the SAME
+    # (w1, w2) aggregate as cab, so the expansion and its shuffle are
+    # shared via ReusedExchange instead of re-running (skipgram lesson)
     totals = uni.agg(
         F.sum("c").alias("n_uni")
-    ).crossJoin(bi.agg(F.count(F.lit(1)).alias("n_bi")))
+    ).crossJoin(cab_all.agg(F.sum("c_ab").cast("long").alias("n_bi")))
     scored = (
         cab.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))), "w1")
         .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))), "w2")
@@ -1191,38 +1197,47 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )  # rebalance off the single-row-group layout before the
     # CPU-dense per-row expansion (the text_repetition lesson)
-    pairs = docs.select(
+    # split hoisted to a named toks column: the inline form evaluated
+    # split(text) up to four times per generated pair inside the nested
+    # lambdas (Catalyst does not hoist loop-invariant lambda
+    # subexpressions — the dedup._SHINGLE_ARR_TOKS lesson), an O(len^2)
+    # term per document on top of the designed window expansion
+    pairs = docs.select(F.split("text", " ").alias("toks")).select(
         F.explode(
             F.expr(
                 f"""
-                CASE WHEN size(split(text, ' ')) >= 2 THEN
+                CASE WHEN size(toks) >= 2 THEN
                   filter(
-                    flatten(transform(sequence(1, size(split(text, ' ')) - 1),
+                    flatten(transform(sequence(1, size(toks) - 1),
                       i -> transform(
                         sequence(i + 1,
                                  least(i + {SKIPGRAM_WINDOW},
-                                       size(split(text, ' ')))),
-                        j -> struct(element_at(split(text, ' '), i) AS w1,
-                                    element_at(split(text, ' '), j) AS w2)))),
+                                       size(toks))),
+                        j -> struct(element_at(toks, i) AS w1,
+                                    element_at(toks, j) AS w2)))),
                     p -> p.w1 != '' AND p.w2 != '')
                 ELSE array() END
                 """
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    cnt = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .where(F.col("n_pairs") >= SKIPGRAM_MIN_COUNT)
-    )
+    # pre-cut pair counts; both the min-count table and the pair total
+    # derive from THIS aggregate, so the expensive window expansion and
+    # its shuffle plan once and are shared via ReusedExchange — the old
+    # form counted `pairs` a second time for n_pp, re-running the whole
+    # expansion (measured: the single-shot sweep time halves)
+    cnt_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pairs"))
+    cnt = cnt_all.where(F.col("n_pairs") >= SKIPGRAM_MIN_COUNT)
     uni = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # n_pp = sum of the aggregated pair counts — the exact integer count
+    # of pre-cut pair rows, identical to counting `pairs` directly
     totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
-        pairs.agg(F.count(F.lit(1)).alias("n_pp"))
+        cnt_all.agg(F.sum("n_pairs").cast("long").alias("n_pp"))
     )
     scored = (
         cnt.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))), "w1")
@@ -2241,13 +2256,14 @@ def bigram_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    bi = docs.select(
+    # split hoisted to toks (dedup._SHINGLE_ARR_TOKS lesson)
+    bi = docs.select(F.split("text", " ").alias("toks")).select(
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-                " filter(transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> struct(element_at(split(text, ' '), i) AS w1,"
-                "             element_at(split(text, ' '), i + 1) AS w2)),"
+                "CASE WHEN size(toks) >= 2 THEN"
+                " filter(transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2)),"
                 " p -> p.w1 != '' AND p.w2 != '')"
                 " ELSE array() END"
             )
