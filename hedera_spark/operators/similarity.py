@@ -1318,7 +1318,15 @@ def ann_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nq") * (F.col("n") - 1)).cast("long").alias("n_candidates"),
     )
 
-    b = _with_bucket(emb).select("vec_id", "bucket")
+    # Each method's query side is a BROADCAST of the same hashed frame
+    # as its corpus side, and a broadcast build cannot reuse the other
+    # side's pipeline (no exchange to share) — without persists every
+    # plane/centroid dot-product pipeline here ran TWICE, and this dial
+    # stacks four of them (8+32+K+log2(n) folds per row). Persist each
+    # hashed frame so it computes once; bench/driver clear the caches
+    # between queries (the dedup._pair_stats discipline). Measured at
+    # sf0.1: 13.1 -> ~7 s single-shot.
+    b = _with_bucket(emb).select("vec_id", "bucket").persist()
     qb = b.select(F.col("vec_id").alias("q_id"), "bucket").where(
         F.col("q_id") % QUERY_MOD == 0
     )
@@ -1338,7 +1346,7 @@ def ann_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eb = bucketed.select("vec_id", tb.alias("tb")).select(
         "vec_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket")
-    )
+    ).persist()
     qk = eb.select(F.col("vec_id").alias("q_id"), "t", "bucket").where(
         F.col("q_id") % QUERY_MOD == 0
     )
@@ -1351,7 +1359,7 @@ def ann_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lsh_multi").alias("method"), "n_candidates")
     )
 
-    cells = _ivf_cells(spark, sf_dir).select("vec_id", "cid")
+    cells = _ivf_cells(spark, sf_dir).select("vec_id", "cid").persist()
     qc = cells.select(F.col("vec_id").alias("q_id"), "cid").where(
         F.col("q_id") % QUERY_MOD == 0
     )
@@ -1366,7 +1374,7 @@ def ann_candidate_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # code — the row that shows the adaptive width restoring the ~linear
     # volume growth fixed-width LSH loses (SCALING.md r7 dial #6).
     nbits = adaptive_nbits(emb.count())
-    ab = _with_adaptive_bucket(emb, nbits).select("vec_id", "bucket")
+    ab = _with_adaptive_bucket(emb, nbits).select("vec_id", "bucket").persist()
     qa = ab.select(F.col("vec_id").alias("q_id"), "bucket").where(
         F.col("q_id") % QUERY_MOD == 0
     )
