@@ -1134,21 +1134,35 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    cab_all = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    # persist both aggregates: each has MULTIPLE consumers that end in
+    # independent broadcast builds, and a broadcast build cannot reuse
+    # another subtree's exchange (no exchange to share — the r7 plan
+    # dump showed the bigram expansion executing twice and the unigram
+    # explode three times despite a claimed ReusedExchange; static and
+    # AQE exchange reuse both miss because the join-injected isnotnull
+    # filters make the subtrees canonicalize differently). The persisted
+    # frames are vocabulary-bounded (|bigrams|, |V| rows), released by
+    # the session-level cache reset (the bigram_llr pattern).
+    cab_all = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")).persist()
     cab = cab_all.where(F.col("c_ab") >= PMI_MIN_COUNT)
     uni = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    # n_bi = sum of the aggregated bigram counts — identical exact
-    # integer to counting `bi` directly, but it derives from the SAME
-    # (w1, w2) aggregate as cab, so the expansion and its shuffle are
-    # shared via ReusedExchange instead of re-running (skipgram lesson)
+    # n_bi = sum of the aggregated bigram counts over the cached
+    # aggregate — identical exact integer to counting `bi` directly on
+    # any non-empty corpus; coalesce preserves count()'s 0 on an empty
+    # one (sum over zero rows is NULL)
     totals = uni.agg(
-        F.sum("c").alias("n_uni")
-    ).crossJoin(cab_all.agg(F.sum("c_ab").cast("long").alias("n_bi")))
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_uni")
+    ).crossJoin(
+        cab_all.agg(
+            F.coalesce(F.sum("c_ab"), F.lit(0)).cast("long").alias("n_bi")
+        )
+    )
     scored = (
         cab.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))), "w1")
         .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))), "w2")
@@ -1221,23 +1235,35 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    # pre-cut pair counts; both the min-count table and the pair total
-    # derive from THIS aggregate, so the expensive window expansion and
-    # its shuffle plan once and are shared via ReusedExchange — the old
-    # form counted `pairs` a second time for n_pp, re-running the whole
-    # expansion (measured: the single-shot sweep time halves)
-    cnt_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pairs"))
+    # pre-cut pair counts, PERSISTED: the min-count table and the pair
+    # total both consume this aggregate, but the total feeds a broadcast
+    # build, which cannot reuse the other consumer's exchange (the r7
+    # plan dump showed the window expansion still executing twice — the
+    # join-injected isnotnull filters make the two subtrees canonicalize
+    # differently, so neither static nor AQE exchange reuse fires). The
+    # cache is |pair vocabulary| rows, released by the session-level
+    # cache reset (the bigram_llr pattern).
+    cnt_all = (
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pairs")).persist()
+    )
     cnt = cnt_all.where(F.col("n_pairs") >= SKIPGRAM_MIN_COUNT)
+    # unigram counts likewise persisted: three consumers (two broadcast
+    # join sides + the totals row) otherwise re-run the corpus explode
+    # three times (three Generate nodes in the r7 plan)
     uni = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     # n_pp = sum of the aggregated pair counts — the exact integer count
-    # of pre-cut pair rows, identical to counting `pairs` directly
-    totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
-        cnt_all.agg(F.sum("n_pairs").cast("long").alias("n_pp"))
+    # of pre-cut pair rows, identical to counting `pairs` directly on
+    # any non-empty corpus; coalesce preserves count()'s 0 on an empty one
+    totals = uni.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_uni")).crossJoin(
+        cnt_all.agg(
+            F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("long").alias("n_pp")
+        )
     )
     scored = (
         cnt.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))), "w1")
@@ -2273,7 +2299,9 @@ def bigram_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cab_all = cab_all.persist()
     m1 = cab_all.groupBy("w1").agg(F.sum("c_ab").alias("c_a1"))
     m2 = cab_all.groupBy("w2").agg(F.sum("c_ab").alias("c_b2"))
-    tot = cab_all.agg(F.sum("c_ab").cast("long").alias("n_bi"))
+    # coalesce preserves count()-style 0 on an empty corpus (sum over
+    # zero rows is NULL); identical on any non-empty one
+    tot = cab_all.agg(F.coalesce(F.sum("c_ab"), F.lit(0)).cast("long").alias("n_bi"))
     cab = cab_all.where(F.col("c_ab") >= PMI_MIN_COUNT)
     j = (
         cab.join(F.broadcast(m1), "w1")
