@@ -379,8 +379,17 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round → keep the chain LAZY and materialize once at the end (the
     # pagerank_anchors discipline); sym/nodes stay cached across rounds
     for _ in range(LPA_ITERATIONS):
+        # one exchange per round instead of two: hash(src) satisfies the
+        # clustered distribution of BOTH the (src,label) vote sum and the
+        # per-src argmax (hash keys ⊆ grouping keys), so repartitioning
+        # the join output by src once lets the two groupBys run
+        # collocated in the same stage. The vote rows shuffled raw are
+        # ≈ the partial-agg rows the old (src,label) exchange carried:
+        # in early rounds labels are near-unique, so map-side partial
+        # aggregation reduced almost nothing there anyway.
         votes = (
             sym.join(labels, sym["dst"] == labels["anchor"])
+            .repartition("src")
             .groupBy(F.col("src"), F.col("label"))
             .agg(F.sum("w").alias("sum_w"))
         )
