@@ -60,36 +60,42 @@ def ts_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     [min_day, max_day] span, comma-joined in day order. Reference:
     mapreduce/BuildShortTermTS.java (secondary sort assembles per-entity
     series; python/AggregateEZPageview.py zero-fills month buckets).
-    The calendar is a broadcast `sequence` of days — zero-fill is a join,
-    not reducer logic."""
+    The calendar is a broadcast `sequence`-of-days ARRAY and zero-fill
+    is a per-user transform over it — not a |users|x|days| join: the
+    r7-shape materialized every (user, day) row (three corpus scans:
+    span, daily counts, distinct users; ~5 exchanges; a row count of
+    |users|x|days| through the zero-fill join and final collect_list).
+    Here the corpus is scanned ONCE into the (user, day) count
+    aggregate, which is persisted and reused for the global span, each
+    user's counts fold into a day->n map, and the dense series is
+    element_at over the one-row broadcast calendar — the day order is
+    the sequence order, so the sort disappears with the join."""
     ev = load_table(spark, sf_dir, "events")
-    span = ev.agg(
-        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # reused by the span aggregate below; |users|x|active
+        # days| rows, released by the session-level cache reset
     )
-    calendar = span.select(
-        F.explode(F.sequence("d0", "d1")).alias("day")
+    calendar = daily.agg(
+        F.sequence(F.min("day"), F.max("day")).alias("days")
     )
-    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
+    per_user = daily.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("day", "n"))).alias("m"),
+        F.sum("n").alias("total"),
     )
-    users = ev.select("user_id").distinct()
-    dense = (
-        users.crossJoin(F.broadcast(calendar))
-        .join(daily, ["user_id", "day"], "left")
-        .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n"))
-    )
-    return (
-        dense.groupBy("user_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("day", "n"))),
-                    lambda s: s["n"].cast("string"),
-                ),
-                ",",
-            ).alias("series"),
-            F.sum("n").alias("total"),
-        )
+    return per_user.crossJoin(F.broadcast(calendar)).select(
+        "user_id",
+        F.array_join(
+            F.transform(
+                F.col("days"),
+                lambda d: F.coalesce(
+                    F.element_at(F.col("m"), d), F.lit(0).cast("long")
+                ).cast("string"),
+            ),
+            ",",
+        ).alias("series"),
+        "total",
     )
 
 
