@@ -539,3 +539,37 @@ def test_rev_window_family_routes_adaptively(spark):
     # revisions) must stay above the threshold or the fixture stops
     # exercising the bucketed branch
     assert REV_HOT_PAGE_REVS < 1000
+
+
+def test_ann_query_broadcast_is_size_gated(spark, monkeypatch):
+    """The ANN query side is a fixed 1/QUERY_MOD FRACTION of the corpus,
+    so an unconditional broadcast hint would ship ~4 TB per executor at
+    the declared 100 TB scale. similarity._bcast_queries gates the hint
+    on the planner's size estimate: below the ceiling the audited
+    broadcast plan is unchanged; above it the hint is dropped and the
+    bucket equi-join falls back to a memory-safe shuffled join with the
+    identical result (guide §3.1: broadcast only what fits)."""
+    from hedera_spark.operators import similarity as sim
+    from hedera_spark.operators.similarity import ann_lsh
+
+    # default ceiling: the test-SF estimate fits -> the shipped plan is
+    # still the broadcast shape the before/after plan files pin
+    assert has_broadcast_join(ann_lsh(spark, SF_DIR))
+
+    # forced-large corpus: ceiling 0 must drop the hint; with the
+    # session's auto-broadcast also off, the planner's only choice is a
+    # shuffled join — the path a 100 TB query side would take
+    monkeypatch.setenv(sim.ANN_BROADCAST_MAX_BYTES_ENV, "0")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ann_lsh(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert not has_broadcast_join(df)
+        shuffled = {tuple(r) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    monkeypatch.delenv(sim.ANN_BROADCAST_MAX_BYTES_ENV, raising=False)
+    base = {tuple(r) for r in ann_lsh(spark, SF_DIR).collect()}
+    assert shuffled == base
