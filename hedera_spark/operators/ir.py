@@ -247,13 +247,20 @@ def _bm25_doc_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     bow aggregate), df and the 1-row (N, avgdl) aggregate broadcast;
     the only at-scale shuffle is the per-doc length aggregate joined on
     doc_id. Constants are decimal literals mirrored exactly in the
-    oracle SQL so both engines fold the same doubles."""
-    tf_ = bow(spark, sf_dir).where(F.col("term").isin(BM25_QUERY_TERMS))
+    oracle SQL so both engines fold the same doubles.
+
+    tf_ and dl are persisted: each feeds a broadcast aggregate (df_ /
+    stats) AND the scored join, and a broadcast build cannot reuse the
+    other consumer's pipeline — unpersisted, the corpus tokenize ran
+    twice for each (the ann_candidate_volume lesson). Query-term /
+    |docs| bounded; released by the session-level cache reset."""
+    tf_ = bow(spark, sf_dir).where(F.col("term").isin(BM25_QUERY_TERMS)).persist()
     df_ = tf_.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dl = (
         _doc_tokens(spark, sf_dir, distinct=False)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("double").alias("dl"))
+        .persist()
     )
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -574,7 +581,12 @@ def sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry near-zero idf weight (and can be df-capped exactly like the
     co-occurrence family if needed). Top-3 is a per-query window over
     the pair scores."""
-    tf_ = bow(spark, sf_dir)
+    # persisted: three consumers (the n_docs and df broadcast aggregates
+    # below plus the weighted-postings pipeline) otherwise re-run the
+    # corpus bow three times — broadcast builds cannot share a subtree
+    # (the ann_candidate_volume lesson). |doc x term| rows, released by
+    # the session cache reset.
+    tf_ = bow(spark, sf_dir).persist()
     # |docs| as a 1-row broadcast aggregate (bm25's stats pattern) — no
     # driver-side count action in the plan-build path
     stats = tf_.select("doc_id").distinct().agg(
@@ -1022,13 +1034,15 @@ def bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: bm25_topk's plan with a 4-row broadcast config table
     riding the scored frame; per-config ranking is a window over ≤4×|
-    matched docs| rows."""
-    tf_ = bow(spark, sf_dir).where(F.col("term").isin(BM25_QUERY_TERMS))
+    matched docs| rows. tf_/dl persisted for the same broadcast-build
+    double-compute reason as _bm25_doc_term_scores."""
+    tf_ = bow(spark, sf_dir).where(F.col("term").isin(BM25_QUERY_TERMS)).persist()
     df_ = tf_.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dl = (
         _doc_tokens(spark, sf_dir, distinct=False)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("double").alias("dl"))
+        .persist()
     )
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

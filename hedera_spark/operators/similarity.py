@@ -286,7 +286,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid cell (nprobe=1), so a probe touches ~1/K of the corpus —
     the inverted-file complement to ann_lsh's hash buckets. Same scoring
     math and output shape as ann_lsh; recall tunes via K and nprobe."""
-    cells = _ivf_cells(spark, sf_dir)
+    # persist: the query side is a filter of this same frame, and the
+    # n x K centroid-assignment fold below the final agg otherwise runs
+    # twice (the vec_id grouping key lets the % filter push below the
+    # exchange, so the two subtrees canonicalize differently and
+    # exchange reuse cannot fire — the ann_candidate_volume lesson).
+    # Released by the session-level cache reset.
+    cells = _ivf_cells(spark, sf_dir).persist()
     q = cells.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -503,7 +509,9 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace rows) reduced by a (vec_id, m) min_by partial agg — never a
     shuffle of the corpus beyond the (vec_id, m) key; decode = ordered
     array flatten; probe = one equality join on the IVF cell id."""
-    cells = _ivf_cells(spark, sf_dir)  # vec_id, cid, embedding, nrm
+    # vec_id, cid, embedding, nrm; persisted because both the query side
+    # and the candidate side read it (same rationale as ann_ivf)
+    cells = _ivf_cells(spark, sf_dir).persist()
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.where(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("ccid"), F.col("embedding").alias("cemb")
