@@ -23,13 +23,24 @@ _EMPTY_SCHEMAS = {
 }
 
 
+_EMPTY_SF_CACHE: dict[str, str] = {}
+
+
 def _empty_sf(spark, tmp_path):
-    """An sf_dir where every table has the right schema and zero rows."""
+    """An sf_dir where every table has the right schema and zero rows.
+
+    Built ONCE per session and reused: the dir is read-only for every
+    consumer, and rebuilding the 10 empty parquet writes per
+    parametrized case was ~40% of the whole suite's wall clock (r8
+    durations: 154 of the top-200 slowest tests were these)."""
+    if "dir" in _EMPTY_SF_CACHE:
+        return _EMPTY_SF_CACHE["dir"]
     out = tmp_path / "empty"
     for name, schema in _EMPTY_SCHEMAS.items():
         spark.createDataFrame([], schema).write.parquet(
             str(out / f"{name}.parquet")
         )
+    _EMPTY_SF_CACHE["dir"] = str(out)
     return str(out)
 
 
@@ -486,8 +497,11 @@ def test_page_depth_stats_empty_and_planted_hot(spark, tmp_path):
     )
     import shutil
 
+    import pathlib
+
     shutil.copytree(
-        str(tmp_path / "empty" / "events.parquet"),
+        str(pathlib.Path(sf) / "events.parquet"),  # the session-cached
+        # empty dir — not necessarily under THIS test's tmp_path
         str(hot_dir / "events.parquet"),
     )
     rows = {r["table_name"]: r for r in page_depth_stats(spark, str(hot_dir)).collect()}

@@ -4,6 +4,8 @@ per-query oracle can't see."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -202,6 +204,7 @@ def test_quality_threshold_sweep_agrees_with_text_quality(spark):
     assert sweep.get(0.7, 0) == want
 
 
+@pytest.mark.slow
 def test_candidate_volume_bounds_the_scored_outputs(spark):
     """The pre-score candidate counts must dominate each family's
     post-cut pair count: every emitted near-dup pair was once a
@@ -222,6 +225,7 @@ def test_candidate_volume_bounds_the_scored_outputs(spark):
     assert vol["simhash_block"] >= dedup_simhash(spark, SF_DIR).count()
 
 
+@pytest.mark.slow
 def test_ann_candidate_volume_orders_the_paths(spark):
     """brute_force is the ceiling by construction; every approximate
     path must evaluate strictly fewer pairs (that is its reason to

@@ -65,6 +65,7 @@ def test_bm25_ranking_shape(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+@pytest.mark.slow
 def test_dedup_keep_best_policy(spark):
     from pyspark.sql import functions as F
 

@@ -5,6 +5,8 @@ lengths) are exactly the ones a fixed synthetic corpus never contains."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 from hypothesis import HealthCheck, given, settings
@@ -84,6 +86,7 @@ def test_chunk_documents_covers_exactly(spark, tmp_path_factory, lengths):
         max_size=20,
     )
 )
+@pytest.mark.slow
 def test_bpe_apply_reconstructs_any_corpus(spark, tmp_path_factory, words):
     """BPE segmentation is lossless and greedy-consistent for arbitrary
     small-alphabet corpora (where merge collisions are most brutal)."""

@@ -5,6 +5,8 @@ Local*Reader.java) translated to DataFrames."""
 
 from __future__ import annotations
 
+import pytest
+
 def test_rev_diff_token_sets(spark, tmp_path):
     """Two snapshots: 'a b c' -> 'b c d' = 1 inserted, 1 deleted, 2 common."""
     docs = spark.createDataFrame(
@@ -762,6 +764,7 @@ def test_lang_confusion_rolls_up_lang_id(spark):
         assert abs(total - 1.0) < 1e-4, (lang, total)
 
 
+@pytest.mark.slow
 def test_dedup_cluster_stats_accounts_every_doc(spark):
     """The size histogram must be the exact rollup of dedup_clusters:
     Σ n_docs = clustered docs, Σ n_clusters = distinct clusters."""
@@ -810,6 +813,7 @@ def test_pv_forecast_backtest_perfect_on_weekly_pattern(spark, tmp_path):
     assert r["mae"] == 0.0
 
 
+@pytest.mark.slow
 def test_dedup_recall_counts_match_composed_operators(spark):
     """The recall row must be the exact pandas intersection of the two
     composed pair sets, and pigeonhole guarantees: identical docs (est
@@ -3752,6 +3756,7 @@ def test_coreset_scan_budget(spark):
     assert n_scans <= math.ceil(math.log2(CORESET_K)) + 1
 
 
+@pytest.mark.slow
 def test_coreset_degenerate_corpus_matches_oracle(spark, tmp_path):
     """Fewer distinct embedding points than K: the operator stops once
     the argmax min-distance hits 0 on an already-selected vec_id, and

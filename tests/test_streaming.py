@@ -3,6 +3,8 @@ Streaming hourly rollup must equal the batch pv_hourly operator."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_DIR
 from tests.oracle_compare import assert_frames_match
 
@@ -69,6 +71,7 @@ def test_stream_user_totals_equals_batch(spark):
         assert g["last_unix"] == w["last_unix"]
 
 
+@pytest.mark.slow
 def test_stream_append_mode_closes_windows_by_watermark(spark, tmp_path):
     """Append-mode semantics: stream the events log as one file per day
     (chronological batches); the watermark must close and emit exactly the
@@ -483,6 +486,7 @@ def test_stream_dedup_vs_history_equals_batch_anti_join(spark):
     assert_frames_match(got, want, "stream_dedup_vs_history")
 
 
+@pytest.mark.slow
 def test_stream_write_partitioned_is_idempotent(spark, tmp_path):
     """The foreachBatch dynamic-partition-overwrite sink must (1) land the
     replayed log row-exact into the date-partitioned lake and (2) be
@@ -527,6 +531,7 @@ def test_stream_write_partitioned_is_idempotent(spark, tmp_path):
     assert lake2.select("event_id").distinct().count() == ev.count()
 
 
+@pytest.mark.slow
 def test_stream_write_compacted_bounds_file_count(spark, tmp_path):
     """The compaction sink must land the same rows as the plain
     partitioned sink while writing a BOUNDED number of parquet files per
@@ -584,6 +589,7 @@ def test_stream_write_compacted_bounds_file_count(spark, tmp_path):
         assert 1 <= len(files) <= math.ceil(n_day / target)
 
 
+@pytest.mark.slow
 def test_stream_pv_anomaly_equals_batch(spark, tmp_path):
     """The stateful online anomaly scorer, replayed over day-files in
     order, must reproduce batch pv_anomaly's scores for every (user,
@@ -641,6 +647,7 @@ def test_stream_pv_anomaly_equals_batch(spark, tmp_path):
             assert abs(g["z_score"] - w["z_score"]) < 1e-6, k
 
 
+@pytest.mark.slow
 def test_stream_pv_anomaly_state_survives_restart(spark, tmp_path):
     """Keyed state must survive a stream restart: replay the first half
     of the days, stop, add the rest, restart with the SAME checkpoint —
@@ -760,6 +767,7 @@ def test_stream_funnel_equals_batch(spark):
                 assert gv == wv, (uid, col, gv, wv)
 
 
+@pytest.mark.slow
 def test_stream_funnel_state_survives_restart(spark, tmp_path):
     """Funnel state must survive a stream restart: replay the first half
     of the days, stop, add the rest, restart with the SAME checkpoint —
@@ -879,6 +887,7 @@ def test_stream_hot_keys_equals_batch_thresholds(spark):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_stream_hot_keys_state_survives_restart(spark, tmp_path):
     """Keyed totals must survive a restart: replay half the days, stop,
     add the rest, restart with the SAME checkpoint — the final emitted
@@ -1191,6 +1200,7 @@ def test_stream_hll_equals_batch_registers(spark):
     assert_frames_match(got, want, "stream_hll")
 
 
+@pytest.mark.slow
 def test_stream_upsert_maintains_latest_per_key(spark, tmp_path):
     """The foreachBatch CDC upsert must (1) end the replay with exactly
     the batch latest-per-key state, (2) rewrite only the key buckets a
@@ -1307,6 +1317,7 @@ def test_stream_scd2_resolve_equals_batch(spark):
     assert_frames_match(got, want, "stream_scd2_resolve")
 
 
+@pytest.mark.slow
 def test_stream_left_outer_join_emits_matches_and_expired_nulls(spark, tmp_path):
     """LEFT OUTER stream-stream join on a daily-file replay: matched rows
     equal the batch inner join; a view with no purchase in its window is
@@ -1780,6 +1791,7 @@ def test_stream_write_partitioned_recovers_from_partial_epoch(spark, tmp_path):
     assert got.equals(expect)
 
 
+@pytest.mark.slow
 def test_stream_upsert_recovers_from_partial_epoch_state(spark, tmp_path):
     """Failure injection for the CDC upsert (r5 VERDICT #6): epoch N's
     dynamic partition overwrite crashed after promoting only ONE of the
