@@ -22,7 +22,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Embedding note: several operators deliberately persist intermediates
+    whose lifetime extends past the returned (lazy) frame — required for
+    single-execution plans. A LONG-LIVED session running many queries
+    should call ``hedera_spark.session.reset_session_state(spark)``
+    between independent queries (bench.py and the test suite do): it
+    releases those caches and the in-process model registries, keeping
+    later plans clean and preventing stale cached reads after an
+    in-place rewrite of the parquet inputs.
+    ``tests/test_plans.py::test_reset_session_state_clears_all_persisted_frames``
+    pins the contract."""
     from hedera_spark.registry import QUERIES
 
     return dict(QUERIES)

@@ -573,3 +573,44 @@ def test_ann_query_broadcast_is_size_gated(spark, monkeypatch):
     monkeypatch.delenv(sim.ANN_BROADCAST_MAX_BYTES_ENV, raising=False)
     base = {tuple(r) for r in ann_lsh(spark, SF_DIR).collect()}
     assert shuffled == base
+
+
+def test_reset_session_state_clears_all_persisted_frames(spark):
+    """Several operators deliberately leak persisted frames past return
+    (quality_classifier, skipgram_pairs, the ann dials, the bm25
+    kernel) and rely on the session-level reset to release them — the
+    contract bench.py, driver_sim and the plan audits all depend on.
+    Pin it: after a leaky query runs the CacheManager holds entries;
+    after reset_session_state it must be EMPTY. A leak surviving the
+    reset silently degrades later plans (a substituted
+    TableCacheQueryStage blocks exchange reuse) and can serve stale
+    reads after an in-place rewrite of the parquet inputs."""
+    from hedera_spark.operators.text_analysis import skipgram_pairs
+    from hedera_spark.session import reset_session_state
+
+    skipgram_pairs(spark, SF_DIR).collect()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert not jcm.isEmpty(), "expected skipgram_pairs to leave persisted frames"
+    reset_session_state(spark)
+    assert jcm.isEmpty(), "reset_session_state left persisted frames behind"
+
+
+def test_exchange_reuse_survives_a_prior_cache_leak_plus_reset(spark):
+    """The r4 regression class: a leaked upstream cache (the dedup
+    shingle frame) substitutes TableCacheQueryStage nodes into any
+    later plan containing that subtree, and AQE then refuses to reuse
+    exchanges across them. After a deliberate _shingles leak followed
+    by reset_session_state, anchor_cooccur's merge-hinted self-join
+    must still collapse its identical token pipelines to one executed
+    exchange."""
+    from hedera_spark.operators.dedup import _shingles
+    from hedera_spark.registry import QUERIES
+    from hedera_spark.session import reset_session_state
+
+    _shingles(spark, SF_DIR).persist().count()  # the documented leak
+    reset_session_state(spark)
+    df = QUERIES["anchor_cooccur"](spark, SF_DIR)
+    df.collect()
+    assert "ReusedExchange" in executed_plan(df), (
+        "anchor_cooccur: exchange reuse did not survive a leak + reset"
+    )
