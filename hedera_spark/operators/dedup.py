@@ -121,6 +121,12 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_DF_CAP = 50  # drop shingles appearing in more than this many documents
+# Route bound for the hot-shingle cut in _pair_stats: up to this many
+# hot shingles the per-row broadcast array_except is cheapest (no extra
+# exchange); beyond it the per-row hash-set rebuild dominates the scan
+# and the exploded cold-join route wins (see _pair_stats). Value-free:
+# both routes produce identical rows.
+HOT_SET_ARRAY_ROUTE_MAX = 1024
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,29 +180,64 @@ def _pair_stats(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     # spills rather than OOMs, and recomputing the shingle kernel per
     # side costs more than the spill re-read.
     arrs = arrs.persist()
-    hot_row = (
+    # per-shingle document frequency: tiny (|shingle vocabulary| rows),
+    # persisted because BOTH the route probe below and the chosen
+    # route's hot/cold set read it
+    dfreq = (
         arrs.select(F.explode("shingles").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > df_cap)
-        .agg(F.collect_set("shingle").alias("hot"))
+        .persist()
     )
-    kept = (
-        arrs.join(F.broadcast(hot_row))
-        .select("doc_id", F.array_except("shingles", "hot").alias("kept"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    "kept",
-                    lambda s: F.struct(
-                        s.alias("shingle"), F.size("kept").cast("long").alias("n")
-                    ),
-                )
-            ).alias("_sn"),
+    # Route on the measured hot-set size (the revisions skew-router /
+    # ann_lsh_adaptive count() pattern — one count on the cached tiny
+    # aggregate, no data collect). Spark's array_except rebuilds the
+    # hash set of its RIGHT argument for every row, so the broadcast
+    # hot-array cut is O(|docs| x |hot|): perfect while the hot set is
+    # a handful of stop-shingles (the test corpus: 0 at sf0.1), a
+    # scan-dominating quadratic on corpora whose shingle vocabulary
+    # saturates (measured on the 10x .scale/sf1 corpus: 27k of 29k
+    # shingles hot -> the kept pass alone 17.6 s of the query's 19 s).
+    # Above the threshold, cut hot shingles with an exploded inner join
+    # against the broadcast COLD vocabulary and recover the per-doc
+    # kept size with one doc_id window — identical (doc_id, n, shingle)
+    # rows (arrays are per-doc distinct), one extra |kept-token|
+    # exchange instead of the per-row hot-set rebuild.
+    n_hot = dfreq.where(F.col("df") > df_cap).count()
+    if n_hot <= HOT_SET_ARRAY_ROUTE_MAX:
+        hot_row = dfreq.where(F.col("df") > df_cap).agg(
+            F.collect_set("shingle").alias("hot")
         )
-        .select("doc_id", F.col("_sn.n").alias("n"), F.col("_sn.shingle").alias("shingle"))
-    ).persist()
+        kept = (
+            arrs.join(F.broadcast(hot_row))
+            .select("doc_id", F.array_except("shingles", "hot").alias("kept"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        "kept",
+                        lambda s: F.struct(
+                            s.alias("shingle"), F.size("kept").cast("long").alias("n")
+                        ),
+                    )
+                ).alias("_sn"),
+            )
+            .select(
+                "doc_id", F.col("_sn.n").alias("n"), F.col("_sn.shingle").alias("shingle")
+            )
+        ).persist()
+    else:
+        cold = dfreq.where(F.col("df") <= df_cap).select("shingle")
+        w_doc = Window.partitionBy("doc_id")
+        kept = (
+            arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+            .join(F.broadcast(cold), "shingle")
+            .select(
+                "doc_id",
+                F.count(F.lit(1)).over(w_doc).cast("long").alias("n"),
+                "shingle",
+            )
+        ).persist()
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle")
     stats = (
