@@ -127,6 +127,11 @@ NGRAM_DF_CAP = 50  # drop shingles appearing in more than this many documents
 # and the exploded cold-join route wins (see _pair_stats). Value-free:
 # both routes produce identical rows.
 HOT_SET_ARRAY_ROUTE_MAX = 1024
+# Below this planner-estimated input size the route probe is skipped
+# and the array route used unconditionally: on a corpus this small the
+# array route's worst case is bounded by the input itself, and the
+# probe's extra job would cost more than it can save (see _pair_stats).
+HOT_ROUTE_PROBE_MIN_BYTES = 2 * 1024 * 1024
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,30 +185,40 @@ def _pair_stats(arrs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     # spills rather than OOMs, and recomputing the shingle kernel per
     # side costs more than the spill re-read.
     arrs = arrs.persist()
-    # per-shingle document frequency: tiny (|shingle vocabulary| rows),
-    # persisted because BOTH the route probe below and the chosen
-    # route's hot/cold set read it
+    # Route the hot-shingle cut on the measured hot-set size (the
+    # revisions skew-router / ann_lsh_adaptive count() pattern — one
+    # count on a cached tiny aggregate, no data collect). Spark's
+    # array_except rebuilds the hash set of its RIGHT argument for
+    # EVERY row, so the broadcast hot-array cut is O(|docs| x |hot|):
+    # perfect while the hot set is a handful of stop-shingles (the test
+    # corpus: 0 hot at sf0.1), a scan-dominating quadratic on corpora
+    # whose shingle vocabulary saturates (measured on the 10x
+    # .scale/sf1 corpus: 27k of 29k shingles hot -> the kept pass alone
+    # 17.6 s of dedup_ngram_jaccard's 19 s). Above the threshold, cut
+    # hot shingles with an exploded inner join against the broadcast
+    # COLD vocabulary and recover the per-doc kept size with one doc_id
+    # window — identical (doc_id, n, shingle) rows (arrays are per-doc
+    # distinct), one extra |kept-token| exchange instead of the per-row
+    # hash-set rebuild.
+    #
+    # The probe itself is gated on the planner's size estimate for the
+    # input (no Spark job): below HOT_ROUTE_PROBE_MIN_BYTES even an
+    # all-hot vocabulary keeps the array route's cost bounded by the
+    # input size, while the probe's extra job+codegen measurably taxed
+    # the bench query (interleaved A/B: 1.22x at sf0.1 against a 1.03x
+    # same-code control), so small corpora take route A unconditionally.
+    est_bytes = int(str(arrs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    probe = est_bytes >= HOT_ROUTE_PROBE_MIN_BYTES
     dfreq = (
         arrs.select(F.explode("shingles").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .persist()
     )
-    # Route on the measured hot-set size (the revisions skew-router /
-    # ann_lsh_adaptive count() pattern — one count on the cached tiny
-    # aggregate, no data collect). Spark's array_except rebuilds the
-    # hash set of its RIGHT argument for every row, so the broadcast
-    # hot-array cut is O(|docs| x |hot|): perfect while the hot set is
-    # a handful of stop-shingles (the test corpus: 0 at sf0.1), a
-    # scan-dominating quadratic on corpora whose shingle vocabulary
-    # saturates (measured on the 10x .scale/sf1 corpus: 27k of 29k
-    # shingles hot -> the kept pass alone 17.6 s of the query's 19 s).
-    # Above the threshold, cut hot shingles with an exploded inner join
-    # against the broadcast COLD vocabulary and recover the per-doc
-    # kept size with one doc_id window — identical (doc_id, n, shingle)
-    # rows (arrays are per-doc distinct), one extra |kept-token|
-    # exchange instead of the per-row hot-set rebuild.
-    n_hot = dfreq.where(F.col("df") > df_cap).count()
+    if probe:
+        dfreq = dfreq.persist()  # read by the probe AND the chosen route
+        n_hot = dfreq.where(F.col("df") > df_cap).count()
+    else:
+        n_hot = 0
     if n_hot <= HOT_SET_ARRAY_ROUTE_MAX:
         hot_row = dfreq.where(F.col("df") > df_cap).agg(
             F.collect_set("shingle").alias("hot")

@@ -60,42 +60,52 @@ def ts_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     [min_day, max_day] span, comma-joined in day order. Reference:
     mapreduce/BuildShortTermTS.java (secondary sort assembles per-entity
     series; python/AggregateEZPageview.py zero-fills month buckets).
-    The calendar is a broadcast `sequence`-of-days ARRAY and zero-fill
-    is a per-user transform over it — not a |users|x|days| join: the
-    r7-shape materialized every (user, day) row (three corpus scans:
-    span, daily counts, distinct users; ~5 exchanges; a row count of
-    |users|x|days| through the zero-fill join and final collect_list).
-    Here the corpus is scanned ONCE into the (user, day) count
-    aggregate, which is persisted and reused for the global span, each
-    user's counts fold into a day->n map, and the dense series is
-    element_at over the one-row broadcast calendar — the day order is
-    the sequence order, so the sort disappears with the join."""
+    The calendar is a broadcast `sequence` of days — zero-fill is a join,
+    not reducer logic.
+
+    Two r8 restructures were measured and REJECTED, both
+    value-identical (oracle MATCH x3 each):
+    - day->n map per user + element_at over a broadcast calendar array:
+      Spark map lookups are linear scans of ArrayBasedMapData inside an
+      interpreted lambda, O(|days| x |active days|) per user — 1.23x
+      slower at sf0.1 (interleaved fresh-JVM A/B, control 1.03x).
+    - single corpus scan into a persisted (user, day) aggregate with
+      span/users derived from the cache: 1 scan instead of 3, but the
+      cache write SERIALIZES what are here three independent subtrees
+      that one action schedules as parallel stages — interleaved
+      same-session min-of-5: 3-scan 0.59 s vs cached 1-scan 1.06 s at
+      sf0.1 on local[32]. On a bandwidth-bound cluster the one-scan
+      form wins; on this operator the scan is a fraction of a second
+      and stage parallelism dominates, so the parallel-subtree form is
+      the shipped one."""
     ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .persist()  # reused by the span aggregate below; |users|x|active
-        # days| rows, released by the session-level cache reset
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
     )
-    calendar = daily.agg(
-        F.sequence(F.min("day"), F.max("day")).alias("days")
+    calendar = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
     )
-    per_user = daily.groupBy("user_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("day", "n"))).alias("m"),
-        F.sum("n").alias("total"),
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
     )
-    return per_user.crossJoin(F.broadcast(calendar)).select(
-        "user_id",
-        F.array_join(
-            F.transform(
-                F.col("days"),
-                lambda d: F.coalesce(
-                    F.element_at(F.col("m"), d), F.lit(0).cast("long")
-                ).cast("string"),
-            ),
-            ",",
-        ).alias("series"),
-        "total",
+    users = ev.select("user_id").distinct()
+    dense = (
+        users.crossJoin(F.broadcast(calendar))
+        .join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    return (
+        dense.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("day", "n"))),
+                    lambda s: s["n"].cast("string"),
+                ),
+                ",",
+            ).alias("series"),
+            F.sum("n").alias("total"),
+        )
     )
 
 
